@@ -1,0 +1,333 @@
+"""Typed model configuration mirroring CICE's runtime namelist groups.
+
+The reference reads a Fortran namelist `ice_in` with ~13 groups
+(reference: cicecore/cicedyn/general/ice_init.F90:59-2966 `input_data`,
+configuration/scripts/ice_in). Here the same knobs are a tree of frozen
+dataclasses so a config is a hashable static argument to jitted step
+functions. Field names follow the reference namelists so CICE users can map
+their setups 1:1; option fragments (`set_nml.*`) become `Config.replace(...)`
+chains / dict overlays via `from_overrides`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclass(frozen=True)
+class SetupConfig:
+    # reference: setup_nml in configuration/scripts/ice_in
+    days_per_year: int = 365
+    use_leap_years: bool = False
+    year_init: int = 2005
+    month_init: int = 1
+    day_init: int = 1
+    sec_init: int = 0
+    dt: float = 3600.0              # thermodynamics/coupling timestep (s)
+    npt: int = 24                   # number of steps (interpreted per npt_unit)
+    npt_unit: str = "1"             # '1'=steps, 'd','m','y','h','s'
+    ndtd: int = 1                   # dynamics subcycles per thermo step
+    runtype: str = "initial"        # 'initial' | 'continue'
+    ice_ic: str = "default"         # 'default' | 'none' | path
+    restart: bool = False
+    restart_dir: str = "./restart/"
+    restart_file: str = "iced"
+    pointer_file: str = "./restart/ice.restart_file"
+    dumpfreq: str = "y"
+    dumpfreq_n: int = 1
+    dump_last: bool = False
+    diagfreq: int = 24
+    histfreq: Tuple[str, ...] = ("m", "x", "x", "x", "x")
+    histfreq_n: Tuple[int, ...] = (1, 1, 1, 1, 1)
+    hist_avg: bool = True
+    history_dir: str = "./history/"
+    history_file: str = "iceh"
+    calendar_type: str = "noleap"   # 'noleap' | 'gregorian' | '360day'
+    conserv_check: bool = False
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    # reference: grid_nml
+    grid_format: str = "rect"       # 'rect' | 'latlon' | 'pop_nc' | 'displaced_pole' | 'tripole'
+    grid_type: str = "rectangular"  # 'rectangular' | 'displaced_pole' | 'tripole' | 'regional'
+    grid_ice: str = "B"             # 'B' | 'C' | 'CD'
+    nx_global: int = 100
+    ny_global: int = 116
+    dxrect: float = 30.0e5          # cm (rectgrid spacing), reference ice_grid.F90:119
+    dyrect: float = 30.0e5
+    lonrefrect: float = -156.5
+    latrefrect: float = 71.35
+    kmt_type: str = "default"       # 'default' | 'none' | 'channel' | 'wall' | 'boxislands'
+    ew_boundary_type: str = "cyclic"   # 'cyclic' | 'closed' | 'open'
+    ns_boundary_type: str = "open"     # 'open' | 'closed' | 'cyclic' | 'tripole' | 'tripoleT'
+    kcatbound: int = 1              # ITD category boundary scheme (0 orig, 1 new, 2 WMO, -1 single)
+    grid_file: str = ""
+    kmt_file: str = ""
+
+
+@dataclass(frozen=True)
+class DomainConfig:
+    # Dimensions that size state arrays (reference: shared/ice_domain_size.F90).
+    ncat: int = 5
+    nilyr: int = 7
+    nslyr: int = 1
+    nblyr: int = 1
+    nfsd: int = 1
+    n_aero: int = 0
+    n_iso: int = 0
+
+
+@dataclass(frozen=True)
+class TracerConfig:
+    # reference: tracer_nml
+    tr_iage: bool = True
+    tr_FY: bool = True
+    tr_lvl: bool = True
+    tr_pond_lvl: bool = True
+    tr_pond_topo: bool = False
+    tr_pond_sealvl: bool = False
+    tr_snow: bool = False
+    tr_fsd: bool = False
+    tr_iso: bool = False
+    tr_aero: bool = False
+
+
+@dataclass(frozen=True)
+class ThermoConfig:
+    # reference: thermo_nml
+    ktherm: int = 1                 # 0 zero-layer, 1 BL99, 2 mushy
+    kitd: int = 1                   # 0 delta, 1 linear remap
+    conduct: str = "bubbly"         # 'MU71' | 'bubbly'
+    tfrz_option: str = "mushy"      # 'minus1p8' | 'linear_salt' | 'mushy' | 'constant'
+    ksno: float = 0.30
+    a_rapid_mode: float = 0.5e-3
+    Rac_rapid_mode: float = 10.0
+    aspect_rapid_mode: float = 1.0
+    dSdt_slow_mode: float = -5.0e-8
+    phi_c_slow_mode: float = 0.05
+    phi_i_mushy: float = 0.85
+    hi_min: float = 0.01
+    sw_redist: bool = False
+    sw_frac: float = 0.9
+    sw_dtemp: float = 0.02
+    nit: int = 50                   # max Newton iterations (fixed count under jit)
+
+
+@dataclass(frozen=True)
+class DynamicsConfig:
+    # reference: dynamics_nml; ice_dyn_shared.F90:37-139
+    kdyn: int = 1                   # 0 off, 1 EVP, 2 EAP, 3 VP, -1 fixed
+    ndte: int = 120                 # EVP subcycles
+    revised_evp: bool = False
+    evp_algorithm: str = "standard_2d"   # 'standard_2d' | 'fused_pallas'
+    elasticDamp: float = 0.36
+    arlx: float = 300.0             # revised-EVP alpha
+    brlx: float = 300.0             # revised-EVP beta
+    e_yieldcurve: float = 2.0
+    e_plasticpot: float = 2.0
+    visc_method: str = "avg_zeta"   # C-grid: 'avg_strength' | 'avg_zeta'
+    capping_method: str = "max"     # 'max' (Hibler79) | 'sum' (Kreyscher2000)
+    deltaminEVP: float = 1e-11      # (1/s)
+    deltaminVP: float = 2e-9
+    Ktens: float = 0.0
+    kstrength: int = 1              # 0 Hibler79, 1 Rothrock75
+    krdg_partic: int = 1
+    krdg_redist: int = 1
+    mu_rdg: float = 3.0
+    Cf: float = 17.0
+    Pstar: float = 2.75e4
+    Cstar: float = 20.0
+    seabed_stress: bool = False
+    seabed_stress_method: str = "LKD"   # 'LKD' | 'probabilistic'
+    k1: float = 7.5e-3              # LKD seabed stress parameter
+    k2: float = 15.0
+    alphab: float = 20.0
+    threshold_hw: float = 30.0
+    coriolis: str = "latitude"      # 'latitude' | 'constant' | 'zero'
+    ssh_stress: str = "geostrophic" # 'geostrophic' | 'coupled'
+    kridge: int = 1                 # 1 ridging on, -1 off
+    ktransport: int = 1             # 1 transport on, -1 off
+    advection: str = "remap"        # 'remap' | 'upwind' | 'none'
+    # implicit (VP) solver — reference ice_dyn_vp.F90 namelist section
+    maxits_nonlin: int = 10
+    precond: str = "pgmres"         # 'pgmres' | 'diag' | 'ident'
+    dim_fgmres: int = 50
+    dim_pgmres: int = 5
+    maxits_fgmres: int = 50
+    maxits_pgmres: int = 5
+    monitor_nonlin: bool = False
+    ortho_type: str = "mgs"         # 'mgs' | 'cgs'
+    reltol_nonlin: float = 1e-8
+    reltol_fgmres: float = 1e-1
+    reltol_pgmres: float = 1e-6
+    algo_nonlin: str = "picard"     # 'picard' | 'anderson'
+    dim_andacc: int = 5
+    damping_andacc: float = 0.0
+    start_andacc: int = 0
+    use_mean_vrel: bool = True
+
+
+@dataclass(frozen=True)
+class ShortwaveConfig:
+    # reference: shortwave_nml
+    shortwave: str = "ccsm3"        # 'ccsm3' | 'dEdd' | 'dEdd_snicar_ad'
+    albedo_type: str = "ccsm3"
+    albicev: float = 0.78
+    albicei: float = 0.36
+    albsnowv: float = 0.98
+    albsnowi: float = 0.70
+    ahmax: float = 0.3
+    R_ice: float = 0.0
+    R_pnd: float = 0.0
+    R_snw: float = 1.5
+    dT_mlt: float = 1.5
+    rsnw_mlt: float = 1500.0
+    kalg: float = 0.6
+
+
+@dataclass(frozen=True)
+class PondConfig:
+    # reference: ponds_nml
+    hp1: float = 0.01
+    hs0: float = 0.03
+    hs1: float = 0.03
+    dpscale: float = 1.0e-3
+    frzpnd: str = "cesm"            # 'cesm' | 'hlid'
+    rfracmin: float = 0.15
+    rfracmax: float = 1.0
+    pndaspect: float = 0.8
+
+
+@dataclass(frozen=True)
+class SnowConfig:
+    # reference: snow_nml
+    snwredist: str = "none"
+    snwgrain: bool = False
+    rsnw_fall: float = 100.0
+    rsnw_tmax: float = 1500.0
+    rhosnew: float = 100.0
+    rhosmin: float = 100.0
+    rhosmax: float = 450.0
+    windmin: float = 10.0
+    drhosdwind: float = 27.3
+    snwlvlfac: float = 0.3
+
+
+@dataclass(frozen=True)
+class ForcingConfig:
+    # reference: forcing_nml
+    atmbndy: str = "similarity"     # 'similarity' | 'constant' | 'mixed'
+    atm_data_type: str = "box2001"  # 'ncar'|'jra55'|'box2001'|'uniform_east'|...|'calm'
+    ocn_data_type: str = "default"
+    bgc_data_type: str = "default"
+    atm_data_dir: str = ""
+    ocn_data_dir: str = ""
+    precip_units: str = "mks"
+    fyear_init: int = 2005
+    ycycle: int = 1
+    calc_strair: bool = True
+    highfreq: bool = False
+    natmiter: int = 5               # iterations for atm boundary layer stability
+    atmiter_conv: float = 0.0
+    calc_Tsfc: bool = True
+    default_season: str = "winter"
+    oceanmixed_ice: bool = True
+    wave_spec_type: str = "none"
+    restore_ice: bool = False
+    restore_ocn: bool = False
+    trestore: int = 90
+    update_ocn_f: bool = False
+    l_mpond_fresh: bool = False
+    ustar_min: float = 0.005
+    emissivity: float = 0.985
+    fbot_xfer_type: str = "constant"
+    formdrag: bool = False
+    iceruf: float = 0.0005
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level model configuration (analogue of the full `ice_in` file)."""
+
+    setup: SetupConfig = field(default_factory=SetupConfig)
+    grid: GridConfig = field(default_factory=GridConfig)
+    domain: DomainConfig = field(default_factory=DomainConfig)
+    tracers: TracerConfig = field(default_factory=TracerConfig)
+    thermo: ThermoConfig = field(default_factory=ThermoConfig)
+    dynamics: DynamicsConfig = field(default_factory=DynamicsConfig)
+    shortwave: ShortwaveConfig = field(default_factory=ShortwaveConfig)
+    ponds: PondConfig = field(default_factory=PondConfig)
+    snow: SnowConfig = field(default_factory=SnowConfig)
+    forcing: ForcingConfig = field(default_factory=ForcingConfig)
+    dtype: str = "float32"          # working dtype for state ('float32'|'float64')
+
+    # -- helpers ------------------------------------------------------------
+    @property
+    def np_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **groups) -> "Config":
+        """Replace whole groups: cfg.replace(dynamics=cfg.dynamics.replace(...))."""
+        return _replace(self, **groups)
+
+    def with_overrides(self, **flat) -> "Config":
+        """Apply dotted overrides: cfg.with_overrides(**{'dynamics.ndte': 240})."""
+        cfg = self
+        grouped: dict[str, dict[str, Any]] = {}
+        for key, val in flat.items():
+            group, _, name = key.partition(".")
+            if not name:
+                cfg = _replace(cfg, **{group: val})
+            else:
+                grouped.setdefault(group, {})[name] = val
+        for group, kv in grouped.items():
+            cfg = _replace(cfg, **{group: _replace(getattr(cfg, group), **kv)})
+        return cfg
+
+
+# Attach a generic .replace to every group dataclass for ergonomic updates.
+for _cls in (SetupConfig, GridConfig, DomainConfig, TracerConfig, ThermoConfig,
+             DynamicsConfig, ShortwaveConfig, PondConfig, SnowConfig, ForcingConfig):
+    _cls.replace = lambda self, **kw: dataclasses.replace(self, **kw)  # type: ignore
+
+
+# ---------------------------------------------------------------------------
+# Canonical configurations (analogue of cice.setup option fragments)
+# ---------------------------------------------------------------------------
+
+def box2001_config(nx: int = 80, ny: int = 80) -> Config:
+    """Idealized 80x80 box with analytic forcing (reference set_nml.box2001)."""
+    cfg = Config()
+    cfg = cfg.with_overrides(**{
+        "grid.nx_global": nx, "grid.ny_global": ny,
+        "grid.grid_format": "rect", "grid.kmt_type": "default",
+        "grid.ew_boundary_type": "cyclic", "grid.ns_boundary_type": "open",
+        "setup.dt": 3600.0,
+        "forcing.atm_data_type": "box2001",
+        "forcing.ocn_data_type": "box2001",
+        "dynamics.advection": "upwind",
+        "dynamics.coriolis": "constant",
+    })
+    return cfg
+
+
+def gx3_config() -> Config:
+    """gx3 (3-degree displaced-pole, 100x116) standalone configuration."""
+    cfg = Config()
+    cfg = cfg.with_overrides(**{
+        "grid.nx_global": 100, "grid.ny_global": 116,
+        "grid.grid_format": "displaced_pole",
+        "grid.ew_boundary_type": "cyclic", "grid.ns_boundary_type": "open",
+        "setup.dt": 3600.0,
+        "forcing.atm_data_type": "ncar",
+    })
+    return cfg

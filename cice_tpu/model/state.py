@@ -1,0 +1,143 @@
+"""Prognostic model state as a JAX pytree.
+
+TPU-native analogue of cicecore/cicedyn/general/ice_state.F90:55-127 plus the
+dynamics stress state from ice_flux.F90. One frozen dataclass holds the full
+prognostic pytree; tracers are a name->array dict (registry-driven) instead of
+the reference's packed `trcrn(:,:,ntrcr,:,:)` + trcr_depend tables — transport
+walks the registry to apply the same dependency semantics
+(ice_transport_driver.F90:47-51).
+
+Array layout: grid dims last, (..., ny, nx); categories lead, (ncat, ny, nx);
+vertical layers between, (ncat, nlyr, ny, nx) — keeping the minor axes on the
+TPU lanes/sublanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as cst
+
+# Tracer dependency kinds (reference trcr_depend values):
+DEP_AICE = 0    # tracer carried per unit ice area fraction
+DEP_VICE = 1    # per unit ice volume
+DEP_VSNO = 2    # per unit snow volume
+# pond tracers depend on apnd (hpnd, ipnd) -> handled via parent chain
+
+
+@dataclass(frozen=True)
+class TracerSpec:
+    name: str
+    depend: int               # DEP_AICE / DEP_VICE / DEP_VSNO
+    nlayers: int = 0          # 0 => (ncat, ny, nx); >0 => (ncat, nlayers, ny, nx)
+    parent: str | None = None  # e.g. hpnd/ipnd ride on apnd
+
+
+def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
+    """Build the active tracer table from the config
+    (reference: count_tracers, shared/ice_init_column.F90)."""
+    d, t = cfg.domain, cfg.tracers
+    specs = [
+        TracerSpec("Tsfcn", DEP_AICE),                 # surface temperature (C)
+        TracerSpec("qice", DEP_VICE, d.nilyr),         # ice enthalpy (J/m^3)
+        TracerSpec("sice", DEP_VICE, d.nilyr),         # bulk salinity (psu)
+        TracerSpec("qsno", DEP_VSNO, d.nslyr),         # snow enthalpy (J/m^3)
+    ]
+    if t.tr_iage:
+        specs.append(TracerSpec("iage", DEP_VICE))     # volume-weighted age (s)
+    if t.tr_FY:
+        specs.append(TracerSpec("FY", DEP_AICE))       # first-year area frac
+    if t.tr_lvl:
+        specs.append(TracerSpec("alvl", DEP_AICE))     # level-ice area frac
+        specs.append(TracerSpec("vlvl", DEP_VICE))     # level-ice volume frac
+    if t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl:
+        specs.append(TracerSpec("apnd", DEP_AICE))     # pond area fraction
+        specs.append(TracerSpec("hpnd", DEP_AICE, parent="apnd"))
+        specs.append(TracerSpec("ipnd", DEP_AICE, parent="apnd"))  # lid depth
+    if t.tr_snow:
+        for nm in ("smice", "smliq", "rhos_cmp", "rsnw"):
+            specs.append(TracerSpec(nm, DEP_VSNO, d.nslyr))
+    if t.tr_fsd:
+        specs.append(TracerSpec("fsd", DEP_AICE, d.nfsd))
+    if t.tr_iso and d.n_iso:
+        specs.append(TracerSpec("isosno", DEP_VSNO, d.n_iso))
+        specs.append(TracerSpec("isoice", DEP_VICE, d.n_iso))
+    if t.tr_aero and d.n_aero:
+        specs.append(TracerSpec("aerosno", DEP_VSNO, 2 * d.n_aero))
+        specs.append(TracerSpec("aeroice", DEP_VICE, 2 * d.n_aero))
+    return tuple(specs)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class State:
+    """Full prognostic state."""
+
+    # ITD state (ncat, ny, nx)
+    aicen: jnp.ndarray         # fractional area of ice per category
+    vicen: jnp.ndarray         # ice volume per unit area (m)
+    vsnon: jnp.ndarray         # snow volume per unit area (m)
+    # tracers: name -> (ncat[, nl], ny, nx)
+    trcrn: Dict[str, jnp.ndarray]
+    # dynamics (ny, nx)
+    uvel: jnp.ndarray          # B-grid ice velocity, x (m/s)
+    vvel: jnp.ndarray
+    uvelE: jnp.ndarray         # C-grid east-face u
+    vvelE: jnp.ndarray
+    uvelN: jnp.ndarray         # C-grid north-face v
+    vvelN: jnp.ndarray
+    # internal stress tensor state at 4 corners (B-grid; 4, ny, nx)
+    stressp: jnp.ndarray       # sigma11+sigma22 at NE,NW,SW,SE
+    stressm: jnp.ndarray       # sigma11-sigma22
+    stress12: jnp.ndarray      # sigma12
+    # ocean-coupling scalar state carried between steps
+    sst: jnp.ndarray           # sea surface temperature (C)
+    frzmlt: jnp.ndarray        # freezing/melting potential (W/m^2)
+    # dynamics mask memory (iceUmask persistence, ice_dyn_shared dyn_prep1)
+    iceUmask: jnp.ndarray
+
+    # -- aggregates ----------------------------------------------------------
+    @property
+    def aice(self) -> jnp.ndarray:
+        return jnp.sum(self.aicen, axis=0)
+
+    @property
+    def vice(self) -> jnp.ndarray:
+        return jnp.sum(self.vicen, axis=0)
+
+    @property
+    def vsno(self) -> jnp.ndarray:
+        return jnp.sum(self.vsnon, axis=0)
+
+    @property
+    def aice0(self) -> jnp.ndarray:
+        return jnp.clip(1.0 - self.aice, 0.0, 1.0)
+
+    def replace(self, **kw) -> "State":
+        return dataclasses.replace(self, **kw)
+
+
+def zeros_state(cfg, grid) -> State:
+    ny, nx = grid.ny_global, grid.nx_global
+    ncat = cfg.domain.ncat
+    dt = cfg.np_dtype
+    z2 = lambda: jnp.zeros((ny, nx), dt)
+    zc = lambda: jnp.zeros((ncat, ny, nx), dt)
+    trcrn = {}
+    for spec in tracer_registry(cfg):
+        if spec.nlayers:
+            trcrn[spec.name] = jnp.zeros((ncat, spec.nlayers, ny, nx), dt)
+        else:
+            trcrn[spec.name] = jnp.zeros((ncat, ny, nx), dt)
+    return State(
+        aicen=zc(), vicen=zc(), vsnon=zc(), trcrn=trcrn,
+        uvel=z2(), vvel=z2(), uvelE=z2(), vvelE=z2(), uvelN=z2(), vvelN=z2(),
+        stressp=jnp.zeros((4, ny, nx), dt), stressm=jnp.zeros((4, ny, nx), dt),
+        stress12=jnp.zeros((4, ny, nx), dt),
+        sst=z2(), frzmlt=z2(), iceUmask=jnp.zeros((ny, nx), jnp.bool_),
+    )

@@ -1,0 +1,22 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set platform env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when the TPU tunnel env (axon) is set
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices8():
+    return jax.devices()
