@@ -49,8 +49,8 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
     efrz = jnp.maximum(frzmlt, 0.0) * dt
     # enthalpy of new frazil ice (J/m^3) at Tf with reduced salinity
     salin = bl99_salinity(nilyr)
-    Tmn = melting_temps(salin)
-    qfrz = enthalpy_ice(jnp.minimum(Tf, Tmn.mean() - 0.5), Tmn.mean())
+    Tm_mean = float(melting_temps(salin).mean())
+    qfrz = enthalpy_ice(jnp.minimum(Tf, Tm_mean - 0.5), Tm_mean)
     # volume of new ice per unit cell area
     vfrz = efrz / jnp.maximum(-qfrz, 1.0)
 

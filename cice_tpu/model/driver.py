@@ -1,0 +1,141 @@
+"""Model driver: initialization, run loop, finalize.
+
+TPU-native analogue of cicecore/drivers/standalone/cice/ (CICE.F90:30-57
+Initialize/Run/Finalize; CICE_InitMod.F90:62 `cice_init`; CICE_RunMod.F90:46
+`CICE_Run`). One `Model` object owns config, grid, static tables, and the
+prognostic state; `Model.step()` advances one coupled timestep through the
+jitted `model_step`.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+from ..calendar import Calendar
+from ..columns import itd as itd_mod
+from ..columns.ocean import freezing_temperature
+from ..columns.thermo_vertical import (bl99_salinity, enthalpy_ice,
+                                       enthalpy_snow, melting_temps)
+from ..core.grid import Grid, make_grid
+from .flux import Forcing, zeros_forcing
+from .forcing import get_forcing
+from .state import State, tracer_registry, zeros_state
+from .step import ModelStatic, model_step
+
+
+def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
+    """Initial ice distribution (reference set_state_var ice_init.F90:3266,
+    ice_ic='default'): ice where the surface would freeze, parabolic ITD."""
+    ncat = cfg.domain.ncat
+    nilyr, nslyr = cfg.domain.nilyr, cfg.domain.nslyr
+    dtp = state.aicen.dtype
+    hin_max = itd_mod.category_bounds(ncat, cfg.grid.kcatbound, nilyr,
+                                      cfg.thermo.kitd)
+    ainit, hinit = itd_mod.initial_itd_profile(ncat, hin_max)
+
+    # ice where latitude is poleward of ~60deg (edge_init defaults) over ocean
+    lat = np.asarray(grid.TLAT) * cst.rad_to_deg
+    tmask = np.asarray(grid.tmask)
+    icemask = tmask & ((lat > 60.0) | (lat < -60.0))
+    icemask_j = jnp.asarray(icemask)
+
+    salin = bl99_salinity(nilyr)
+    Tmlt = melting_temps(salin)
+
+    aicen = []
+    vicen = []
+    vsnon = []
+    Tsfc0 = jnp.where(icemask_j, -5.0, 0.0).astype(dtp)
+    trcrn = dict(state.trcrn)
+    for n in range(ncat):
+        a = jnp.where(icemask_j, float(ainit[n]), 0.0).astype(dtp)
+        aicen.append(a)
+        vicen.append(a * float(hinit[n]))
+        vsnon.append(a * float(min(0.2, 0.2 * hinit[n])))  # initial snow depth
+    aicen = jnp.stack(aicen)
+    vicen = jnp.stack(vicen)
+    vsnon = jnp.stack(vsnon)
+
+    # linear initial temperature profile between Tsfc and Tf -> enthalpies
+    qice = []
+    for k in range(nilyr):
+        zf = (k + 0.5) / nilyr
+        Tlay = Tsfc0 * (1.0 - zf) + Tf * zf
+        Tlay = jnp.minimum(Tlay, float(Tmlt[k]) - 0.1)
+        qice.append(enthalpy_ice(Tlay, float(Tmlt[k])))
+    qice = jnp.stack(qice)                       # (nilyr, ny, nx)
+    qsno = enthalpy_snow(jnp.minimum(Tsfc0, -1.0))
+
+    trcrn["Tsfcn"] = jnp.broadcast_to(Tsfc0, (ncat,) + grid.shape).astype(dtp)
+    trcrn["qice"] = jnp.broadcast_to(qice[None], (ncat, nilyr) + grid.shape).astype(dtp)
+    trcrn["qsno"] = jnp.broadcast_to(qsno[None, None],
+                                     (ncat, nslyr) + grid.shape).astype(dtp)
+    trcrn["sice"] = jnp.broadcast_to(
+        jnp.asarray(salin, dtp)[None, :, None, None],
+        (ncat, nilyr) + grid.shape)
+    if "alvl" in trcrn:
+        trcrn["alvl"] = jnp.where(aicen > 0, 1.0, 0.0).astype(dtp)
+        trcrn["vlvl"] = jnp.where(vicen > 0, 1.0, 0.0).astype(dtp)
+    if "FY" in trcrn:
+        trcrn["FY"] = jnp.where(aicen > 0, 1.0, 0.0).astype(dtp)
+
+    sst = jnp.where(icemask_j, Tf, jnp.maximum(Tf, -1.0)).astype(dtp)
+    return state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
+                         sst=sst)
+
+
+class Model:
+    """Standalone model instance (cice_init + CICE_Run equivalents)."""
+
+    def __init__(self, cfg, grid: Optional[Grid] = None):
+        self.cfg = cfg
+        self.grid = grid if grid is not None else make_grid(cfg)
+        self.static = ModelStatic.build(cfg)
+        self.calendar = Calendar(
+            calendar_type=cfg.setup.calendar_type, year=cfg.setup.year_init,
+            month=cfg.setup.month_init, day=cfg.setup.day_init,
+            sec=cfg.setup.sec_init, year_init=cfg.setup.year_init)
+        self.forcing = zeros_forcing(self.grid.shape, cfg.np_dtype)
+        from .forcing import default_ocn
+        self.forcing = default_ocn(self.grid, cfg, self.forcing)
+        self.state = zeros_state(cfg, self.grid)
+        if cfg.setup.ice_ic == "default":
+            self.state = set_state_var(cfg, self.grid, self.state,
+                                       self.forcing.Tf)
+        self._step_jit = jax.jit(partial(model_step, self.static, self.grid),
+                                 static_argnames=("dt",))
+        self.timers: dict = {}
+        self.flux = None
+
+    def step(self):
+        t0 = time.perf_counter()
+        fc = get_forcing(self.cfg, self.grid,
+                         float(self.calendar.elapsed_seconds),
+                         self.calendar.fyday, self.state.aice, self.forcing)
+        self.forcing = fc
+        self.timers["Forcing"] = self.timers.get("Forcing", 0.0) + \
+            time.perf_counter() - t0
+        t0 = time.perf_counter()
+        self.state, self.flux = self._step_jit(self.state, fc,
+                                               dt=self.cfg.setup.dt)
+        jax.block_until_ready(self.state.aicen)
+        self.timers["TimeLoop"] = self.timers.get("TimeLoop", 0.0) + \
+            time.perf_counter() - t0
+        self.calendar = self.calendar.advance(self.cfg.setup.dt)
+
+    def run(self, nsteps: Optional[int] = None):
+        from ..calendar import npt_to_steps
+        n = nsteps if nsteps is not None else npt_to_steps(
+            self.cfg.setup.npt, self.cfg.setup.npt_unit, self.cfg.setup.dt,
+            self.calendar)
+        for _ in range(n):
+            self.step()
+        return self.state

@@ -1,0 +1,113 @@
+"""Forcing and flux fields exchanged with atmosphere and ocean.
+
+TPU-native analogue of cicecore/cicedyn/general/ice_flux.F90 (~250 arrays):
+two frozen dataclass pytrees — `Forcing` (inputs read/derived each step) and
+`FluxOut` (accumulated outputs toward the coupler/diagnostics). Everything is
+(ny, nx) dense.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as cst
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Forcing:
+    """Per-step atmosphere & ocean forcing state (T grid unless noted)."""
+    # atmosphere
+    uatm: jnp.ndarray      # wind velocity (m/s)
+    vatm: jnp.ndarray
+    wind: jnp.ndarray      # wind speed (m/s)
+    strax: jnp.ndarray     # wind stress on ice if calc_strair=False (N/m^2)
+    stray: jnp.ndarray
+    potT: jnp.ndarray      # air potential temperature (K)
+    Tair: jnp.ndarray      # air temperature (K)
+    Qa: jnp.ndarray        # specific humidity (kg/kg)
+    rhoa: jnp.ndarray      # air density (kg/m^3)
+    flw: jnp.ndarray       # incoming longwave (W/m^2)
+    swvdr: jnp.ndarray     # incoming shortwave, visible direct (W/m^2)
+    swvdf: jnp.ndarray
+    swidr: jnp.ndarray
+    swidf: jnp.ndarray
+    frain: jnp.ndarray     # rain rate (kg/m^2/s)
+    fsnow: jnp.ndarray     # snow rate (kg/m^2/s)
+    zlvl: jnp.ndarray      # atm level height (m)
+    # ocean
+    uocn: jnp.ndarray      # ocean current (m/s)
+    vocn: jnp.ndarray
+    sss: jnp.ndarray       # sea surface salinity (psu)
+    sst_data: jnp.ndarray  # climatological/restoring SST (degC)
+    Tf: jnp.ndarray        # freezing temperature (degC)
+    qdp: jnp.ndarray       # deep ocean heat flux (W/m^2)
+    hmix: jnp.ndarray      # mixed layer depth (m)
+    ss_tltx: jnp.ndarray   # sea surface slope (m/m)
+    ss_tlty: jnp.ndarray
+
+    def replace(self, **kw) -> "Forcing":
+        return dataclasses.replace(self, **kw)
+
+
+def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
+    z = lambda v=0.0: jnp.full(shape, v, dtype)
+    return Forcing(
+        uatm=z(), vatm=z(), wind=z(), strax=z(), stray=z(),
+        potT=z(253.0), Tair=z(253.0), Qa=z(0.0006), rhoa=z(cst.rhoa_ref),
+        flw=z(180.0), swvdr=z(), swvdf=z(), swidr=z(), swidf=z(),
+        frain=z(), fsnow=z(), zlvl=z(10.0),
+        uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
+        Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FluxOut:
+    """Cell-mean output fluxes & diagnostics accumulated through a step
+    (subset of ice_flux.F90 coupler fields + history sources)."""
+    # atm
+    fsens: jnp.ndarray
+    flat: jnp.ndarray
+    flwout: jnp.ndarray
+    evap: jnp.ndarray
+    fswabs: jnp.ndarray
+    strairx: jnp.ndarray   # wind stress on ice at U (N/m^2)
+    strairy: jnp.ndarray
+    # ocn
+    fhocn: jnp.ndarray     # net heat to ocean (W/m^2)
+    fresh: jnp.ndarray     # fresh water to ocean (kg/m^2/s)
+    fsalt: jnp.ndarray     # salt to ocean (kg/m^2/s)
+    fswthru: jnp.ndarray   # SW through ice to ocean (W/m^2)
+    strocnx: jnp.ndarray   # ice-ocean stress at U (N/m^2)
+    strocny: jnp.ndarray
+    # mass-budget diagnostics (m/step accumulated)
+    meltt: jnp.ndarray
+    meltb: jnp.ndarray
+    melts: jnp.ndarray
+    meltl: jnp.ndarray
+    congel: jnp.ndarray
+    frazil: jnp.ndarray
+    snoice: jnp.ndarray
+    # radiation
+    alvdr: jnp.ndarray
+    alvdf: jnp.ndarray
+    alidr: jnp.ndarray
+    alidf: jnp.ndarray
+    albice: jnp.ndarray
+    fsurf: jnp.ndarray     # net surface flux diagnostic
+    fcondtop: jnp.ndarray
+
+    def replace(self, **kw) -> "FluxOut":
+        return dataclasses.replace(self, **kw)
+
+
+def zeros_fluxout(shape, dtype=jnp.float32) -> FluxOut:
+    z = lambda: jnp.zeros(shape, dtype)
+    names = [f.name for f in dataclasses.fields(FluxOut)]
+    return FluxOut(**{n: z() for n in names})

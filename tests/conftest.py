@@ -12,7 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the remote-TPU backend and sets
+# jax_platforms="axon,cpu" — override AFTER import so unit tests run on the
+# local CPU backend (fast, deterministic), not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import pytest  # noqa: E402
 
