@@ -79,7 +79,7 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
         elif spec.name == "qice":
             trc[spec.name][0] = t * wv_old[None] + qfrz * wv_new[None]
         elif spec.name == "sice":
-            prof = jnp.asarray(salin)[:, None, None] * jnp.ones_like(t)
+            prof = jnp.asarray(salin, t.dtype)[:, None, None] * jnp.ones_like(t)
             trc[spec.name][0] = t * wv_old[None] + prof * wv_new[None]
         elif spec.name == "FY":
             trc[spec.name][0] = t * wa_old + 1.0 * wa_new

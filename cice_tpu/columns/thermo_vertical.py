@@ -139,12 +139,16 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
                         hilyr, hslyr, Tbot, fswsfc, Iswabs,
                         shcoef, lhcoef, potT, Qa, rhoa, flw,
                         conduct="bubbly", nit=20):
-    """Implicit BL99 conduction solve for one category, dense over the grid.
+    """Implicit BL99 conduction solve, dense over any leading batch dims
+    (the category axis rides along as a broadcast dim — no vmap needed).
 
     qsno/qice: lists of layer enthalpies (J/m^3); hilyr/hslyr layer
     thicknesses (m); Tbot: bottom boundary temperature (degC, = Tf).
+    The Picard iteration is a `lax.fori_loop` (compile the body once) with
+    convergence by fixed count — jit/TPU-stable.
     Returns updated temperatures/enthalpies and flux diagnostics.
     """
+    import jax
     from .atmo import surface_fluxes
 
     snow = hslyr > cst.puny  # snow present mask (hs > puny => snow layers live)
@@ -156,10 +160,13 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
 
     einit = sum(q * hslyr for q in qsno) + sum(q * hilyr for q in qice)
 
-    Tsn = list(Tsn0)
-    Tin = list(Tin0)
+    Tsn0_s = jnp.stack(Tsn0)
+    Tin0_s = jnp.stack(Tin0)
 
-    for _ in range(nit):
+    def body(_, carry):
+        Tsf, Tsn_s, Tin_s = carry
+        Tsn = [Tsn_s[k] for k in range(nslyr)]
+        Tin = [Tin_s[k] for k in range(nilyr)]
         # conductivities at layer interfaces (kh = 2 k_a k_b/(k_a h_b + k_b h_a))
         ki = [conductivity_ice(salin[k], Tin[k], conduct) for k in range(nilyr)]
         ks = cst.ksno
@@ -258,6 +265,12 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         # physical bounds
         Tsn = [jnp.clip(t, -100.0, 0.0) for t in Tsn]
         Tin = [jnp.clip(Tin[k], -100.0, Tm[k]) for k in range(nilyr)]
+        return (Tsf, jnp.stack(Tsn), jnp.stack(Tin))
+
+    Tsf, Tsn_s, Tin_s = jax.lax.fori_loop(0, nit, body,
+                                          (Tsf, Tsn0_s, Tin0_s))
+    Tsn = [Tsn_s[k] for k in range(nslyr)]
+    Tin = [Tin_s[k] for k in range(nilyr)]
 
     # final fluxes at converged temperatures
     fsurf, dfsurf, fsens, flat, flwout = surface_fluxes(

@@ -193,7 +193,7 @@ def evp_solve(grid: Grid, p: EvpParams, prep: DynPrep, strength,
                                        prep, p, uocn, vocn)
         return EvpState(unew, vnew, sp, sm, s12)
 
-    final = jax.lax.fori_loop(0, p.ndte, body, init, unroll=2)
+    final = jax.lax.fori_loop(0, p.ndte, body, init)
 
     # final force diagnostics + seabed stress at the converged velocity
     sp, sm, s12, strintx, strinty = stress_update(

@@ -1,0 +1,180 @@
+"""History output: runtime field registry, multi-stream accumulation, writers.
+
+TPU-native analogue of cicecore/cicedyn/analysis/ice_history.F90 (4069 lines:
+`init_hist` field registration honoring icefields_nml flags, `accum_hist`
+per-step accumulation) + ice_history_shared.F90 (`ice_hist_field` registry
+:83, up to `max_nstrm=5` streams with independent frequencies :101-133,
+`define_hist_field`:918, `construct_filename`:780) and the
+io_netcdf/ice_history_write.F90 backend.
+
+Design: a `HistoryField` names a diagnostic + an extractor over
+(state, flux, grid); `History` accumulates running sums per stream on device
+(one stacked array per stream — a single fused add per step) and writes
+NetCDF-3 classic files via scipy.io (no netCDF4 dependency in the image) or
+raw .npz. Averaging state round-trips through restarts (history-restart
+contract, SURVEY §5.4) via get_restart_payload/set_restart_payload.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as cst
+
+
+@dataclass(frozen=True)
+class HistoryField:
+    name: str
+    units: str
+    long_name: str
+    extract: Callable          # (state, flux, grid) -> (ny, nx) array
+    cell_mask: bool = True     # apply ocean mask on write
+
+
+def _f(name, units, long_name, fn):
+    return HistoryField(name, units, long_name, fn)
+
+
+def default_fields() -> List[HistoryField]:
+    """The core 2-D field set (subset of the reference's ~400 registrations;
+    names follow ice_history's f_* conventions so downstream tooling maps)."""
+    return [
+        _f("aice", "1", "ice area (aggregate)", lambda s, fl, g: s.aice),
+        _f("hi", "m", "grid cell mean ice thickness", lambda s, fl, g: s.vice),
+        _f("hs", "m", "grid cell mean snow thickness", lambda s, fl, g: s.vsno),
+        _f("Tsfc", "C", "snow/ice surface temperature",
+           lambda s, fl, g: (s.trcrn["Tsfcn"] * s.aicen).sum(0) /
+           jnp.maximum(s.aice, cst.puny)),
+        _f("uvel", "m/s", "ice velocity (x)", lambda s, fl, g: s.uvel),
+        _f("vvel", "m/s", "ice velocity (y)", lambda s, fl, g: s.vvel),
+        _f("sst", "C", "sea surface temperature", lambda s, fl, g: s.sst),
+        _f("frzmlt", "W/m^2", "freeze/melt potential", lambda s, fl, g: s.frzmlt),
+        _f("fsens", "W/m^2", "sensible heat flux", lambda s, fl, g: fl.fsens),
+        _f("flat", "W/m^2", "latent heat flux", lambda s, fl, g: fl.flat),
+        _f("flwout", "W/m^2", "outgoing longwave", lambda s, fl, g: fl.flwout),
+        _f("fswabs", "W/m^2", "absorbed shortwave", lambda s, fl, g: fl.fswabs),
+        _f("fswthru", "W/m^2", "SW through ice to ocean", lambda s, fl, g: fl.fswthru),
+        _f("fhocn", "W/m^2", "heat flux to ocean", lambda s, fl, g: fl.fhocn),
+        _f("fresh", "kg/m^2/s", "fresh water flux to ocean", lambda s, fl, g: fl.fresh),
+        _f("fsalt", "kg/m^2/s", "salt flux to ocean", lambda s, fl, g: fl.fsalt),
+        _f("meltt", "m/step", "top ice melt", lambda s, fl, g: fl.meltt),
+        _f("meltb", "m/step", "bottom ice melt", lambda s, fl, g: fl.meltb),
+        _f("melts", "m/step", "snow melt", lambda s, fl, g: fl.melts),
+        _f("meltl", "m/step", "lateral ice melt", lambda s, fl, g: fl.meltl),
+        _f("congel", "m/step", "congelation growth", lambda s, fl, g: fl.congel),
+        _f("frazil", "m/step", "frazil growth", lambda s, fl, g: fl.frazil),
+        _f("snoice", "m/step", "snow-ice formation", lambda s, fl, g: fl.snoice),
+        _f("strairx", "N/m^2", "atm/ice stress (x)", lambda s, fl, g: fl.strairx),
+        _f("strocnx", "N/m^2", "ocean/ice stress (x)", lambda s, fl, g: fl.strocnx),
+        _f("albsni", "1", "snow/ice broadband albedo",
+           lambda s, fl, g: (fl.alvdr * cst.awtvdr + fl.alidr * cst.awtidr +
+                             fl.alvdf * cst.awtvdf + fl.alidf * cst.awtidf)),
+    ]
+
+
+@dataclass
+class Stream:
+    freq: str                  # 'y' 'm' 'd' 'h' '1' 'x'
+    freq_n: int = 1
+    avg: bool = True           # time-average vs instantaneous
+    suffix: str = "h"
+    nacc: int = 0
+    acc: Optional[jnp.ndarray] = None   # (nfields, ny, nx) running sum
+
+
+class History:
+    """Multi-stream accumulating history writer."""
+
+    def __init__(self, cfg, grid, fields: Optional[List[HistoryField]] = None,
+                 directory: Optional[str] = None):
+        self.cfg = cfg
+        self.grid = grid
+        self.fields = fields if fields is not None else default_fields()
+        self.dir = directory or cfg.setup.history_dir
+        s = cfg.setup
+        self.streams = [Stream(freq=f, freq_n=n, avg=s.hist_avg)
+                        for f, n in zip(s.histfreq, s.histfreq_n) if f != "x"]
+
+    # -- per-step accumulation (accum_hist, ice_history.F90:2201) ----------
+    def accum(self, state, flux):
+        snap = jnp.stack([f.extract(state, flux, self.grid)
+                          for f in self.fields])
+        for st in self.streams:
+            if st.avg:
+                st.acc = snap if st.acc is None else st.acc + snap
+                st.nacc += 1
+            else:
+                st.acc = snap
+                st.nacc = 1
+
+    # -- write when calendar says so ---------------------------------------
+    def maybe_write(self, calendar, fmt: str = "nc"):
+        written = []
+        for st in self.streams:
+            if st.nacc and calendar.is_boundary(st.freq, st.freq_n,
+                                                self.cfg.setup.dt):
+                written.append(self.write_stream(st, calendar, fmt))
+                st.acc = None
+                st.nacc = 0
+        return written
+
+    def write_stream(self, st: Stream, calendar, fmt: str = "nc") -> str:
+        os.makedirs(self.dir, exist_ok=True)
+        data = np.asarray(st.acc) / max(st.nacc, 1)
+        mask = np.asarray(self.grid.hm) > 0.5
+        base = f"{self.cfg.setup.history_file}.{st.freq}.{calendar.timestamp()}"
+        if fmt == "npz":
+            path = os.path.join(self.dir, base + ".npz")
+            np.savez(path, **{f.name: data[i]
+                              for i, f in enumerate(self.fields)})
+            return path
+        path = os.path.join(self.dir, base + ".nc")
+        self._write_netcdf(path, data, mask, calendar)
+        return path
+
+    def _write_netcdf(self, path, data, mask, calendar):
+        """NetCDF-3 classic via scipy (reference io_netcdf ice_history_write
+        defines dims/coords then per-field variables; same layout here)."""
+        from scipy.io import netcdf_file
+        ny, nx = self.grid.shape
+        with netcdf_file(path, "w") as f:
+            f.createDimension("time", 1)
+            f.createDimension("nj", ny)
+            f.createDimension("ni", nx)
+            t = f.createVariable("time", "f8", ("time",))
+            t[:] = calendar.elapsed_days
+            t.units = b"days since init"
+            for nm, arr in (("TLAT", self.grid.TLAT), ("TLON", self.grid.TLON)):
+                v = f.createVariable(nm, "f4", ("nj", "ni"))
+                v[:] = np.asarray(arr) * cst.rad_to_deg
+                v.units = b"degrees"
+            for i, fld in enumerate(self.fields):
+                v = f.createVariable(fld.name, "f4", ("time", "nj", "ni"))
+                out = data[i]
+                if fld.cell_mask:
+                    out = np.where(mask, out, np.float32(cst.spval))
+                v[:] = out[None].astype(np.float32)
+                v.units = fld.units.encode()
+                v.long_name = fld.long_name.encode()
+                v.missing_value = np.float32(cst.spval)
+
+    # -- history-restart payload (exact averaging across restarts) ---------
+    def get_restart_payload(self) -> dict:
+        out = {}
+        for i, st in enumerate(self.streams):
+            out[f"hist_nacc_{i}"] = np.asarray(st.nacc)
+            if st.acc is not None:
+                out[f"hist_acc_{i}"] = np.asarray(st.acc)
+        return out
+
+    def set_restart_payload(self, payload: dict):
+        for i, st in enumerate(self.streams):
+            key = f"hist_acc_{i}"
+            if key in payload:
+                st.acc = jnp.asarray(payload[key])
+                st.nacc = int(payload[f"hist_nacc_{i}"])

@@ -95,7 +95,8 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
 class Model:
     """Standalone model instance (cice_init + CICE_Run equivalents)."""
 
-    def __init__(self, cfg, grid: Optional[Grid] = None):
+    def __init__(self, cfg, grid: Optional[Grid] = None,
+                 enable_history: bool = False):
         self.cfg = cfg
         self.grid = grid if grid is not None else make_grid(cfg)
         self.static = ModelStatic.build(cfg)
@@ -107,13 +108,22 @@ class Model:
         from .forcing import default_ocn
         self.forcing = default_ocn(self.grid, cfg, self.forcing)
         self.state = zeros_state(cfg, self.grid)
-        if cfg.setup.ice_ic == "default":
+        if cfg.setup.runtype == "continue":
+            from ..io.restart import read_restart
+            self.state, self.calendar = read_restart(cfg.setup.pointer_file,
+                                                     self.state)
+        elif cfg.setup.ice_ic == "default":
             self.state = set_state_var(cfg, self.grid, self.state,
                                        self.forcing.Tf)
         self._step_jit = jax.jit(partial(model_step, self.static, self.grid),
                                  static_argnames=("dt",))
         self.timers: dict = {}
         self.flux = None
+        self.history = None
+        if enable_history:
+            from ..io.history import History
+            self.history = History(cfg, self.grid)
+        self.diag_log: list = []
 
     def step(self):
         t0 = time.perf_counter()
@@ -131,6 +141,29 @@ class Model:
             time.perf_counter() - t0
         self.calendar = self.calendar.advance(self.cfg.setup.dt)
 
+        # analysis / IO phases (reference ice_step tail, CICE_RunMod:375-420)
+        t0 = time.perf_counter()
+        if self.history is not None:
+            self.history.accum(self.state, self.flux)
+            self.history.maybe_write(self.calendar)
+        if self.cfg.setup.diagfreq and \
+                self.calendar.istep % self.cfg.setup.diagfreq == 0:
+            from .diagnostics import runtime_diags
+            d = runtime_diags(self.grid, self.state)
+            self.diag_log.append({k: float(v) for k, v in d.items()})
+        if self.calendar.is_boundary(self.cfg.setup.dumpfreq,
+                                     self.cfg.setup.dumpfreq_n,
+                                     self.cfg.setup.dt):
+            self.write_restart()
+        self.timers["History"] = self.timers.get("History", 0.0) + \
+            time.perf_counter() - t0
+
+    def write_restart(self):
+        from ..io.restart import write_restart
+        return write_restart(self.cfg.setup.restart_dir, self.state,
+                             self.calendar, self.cfg.setup.pointer_file,
+                             prefix=self.cfg.setup.restart_file)
+
     def run(self, nsteps: Optional[int] = None):
         from ..calendar import npt_to_steps
         n = nsteps if nsteps is not None else npt_to_steps(
@@ -138,4 +171,6 @@ class Model:
             self.calendar)
         for _ in range(n):
             self.step()
+        if self.cfg.setup.dump_last:
+            self.write_restart()
         return self.state

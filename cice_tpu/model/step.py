@@ -62,13 +62,14 @@ class ModelStatic:
 
 def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                 dt: float):
-    """Vertical thermo for every category (reference step_therm1:224 calling
-    icepack_step_therm1 per point; here dense per category)."""
+    """Vertical thermo for ALL categories in one dense pass: the category
+    axis is a leading broadcast dim of every (ncat, ny, nx) array, so the
+    whole solve traces once (reference step_therm1:224 loops blocks and
+    calls icepack_step_therm1 per point per category — SURVEY §7.1)."""
     cfg = ms.cfg
     ncat = cfg.domain.ncat
     nilyr = cfg.domain.nilyr
     nslyr = cfg.domain.nslyr
-    dtp = state.aicen.dtype
 
     salin = bl99_salinity(nilyr)
     Tmlt = melting_temps(salin)
@@ -83,135 +84,110 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     fbot = cst.cprho * cst.ch_mixed * ustar * (fc.Tf - state.sst)
     fbot = jnp.minimum(fbot, 0.0)                       # melting only
     fbot = jnp.maximum(fbot, -FBOT_MAX)
-    Tbot = fc.Tf
+    Tbot = fc.Tf                                        # (ny, nx), broadcasts
 
     trcrn = dict(state.trcrn)
-    Tsf_all = trcrn["Tsfcn"]
-    qice_all = trcrn["qice"]
+    Tsf_all = trcrn["Tsfcn"]          # (ncat, ny, nx)
+    qice_all = trcrn["qice"]          # (ncat, nilyr, ny, nx)
     qsno_all = trcrn["qsno"]
 
-    agg = dict(fsens=0.0, flat=0.0, flwout=0.0, evap=0.0, fswabs=0.0,
-               fhocn=0.0, fresh=0.0, fsalt=0.0, fswthru=0.0,
-               meltt=0.0, meltb=0.0, melts=0.0, congel=0.0, snoice=0.0,
-               alvdr=0.0, alvdf=0.0, alidr=0.0, alidf=0.0, fsurf=0.0,
-               fcondtop=0.0)
+    an, vin, vsn = state.aicen, state.vicen, state.vsnon
+    mask = an > cst.puny
+    am = jnp.maximum(an, cst.puny)
+    hin = jnp.where(mask, vin / am, 0.0)
+    hsn = jnp.where(mask, vsn / am, 0.0)
+    hicen_old = hin
+    Tsf = jnp.where(mask, Tsf_all, 0.0)
+    qice = [jnp.where(mask, qice_all[:, k], -cst.rhoi * cst.Lfresh)
+            for k in range(nilyr)]
+    qsno = [jnp.where(mask, qsno_all[:, k], -cst.rhos * cst.Lfresh)
+            for k in range(nslyr)]
 
-    a_out, v_out, s_out = [], [], []
-    Tsf_out, qi_out, qs_out = [], [], []
-    hicen_old = []
+    # shortwave partition (all categories at once)
+    sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
+                         fc.swidf, cfg.shortwave, nilyr)
 
-    for n in range(ncat):
-        an = state.aicen[n]
-        vin = state.vicen[n]
-        vsn = state.vsnon[n]
-        mask = an > cst.puny
-        am = jnp.maximum(an, cst.puny)
-        hin = jnp.where(mask, vin / am, 0.0)
-        hsn = jnp.where(mask, vsn / am, 0.0)
-        hicen_old.append(hin)
-        Tsf = jnp.where(mask, Tsf_all[n], 0.0)
-        qice = [jnp.where(mask, qice_all[n, k], -cst.rhoi * cst.Lfresh)
-                for k in range(nilyr)]
-        qsno = [jnp.where(mask, qsno_all[n, k], -cst.rhos * cst.Lfresh)
-                for k in range(nslyr)]
+    # turbulent transfer coefficients
+    if cfg.forcing.atmbndy == "constant":
+        co = atmo_boundary_const(Tsf, fc.uatm, fc.vatm, fc.wind, fc.rhoa, fc.Qa)
+    else:
+        co = atmo_boundary_layer(Tsf, fc.potT, fc.uatm, fc.vatm, fc.wind,
+                                 fc.zlvl, fc.Qa, fc.rhoa,
+                                 natmiter=cfg.forcing.natmiter)
 
-        # shortwave partition for this category
-        sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
-                             fc.swidf, cfg.shortwave, nilyr)
+    hin_solve = jnp.maximum(hin, cfg.thermo.hi_min)
+    hilyr = hin_solve / nilyr
+    hslyr = hsn / nslyr
+    Isw = [sw.Iswabs[:, k] for k in range(nilyr)]
 
-        # turbulent transfer coefficients
-        if cfg.forcing.atmbndy == "constant":
-            co = atmo_boundary_const(Tsf, fc.uatm, fc.vatm, fc.wind, fc.rhoa, fc.Qa)
-        else:
-            co = atmo_boundary_layer(Tsf, fc.potT, fc.uatm, fc.vatm, fc.wind,
-                                     fc.zlvl, fc.Qa, fc.rhoa,
-                                     natmiter=cfg.forcing.natmiter)
+    ts, qsno_new, qice_new = temperature_changes(
+        dt, nilyr, nslyr, Tsf=Tsf, qsno=qsno, qice=qice,
+        salin=[float(s) for s in salin], Tm=[float(t) for t in Tmlt],
+        hilyr=hilyr, hslyr=hslyr, Tbot=Tbot, fswsfc=sw.fswsfc,
+        Iswabs=Isw, shcoef=co.shcoef, lhcoef=co.lhcoef,
+        potT=fc.potT, Qa=fc.Qa, rhoa=fc.rhoa, flw=fc.flw,
+        conduct=cfg.thermo.conduct, nit=cfg.thermo.nit)
 
-        hin_solve = jnp.maximum(hin, cfg.thermo.hi_min)
-        hilyr = hin_solve / nilyr
-        hslyr = hsn / nslyr
-        Isw = [sw.Iswabs[k] for k in range(nilyr)]
+    th, dzi, dzs = thickness_changes(
+        dt, nilyr, nslyr, hin=hin_solve * jnp.where(mask, 1.0, 0.0),
+        hsn=hsn, qice=qice_new, qsno=qsno_new,
+        Tm=[float(t) for t in Tmlt], salin=[float(s) for s in salin],
+        Tbot=Tbot, fbot=fbot, fsurf=ts.fsurf, fcondtop=ts.fcondtop,
+        fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss)
 
-        ts, qsno_new, qice_new = temperature_changes(
-            dt, nilyr, nslyr, Tsf=Tsf, qsno=qsno, qice=qice,
-            salin=[float(s) for s in salin], Tm=[float(t) for t in Tmlt],
-            hilyr=hilyr, hslyr=hslyr, Tbot=Tbot, fswsfc=sw.fswsfc,
-            Iswabs=Isw, shcoef=co.shcoef, lhcoef=co.lhcoef,
-            potT=fc.potT, Qa=fc.Qa, rhoa=fc.rhoa, flw=fc.flw,
-            conduct=cfg.thermo.conduct, nit=cfg.thermo.nit)
+    # snowfall accumulation (step_therm1 snow addition)
+    dhs_snow = jnp.where(mask, fc.fsnow * dt / cst.rhos, 0.0)
+    hsn_new = th.hsn + dhs_snow
+    qsnow_new = -cst.rhos * (cst.Lfresh - cst.cp_ice *
+                             jnp.minimum(fc.Tair - cst.Tffresh, 0.0))
+    # falling snow joins the top snow layer enthalpy-weighted
+    qs_list = list(th.qsno)
+    den = dzs[0] + dhs_snow
+    qs_list[0] = jnp.where(den > cst.puny,
+                           (th.qsno[0] * dzs[0] + qsnow_new * dhs_snow) /
+                           jnp.maximum(den, cst.puny), th.qsno[0])
+    dzs0 = list(dzs)
+    dzs0[0] = den
 
-        th, dzi, dzs = thickness_changes(
-            dt, nilyr, nslyr, hin=hin_solve * jnp.where(mask, 1.0, 0.0),
-            hsn=hsn, qice=qice_new, qsno=qsno_new,
-            Tm=[float(t) for t in Tmlt], salin=[float(s) for s in salin],
-            Tbot=Tbot, fbot=fbot, fsurf=ts.fsurf, fcondtop=ts.fcondtop,
-            fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss)
+    # vertical remap to uniform layers
+    qice_r = adjust_enthalpy(dzi, th.qice, nilyr, th.hin)
+    qsno_r = adjust_enthalpy(dzs0, qs_list, nslyr, hsn_new)
 
-        # snowfall accumulation (step_therm1 snow addition)
-        dhs_snow = jnp.where(mask, fc.fsnow * dt / cst.rhos, 0.0)
-        hsn_new = th.hsn + dhs_snow
-        qsnow_new = -cst.rhos * (cst.Lfresh - cst.cp_ice *
-                                 jnp.minimum(fc.Tair - cst.Tffresh, 0.0))
-        # falling snow joins the top snow layer enthalpy-weighted
-        qs_list = list(th.qsno)
-        den = dzs[0] + dhs_snow
-        qs_list[0] = jnp.where(den > cst.puny,
-                               (th.qsno[0] * dzs[0] + qsnow_new * dhs_snow) /
-                               jnp.maximum(den, cst.puny), th.qsno[0])
-        dzs0 = list(dzs)
-        dzs0[0] = den
+    hin_f = jnp.where(mask, th.hin, 0.0)
+    hsn_f = jnp.where(mask, hsn_new, 0.0)
+    aicen_out = an
+    vicen_out = jnp.where(mask, hin_f * an, vin)
+    vsnon_out = jnp.where(mask, hsn_f * an, vsn)
+    trcrn["Tsfcn"] = jnp.where(mask, ts.Tsf, Tsf_all)
+    trcrn["qice"] = jnp.stack(
+        [jnp.where(mask, q, qice_all[:, k]) for k, q in enumerate(qice_r)],
+        axis=1)
+    trcrn["qsno"] = jnp.stack(
+        [jnp.where(mask, q, qsno_all[:, k]) for k, q in enumerate(qsno_r)],
+        axis=1)
+    if "iage" in trcrn:
+        trcrn["iage"] = trcrn["iage"] + dt
 
-        # vertical remap to uniform layers
-        qice_r = adjust_enthalpy(dzi, th.qice, nilyr, th.hin)
-        qsno_r = adjust_enthalpy(dzs0, qs_list, nslyr, hsn_new)
-
-        hin_f = jnp.where(mask, th.hin, 0.0)
-        hsn_f = jnp.where(mask, hsn_new, 0.0)
-        a_out.append(an)
-        v_out.append(jnp.where(mask, hin_f * an, vin))
-        s_out.append(jnp.where(mask, hsn_f * an, vsn))
-        Tsf_out.append(jnp.where(mask, ts.Tsf, Tsf_all[n]))
-        qi_out.append(jnp.stack([jnp.where(mask, q, qice_all[n, k])
-                                 for k, q in enumerate(qice_r)]))
-        qs_out.append(jnp.stack([jnp.where(mask, q, qsno_all[n, k])
-                                 for k, q in enumerate(qsno_r)]))
-
-        # aggregate cell-mean fluxes (weight: category area)
-        w = jnp.where(mask, an, 0.0)
-        agg["fsens"] += w * ts.fsens
-        agg["flat"] += w * ts.flat
-        agg["flwout"] += w * ts.flwout
-        agg["evap"] += w * th.evapn
-        agg["fswabs"] += w * (sw.fswsfc + sw.fswint + sw.fswthru)
-        agg["fhocn"] += w * th.fhocn
-        agg["fresh"] += w * th.freshn
-        agg["fsalt"] += w * th.fsaltn
-        agg["fswthru"] += w * sw.fswthru
-        agg["meltt"] += w * th.meltt
-        agg["meltb"] += w * th.meltb
-        agg["melts"] += w * th.melts
-        agg["congel"] += w * th.congel
-        agg["snoice"] += w * th.snoice
-        agg["alvdr"] += w * sw.alvdr
-        agg["alvdf"] += w * sw.alvdf
-        agg["alidr"] += w * sw.alidr
-        agg["alidf"] += w * sw.alidf
-        agg["fsurf"] += w * ts.fsurf
-        agg["fcondtop"] += w * ts.fcondtop
-
+    # aggregate cell-mean fluxes (weight: category area; sum over categories)
+    w = jnp.where(mask, an, 0.0)
+    ws = lambda x: jnp.sum(w * x, axis=0)
+    agg = dict(
+        fsens=ws(ts.fsens), flat=ws(ts.flat), flwout=ws(ts.flwout),
+        evap=ws(th.evapn),
+        fswabs=ws(sw.fswsfc + sw.fswint + sw.fswthru),
+        fhocn=ws(th.fhocn), fresh=ws(th.freshn), fsalt=ws(th.fsaltn),
+        fswthru=ws(sw.fswthru), meltt=ws(th.meltt), meltb=ws(th.meltb),
+        melts=ws(th.melts), congel=ws(th.congel), snoice=ws(th.snoice),
+        alvdr=ws(sw.alvdr), alvdf=ws(sw.alvdf), alidr=ws(sw.alidr),
+        alidf=ws(sw.alidf), fsurf=ws(ts.fsurf), fcondtop=ws(ts.fcondtop),
+    )
     # ocean heat consumed at the ice bottom (per unit cell area); it is
     # drawn from the mixed layer inside ocean_mixed_layer's budget
     agg["fbot_used"] = jnp.where(aice > cst.puny, fbot * aice, 0.0)
 
-    trcrn["Tsfcn"] = jnp.stack(Tsf_out)
-    trcrn["qice"] = jnp.stack(qi_out)
-    trcrn["qsno"] = jnp.stack(qs_out)
-    if "iage" in trcrn:
-        trcrn["iage"] = trcrn["iage"] + dt
-
-    new_state = state.replace(aicen=jnp.stack(a_out), vicen=jnp.stack(v_out),
-                              vsnon=jnp.stack(s_out), trcrn=trcrn)
-    return new_state, agg, jnp.stack(hicen_old)
+    new_state = state.replace(aicen=aicen_out, vicen=vicen_out,
+                              vsnon=vsnon_out, trcrn=trcrn)
+    return new_state, agg, hicen_old
 
 
 FBOT_MAX = 1000.0

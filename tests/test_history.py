@@ -1,0 +1,68 @@
+"""History subsystem tests: accumulation/averaging, stream triggers, netCDF
+round-trip (reference ice_history semantics, SURVEY §2.5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cice_tpu.calendar import Calendar
+from cice_tpu.config import Config
+from cice_tpu.core.grid import rectgrid
+from cice_tpu.io.history import History
+from cice_tpu.model.flux import zeros_fluxout
+from cice_tpu.model.state import zeros_state
+
+
+def _setup(tmp_path, histfreq=("1", "x", "x", "x", "x"), histfreq_n=(2, 1, 1, 1, 1)):
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": 16, "grid.ny_global": 16,
+        "setup.histfreq": histfreq, "setup.histfreq_n": histfreq_n,
+        "setup.history_dir": str(tmp_path),
+    })
+    grid = rectgrid(16, 16, kmt_type="none")
+    state = zeros_state(cfg, grid)
+    state = state.replace(aicen=state.aicen.at[0].set(0.5))
+    flux = zeros_fluxout(grid.shape)
+    return cfg, grid, state, flux
+
+
+def test_accum_and_average(tmp_path):
+    cfg, grid, state, flux = _setup(tmp_path)
+    h = History(cfg, grid)
+    cal = Calendar()
+    # two steps with different aice -> average
+    h.accum(state, flux)
+    state2 = state.replace(aicen=state.aicen.at[0].set(1.0))
+    h.accum(state2, flux)
+    cal = cal.advance(3600).advance(3600)
+    files = h.maybe_write(cal, fmt="npz")
+    assert len(files) == 1
+    z = np.load(files[0])
+    np.testing.assert_allclose(z["aice"], 0.75, rtol=1e-6)
+    # accumulator reset after write
+    assert h.streams[0].nacc == 0
+
+
+def test_netcdf_roundtrip(tmp_path):
+    cfg, grid, state, flux = _setup(tmp_path, histfreq=("1",), histfreq_n=(1,))
+    h = History(cfg, grid)
+    cal = Calendar().advance(3600)
+    h.accum(state, flux)
+    files = h.maybe_write(cal, fmt="nc")
+    assert len(files) == 1 and files[0].endswith(".nc")
+    from scipy.io import netcdf_file
+    with netcdf_file(files[0], "r") as f:
+        aice = f.variables["aice"][0].copy()
+        assert f.variables["aice"].units == b"1"
+        np.testing.assert_allclose(aice, 0.5, rtol=1e-6)
+        assert "TLAT" in f.variables
+
+
+def test_stream_trigger_monthly(tmp_path):
+    cfg, grid, state, flux = _setup(tmp_path, histfreq=("m",), histfreq_n=(1,))
+    h = History(cfg, grid)
+    cal = Calendar(year=2005, month=1, day=31, sec=82800)  # 23:00 Jan 31
+    h.accum(state, flux)
+    assert not h.maybe_write(cal, fmt="npz")
+    cal = cal.advance(3600)   # -> Feb 1 00:00: closes the monthly interval
+    h.accum(state, flux)
+    assert len(h.maybe_write(cal, fmt="npz")) == 1
