@@ -161,6 +161,76 @@ def transport_upwind(grid: Grid, state: State, registry, Tf, dt: float,
 
 
 # ---------------------------------------------------------------------------
+# second-order monotone transport ('remap' accuracy class)
+# ---------------------------------------------------------------------------
+#
+# The reference's high-order scheme is incremental remapping
+# (ice_transport_remap.F90: departure-region triangle decomposition +
+# quadrature — Dukowicz & Baumgardner 2000, Lipscomb & Hunke 2004). Its
+# triangle enumeration is branch-heavy scalar geometry; the TPU-native
+# redesign here reaches the same accuracy class (2nd-order, monotone,
+# conservative, tracer-consistent) with a dimensionally-split flux-form
+# MUSCL scheme using van Leer limited linear reconstruction — every step is
+# a dense stencil over the global array. A faithful dense-masked
+# incremental-remapping kernel (all candidate triangles evaluated, masked)
+# is the planned upgrade; this provides the 'remap'-grade default meanwhile.
+
+def _vanleer_slope(phi, dphi_up, dphi_dn):
+    """Harmonic-mean (van Leer) limited slope; zero at extrema."""
+    prod = dphi_up * dphi_dn
+    return jnp.where(prod > 0.0,
+                     2.0 * prod / jnp.where(prod > 0.0, dphi_up + dphi_dn, 1.0),
+                     0.0)
+
+
+def vanleer_sweep(grid: Grid, phi: jnp.ndarray, vel_edge, h_edge, dl, dt: float,
+                  axis: int) -> jnp.ndarray:
+    """One dimensionally-split MUSCL update along x (axis=-1, E-face vel) or
+    y (axis=-2, N-face vel). phi: (narr, ny, nx)."""
+    bc = grid.bc
+    loc = FIELD_LOC_EFACE if axis == -1 else FIELD_LOC_NFACE
+    shc = partial(shift, bc=bc, loc=FIELD_LOC_CENTER, ftype=FIELD_TYPE_SCALAR)
+    dj, di = (0, 1) if axis == -1 else (1, 0)
+    phi_p = shc(phi, dj, di)         # downwind neighbor (i+1 / j+1)
+    phi_m = shc(phi, -dj, -di)       # upwind neighbor
+
+    # limited slopes in the donor cells on both sides of the edge
+    slope_c = _vanleer_slope(phi, phi - phi_m, phi_p - phi)
+    phi_pp = shc(phi_p, dj, di)
+    slope_p = _vanleer_slope(phi_p, phi_p - phi, phi_pp - phi_p)
+
+    u = vel_edge[None]
+    cfl = jnp.abs(u) * dt / dl[None]
+    cfl = jnp.minimum(cfl, 1.0)
+    # donor-cell face value integrated over the swept distance
+    val_left = phi + 0.5 * slope_c * (1.0 - cfl)       # u > 0: donor = this
+    val_right = phi_p - 0.5 * slope_p * (1.0 - cfl)    # u < 0: donor = next
+    upw_val = jnp.where(u >= 0.0, val_left, val_right)
+    flux = dt * h_edge[None] * u * upw_val             # area-flux * value
+
+    floc = FIELD_LOC_EFACE if axis == -1 else FIELD_LOC_NFACE
+    flux_m = shift(flux, -dj, -di, bc=bc, loc=floc, ftype=FIELD_TYPE_SCALAR)
+    return phi - (flux - flux_m) * grid.tarear[None]
+
+
+def transport_remap(grid: Grid, state: State, registry, Tf, dt: float,
+                    grid_ice: str = "B") -> State:
+    """2nd-order monotone transport of the full state ('remap' option)."""
+    uee, vnn = edge_velocities(grid, state.uvel, state.vvel, grid_ice,
+                               state.uvelE, state.vvelN)
+    uee = uee * grid.epm
+    vnn = vnn * grid.npm
+    work = state_to_work(state, registry)
+    # alternate sweep order each call would reduce splitting bias; keep
+    # fixed x→y for reproducibility (dt*|u|/dx << 1 in practice)
+    work = vanleer_sweep(grid, work, uee, grid.HTE * grid.epm, grid.dxT, dt,
+                         axis=-1)
+    work = vanleer_sweep(grid, work, vnn, grid.HTN * grid.npm, grid.dyT, dt,
+                         axis=-2)
+    return work_to_state(work, state, registry, grid.tmask, Tf)
+
+
+# ---------------------------------------------------------------------------
 # conservation diagnostics (reference global_conservation, transport driver)
 # ---------------------------------------------------------------------------
 

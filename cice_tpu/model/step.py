@@ -36,7 +36,7 @@ from ..columns.thermo_vertical import (adjust_enthalpy, bl99_salinity,
 from ..dynamics.common import DynPrep, dyn_prep, evp_params
 from ..dynamics.evp import evp_ocean_stress, evp_solve
 from ..dynamics.common import deformations_B
-from ..dynamics.transport import transport_upwind
+from ..dynamics.transport import transport_remap, transport_upwind
 from .flux import FluxOut, Forcing, zeros_fluxout
 from .state import State, tracer_registry
 
@@ -266,8 +266,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
                                     strairy_T, dt)
         if cfg.dynamics.ktransport >= 1:
-            state = transport_upwind(grid, state, registry, fc.Tf, dt,
-                                     grid_ice=cfg.grid.grid_ice)
+            advect = (transport_remap if cfg.dynamics.advection == "remap"
+                      else transport_upwind)
+            state = advect(grid, state, registry, fc.Tf, dt,
+                           grid_ice=cfg.grid.grid_ice)
         if cfg.dynamics.kridge >= 1:
             aicen, vicen, vsnon, trcrn, rdg = ridge_ice(
                 cfg, state.aicen, state.vicen, state.vsnon, state.trcrn,

@@ -9,7 +9,8 @@ import numpy as np
 
 from cice_tpu.config import Config
 from cice_tpu.core.grid import rectgrid
-from cice_tpu.dynamics.transport import (global_mass, transport_upwind)
+from cice_tpu.dynamics.transport import (global_mass, transport_remap,
+                                         transport_upwind)
 from cice_tpu.model.state import tracer_registry, zeros_state
 
 
@@ -84,6 +85,45 @@ def _center_of_mass_x(grid, state):
     a = np.asarray(state.aicen[1])
     ii = np.arange(a.shape[1])[None, :]
     return float((a * ii).sum() / a.sum())
+
+
+def test_remap_conserves_and_monotone():
+    cfg, grid, reg, state = _setup()
+    state = state.replace(uvel=jnp.full(grid.shape, 0.3),
+                          vvel=jnp.full(grid.shape, 0.15))
+    Tf = jnp.full(grid.shape, -1.8)
+    a0, v0, s0 = global_mass(grid, state)
+    amax0 = float(jnp.max(state.aicen[1]))
+    for _ in range(10):
+        state = transport_remap(grid, state, reg, Tf, dt=3600.0)
+    a1, v1, s1 = global_mass(grid, state)
+    assert abs(float(a1 - a0)) / float(a0) < 1e-5
+    assert abs(float(v1 - v0)) / float(v0) < 1e-5
+    assert float(jnp.max(state.aicen[1])) <= amax0 + 1e-6
+    assert float(jnp.min(state.aicen[1])) >= -1e-7
+    qice = np.asarray(state.trcrn["qice"])
+    assert np.isfinite(qice).all()
+
+
+def test_remap_less_diffusive_than_upwind():
+    """2nd-order reconstruction must preserve the blob peak far better than
+    1st-order upwind after many steps (the reference's reason for remap)."""
+    cfg, grid, reg, s_remap = _setup()
+    s_upwind = s_remap
+    dx = float(grid.dxT[0, 0])
+    dt = 3600.0
+    u = jnp.full(grid.shape, 0.4 * dx / dt)   # CFL 0.4
+    s_remap = s_remap.replace(uvel=u)
+    s_upwind = s_upwind.replace(uvel=u)
+    Tf = jnp.full(grid.shape, -1.8)
+    amax0 = float(jnp.max(s_remap.aicen[1]))
+    for _ in range(40):
+        s_remap = transport_remap(grid, s_remap, reg, Tf, dt=dt)
+        s_upwind = transport_upwind(grid, s_upwind, reg, Tf, dt=dt)
+    peak_r = float(jnp.max(s_remap.aicen[1])) / amax0
+    peak_u = float(jnp.max(s_upwind.aicen[1])) / amax0
+    assert peak_r > peak_u + 0.1
+    assert peak_r > 0.7
 
 
 def test_upwind_blocked_by_land():
