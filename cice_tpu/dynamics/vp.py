@@ -130,6 +130,12 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         else:
             M = None
 
+        # nonlinear residual |F(u_k)| = |A(u_k) u_k - b(u_k)| BEFORE the
+        # solve: linearization and iterate taken at the same point
+        au, av = matvec((u, v))
+        res = jnp.sqrt(jnp.sum((au - b[0]) ** 2 + (av - b[1]) ** 2))
+        res_hist.append(res)
+
         x, _ = jax.scipy.sparse.linalg.gmres(
             matvec, b, x0=(u, v), tol=cfg_dyn.reltol_fgmres, atol=0.0,
             restart=min(cfg_dyn.dim_fgmres, 50),
@@ -137,11 +143,6 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
             M=M, solve_method="batched")
         u = jnp.where(mask, x[0], 0.0)
         v = jnp.where(mask, x[1], 0.0)
-
-        # nonlinear residual |F(u)| for monitoring
-        au, av = matvec((u, v))
-        res = jnp.sqrt(jnp.sum((au - b[0]) ** 2 + (av - b[1]) ** 2))
-        res_hist.append(res)
 
     # final stress state for diagnostics/restart (EVP-compatible layout)
     visc = calc_viscosities(grid, p, strength, DminTarea, u, v)

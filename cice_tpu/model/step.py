@@ -199,11 +199,35 @@ FBOT_MAX = 1000.0
 
 def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                    strairx_T, strairy_T, dt: float):
+    """Horizontal dynamics dispatch (reference step_dyn_horiz:969):
+    kdyn=1 EVP (B or C grid), 2 EAP, 3 implicit VP."""
     cfg = ms.cfg
     d = cfg.dynamics
     p = evp_params(d, dt)
 
     strength = ice_strength(state.aicen, state.vicen, state.aice, state.vice, d)
+
+    if cfg.grid.grid_ice == "C" and d.kdyn == 1:
+        from ..dynamics.evp_c import dyn_prep_c, evp_c_solve
+        prepc = dyn_prep_c(grid, d, dt, aice=state.aice, vice=state.vice,
+                           vsno=state.vsno, uvelE=state.uvelE,
+                           vvelN=state.vvelN, strairxT=strairx_T,
+                           strairyT=strairy_T, uocn_T=fc.uocn, vocn_T=fc.vocn)
+        final, uU, vU = evp_c_solve(grid, p, prepc, strength,
+                                    state.stressp[0], state.stressm[0],
+                                    state.stress12[0])
+        # keep the T/U stress state in the 4-corner slots (slot 0 = C fields)
+        sp = state.stressp.at[0].set(final.stresspT)
+        sm = state.stressm.at[0].set(final.stressmT)
+        s12 = state.stress12.at[0].set(final.stress12U)
+        divu, shear, Delta = deformations_B(grid, uU, vU, p, dt)
+        state = state.replace(uvel=uU, vvel=vU, uvelE=final.uvelE,
+                              vvelN=final.vvelN, stressp=sp, stressm=sm,
+                              stress12=s12)
+        zero = jnp.zeros_like(uU)
+        return state, dict(strintx=zero, strinty=zero, taubx=zero,
+                           tauby=zero, strocnx=zero, strocny=zero,
+                           divu=divu, shear=shear, Delta=Delta)
 
     prep = dyn_prep(grid, d, dt, aice=state.aice, vice=state.vice,
                     vsno=state.vsno, aiceU_prev_mask=state.iceUmask,
@@ -215,9 +239,20 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     uocnU = grid_average_X2Y("S", fc.uocn, "T", "U", grid)
     vocnU = grid_average_X2Y("S", fc.vocn, "T", "U", grid)
 
-    u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve(
-        grid, p, prep, strength, state.stressp, state.stressm, state.stress12,
-        uocn=uocnU, vocn=vocnU)
+    if d.kdyn == 3:
+        from ..dynamics.vp import implicit_solver
+        (u, v, sp, sm, s12, strintx, strinty, taubx, tauby, _res) = \
+            implicit_solver(grid, d, prep, strength, uocn=uocnU, vocn=vocnU,
+                            dt=dt)
+    elif d.kdyn == 2:
+        from ..dynamics.eap import eap_solve
+        u, v, sp, sm, s12, strintx, strinty, taubx, tauby = eap_solve(
+            grid, p, prep, strength, state.stressp, state.stressm,
+            state.stress12, uocn=uocnU, vocn=vocnU)
+    else:
+        u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve(
+            grid, p, prep, strength, state.stressp, state.stressm,
+            state.stress12, uocn=uocnU, vocn=vocnU)
 
     strocnx, strocny = evp_ocean_stress(prep, u, v, uocnU, vocnU)
     divu, shear, Delta = deformations_B(grid, u, v, p, dt)
