@@ -58,14 +58,17 @@ def main():
                             aice, vice, cfg.dynamics)
     z3 = jnp.zeros((4,) + grid.shape, jnp.float32)
 
+    solve = jax.jit(lambda pr, st, u0, v0: evp_solve(
+        grid, p, pr, st, z3, z3, z3, uocn=u0, vocn=v0))
+
     def run_once():
-        out = evp_solve(grid, p, prep, strength, z3, z3, z3, uocn=z, vocn=z)
+        out = solve(prep, strength, z, z)
         jax.block_until_ready(out[0])
         return out
 
     # warmup/compile
     run_once()
-    n_rep = 5
+    n_rep = 10
     t0 = time.perf_counter()
     for _ in range(n_rep):
         run_once()
