@@ -29,6 +29,7 @@ from ..columns.atmo import atmo_boundary_layer, atmo_boundary_const
 from ..columns.ocean import ocean_mixed_layer
 from ..columns.ridging import ice_strength, ridge_ice
 from ..columns.shortwave import shortwave_ccsm3
+from ..columns.ponds import step_ponds
 from ..columns.thermo_itd import step_therm2
 from ..columns.thermo_vertical import (adjust_enthalpy, bl99_salinity,
                                        melting_temps, temperature_changes,
@@ -168,6 +169,16 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     if "iage" in trcrn:
         trcrn["iage"] = trcrn["iage"] + dt
 
+    # melt ponds (icepack_meltpond_* inside icepack_step_therm1)
+    if "apnd" in trcrn:
+        trcrn, apeff, pond_flush = step_ponds(
+            cfg, dt, aicen=an, vicen=vicen_out, vsnon=vsnon_out,
+            trcrn=trcrn, Tsf=trcrn["Tsfcn"], meltt=th.meltt, melts=th.melts,
+            frain=fc.frain, aice=aice)
+    else:
+        apeff = jnp.zeros_like(an)
+        pond_flush = jnp.zeros_like(an)
+
     # aggregate cell-mean fluxes (weight: category area; sum over categories)
     w = jnp.where(mask, an, 0.0)
     ws = lambda x: jnp.sum(w * x, axis=0)
@@ -180,6 +191,7 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         melts=ws(th.melts), congel=ws(th.congel), snoice=ws(th.snoice),
         alvdr=ws(sw.alvdr), alvdf=ws(sw.alvdf), alidr=ws(sw.alidr),
         alidf=ws(sw.alidf), fsurf=ws(ts.fsurf), fcondtop=ws(ts.fcondtop),
+        apond=ws(apeff), fpond=ws(pond_flush) * cst.rhofresh / dt,
     )
     # ocean heat consumed at the ice bottom (per unit cell area); it is
     # drawn from the mixed layer inside ocean_mixed_layer's budget
