@@ -200,3 +200,22 @@ def step_ponds(cfg, dt, *, aicen, vicen, vsnon, trcrn, Tsf, meltt, melts,
     trcrn["hpnd"] = out.hpnd
     trcrn["ipnd"] = out.ipnd
     return trcrn, out.apeff, out.dpnd_flush
+
+
+def pond_exposure(cfg, *, aicen, vsnon, trcrn):
+    """Radiatively-exposed pond fraction (per category area) from the
+    current tracer state — used by dEdd shortwave at the top of the step,
+    before the pond update (reference: apeffn computed in step_radiation)."""
+    t = cfg.tracers
+    if "apnd" not in trcrn:
+        return jnp.zeros_like(aicen)
+    apnd, ipnd = trcrn["apnd"], trcrn["ipnd"]
+    hs = jnp.where(aicen > cst.puny,
+                   vsnon / jnp.maximum(aicen, cst.puny), 0.0)
+    snow_hide = jnp.clip(1.0 - hs / jnp.maximum(cfg.ponds.hs1, cst.puny),
+                         0.0, 1.0)
+    lid_hide = jnp.clip(1.0 - ipnd / jnp.maximum(10.0 * cfg.ponds.hp1,
+                                                 cst.puny), 0.0, 1.0)
+    alvl_frac = jnp.clip(trcrn.get("alvl", jnp.ones_like(apnd)), 0.0, 1.0) \
+        if t.tr_pond_lvl else jnp.ones_like(apnd)
+    return jnp.clip(apnd * alvl_frac * snow_hide * lid_hide, 0.0, 1.0)

@@ -39,6 +39,7 @@ class Forcing:
     frain: jnp.ndarray     # rain rate (kg/m^2/s)
     fsnow: jnp.ndarray     # snow rate (kg/m^2/s)
     zlvl: jnp.ndarray      # atm level height (m)
+    coszen: jnp.ndarray    # cosine of solar zenith angle
     # ocean
     uocn: jnp.ndarray      # ocean current (m/s)
     vocn: jnp.ndarray
@@ -60,7 +61,7 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         uatm=z(), vatm=z(), wind=z(), strax=z(), stray=z(),
         potT=z(253.0), Tair=z(253.0), Qa=z(0.0006), rhoa=z(cst.rhoa_ref),
         flw=z(180.0), swvdr=z(), swvdf=z(), swidr=z(), swidf=z(),
-        frain=z(), fsnow=z(), zlvl=z(10.0),
+        frain=z(), fsnow=z(), zlvl=z(10.0), coszen=z(0.5),
         uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
         Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
     )

@@ -135,7 +135,7 @@ def seasonal_atm(grid, yday: float, fc: Forcing, *, winter_Tair=-30.0,
     frain = jnp.where(TairK >= cst.Tffresh, 3.0e-6, 0.0).astype(dt)
     return fc.replace(Tair=TairK, potT=TairK, Qa=Qa.astype(dt), flw=flw.astype(dt),
                       swvdr=swvdr, swvdf=swvdf, swidr=swidr, swidf=swidf,
-                      fsnow=fsnow, frain=frain)
+                      fsnow=fsnow, frain=frain, coszen=coszen.astype(dt))
 
 
 def default_ocn(grid, cfg, fc: Forcing) -> Forcing:

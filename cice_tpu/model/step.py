@@ -105,8 +105,17 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             for k in range(nslyr)]
 
     # shortwave partition (all categories at once)
-    sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
-                         fc.swidf, cfg.shortwave, nilyr)
+    if cfg.shortwave.shortwave.startswith("dEdd"):
+        from ..columns.dedd import shortwave_dEdd
+        from ..columns.ponds import pond_exposure
+        apeff_rad = pond_exposure(cfg, aicen=an, vsnon=vsn, trcrn=trcrn)
+        hpnd_rad = trcrn.get("hpnd", jnp.zeros_like(an))
+        sw = shortwave_dEdd(Tsf, hin, hsn, hpnd_rad, apeff_rad,
+                            fc.swvdr, fc.swvdf, fc.swidr, fc.swidf,
+                            fc.coszen, cfg.shortwave, nilyr, nslyr)
+    else:
+        sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
+                             fc.swidf, cfg.shortwave, nilyr)
 
     # turbulent transfer coefficients
     if cfg.forcing.atmbndy == "constant":

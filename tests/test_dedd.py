@@ -1,0 +1,104 @@
+"""Delta-Eddington shortwave tests.
+
+Oracles: exact energy conservation of the adding solution
+(albedo + absorbed + transmitted = 1 per band/stream), physical ordering
+(snow > bare ice > pond albedo; thick ice darker ocean transmission), and
+limits (thick snow -> snow albedo; zero sun -> zero fluxes).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cice_tpu.config import Config
+from cice_tpu.columns.dedd import (_adding, _delta_eddington_layer,
+                                   shortwave_dEdd, ALB_OCEAN)
+
+SHAPE = (3, 4, 4)
+
+
+def _sw(Tsf=-10.0, hi=1.5, hs=0.0, hpnd=0.0, apeff=0.0, coszen=0.5):
+    cfg = Config()
+    f = lambda v: jnp.full(SHAPE, v)
+    g = lambda v: jnp.full(SHAPE[1:], v)
+    return shortwave_dEdd(f(Tsf), f(hi), f(hs), f(hpnd), f(apeff),
+                          g(100.0), g(50.0), g(80.0), g(40.0), g(coszen),
+                          cfg.shortwave, nilyr=7, nslyr=1)
+
+
+def test_adding_energy_conservation():
+    """For arbitrary layer stacks: R + sum(abs) + T == 1 exactly."""
+    mu0 = jnp.full((4, 4), 0.6)
+    mk = lambda v: jnp.full((4, 4), v)
+    layers = [(mk(0.8), mk(0.99), mk(0.89)),
+              (mk(2.0), mk(0.95), mk(0.94)),
+              (mk(5.0), mk(0.6), mk(0.94))]
+    albdir, albdif, absdir, absdif, trdir, trdif = _adding(layers, mu0, 0.0)
+    tot_dir = np.asarray(albdir + sum(absdir) + trdir)
+    tot_dif = np.asarray(albdif + sum(absdif) + trdif)
+    np.testing.assert_allclose(tot_dir, 1.0, atol=1e-5)
+    np.testing.assert_allclose(tot_dif, 1.0, atol=1e-5)
+    assert np.all(np.asarray(albdir) >= 0) and np.all(np.asarray(albdir) <= 1)
+
+
+def test_single_layer_limits():
+    mu0 = jnp.full((2, 2), 0.5)
+    mk = lambda v: jnp.full((2, 2), v)
+    # optically thin: transmits almost everything
+    r, t, rd, td, trn = _delta_eddington_layer(mk(1e-4), mk(0.9), mk(0.8), mu0)
+    assert np.all(np.asarray(t) > 0.999)
+    assert np.all(np.asarray(r) < 1e-3)
+    # optically thick pure scatterer: reflects nearly everything
+    r2, t2, rd2, td2, _ = _delta_eddington_layer(mk(500.0), mk(0.99999),
+                                                 mk(0.85), mu0)
+    assert np.all(np.asarray(r2) > 0.9)
+    assert np.all(np.asarray(t2) < 0.05)
+
+
+def test_albedo_ordering_snow_ice_pond():
+    snow = _sw(hs=0.3)
+    bare = _sw(hs=0.0)
+    pond = _sw(hs=0.0, hpnd=0.25, apeff=0.8)
+    a = lambda o: np.asarray(o.alvdf).mean()
+    assert a(snow) > a(bare) > a(pond)
+    # visible snow albedo high, near-IR lower
+    assert np.asarray(snow.alvdf).mean() > 0.9
+    assert np.asarray(snow.alidf).mean() < np.asarray(snow.alvdf).mean()
+
+
+def test_transmission_decreases_with_thickness():
+    thin = _sw(hi=0.3)
+    thick = _sw(hi=3.0)
+    assert np.asarray(thin.fswthru).mean() > np.asarray(thick.fswthru).mean()
+    assert np.all(np.asarray(thick.fswthru) >= 0.0)
+
+
+def test_total_energy_budget():
+    """Absorbed + transmitted == incident*(1-albedo) for the mixed column."""
+    o = _sw(hs=0.05, hpnd=0.1, apeff=0.3)
+    inc = 100.0 + 50.0 + 80.0 + 40.0
+    absorbed = np.asarray(o.fswsfc + o.fswint + o.fswthru)
+    refl = np.asarray(100.0 * o.alvdr + 50.0 * o.alvdf +
+                      80.0 * o.alidr + 40.0 * o.alidf)
+    # ocean albedo under the column keeps ALB_OCEAN of the transmitted; the
+    # adding solution counts it in the column albedo, so the budget closes
+    # through the transmitted term:
+    np.testing.assert_allclose(absorbed + refl, inc,
+                               rtol=2e-2 + ALB_OCEAN * 0.0, atol=2.0)
+
+
+def test_dark_no_flux():
+    cfg = Config()
+    f = lambda v: jnp.full(SHAPE, v)
+    g = lambda v: jnp.full(SHAPE[1:], v)
+    o = shortwave_dEdd(f(-10.0), f(1.5), f(0.1), f(0.0), f(0.0),
+                       g(0.0), g(0.0), g(0.0), g(0.0), g(0.0),
+                       cfg.shortwave, nilyr=7, nslyr=1)
+    assert np.all(np.asarray(o.fswsfc) == 0.0)
+    assert np.all(np.asarray(o.fswthru) == 0.0)
+    assert np.all(np.asarray(o.Iswabs) == 0.0)
+
+
+def test_warm_snow_darker_than_cold():
+    cold = _sw(Tsf=-20.0, hs=0.3)
+    warm = _sw(Tsf=-0.1, hs=0.3)
+    assert np.asarray(warm.alvdf).mean() < np.asarray(cold.alvdf).mean()
