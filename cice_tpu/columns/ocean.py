@@ -23,9 +23,11 @@ def freezing_temperature(sss, option: str = "mushy"):
         return jnp.full_like(sss, -1.8)
     if option == "linear_salt":
         return -cst.depressT * sss
-    # mushy liquidus at low concentration ~ -0.0544 S (same slope); keep
-    # the linear form — the full mushy liquidus lands with ktherm=2.
-    return -cst.depressT * sss
+    if option == "constant":
+        return jnp.full_like(sss, -1.8)
+    # 'mushy': the piecewise-linear mushy liquidus (ktherm=2 consistent)
+    from .mushy import liquidus_temperature
+    return liquidus_temperature(sss)
 
 
 def ocean_mixed_layer(dt, *, sst, Tf, hmix, qdp, frzmlt_old,

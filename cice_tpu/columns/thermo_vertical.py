@@ -138,7 +138,7 @@ class TempSolveOut(NamedTuple):
 def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
                         hilyr, hslyr, Tbot, fswsfc, Iswabs,
                         shcoef, lhcoef, potT, Qa, rhoa, flw,
-                        conduct="bubbly", nit=20):
+                        conduct="bubbly", nit=20, ktherm=1):
     """Implicit BL99 conduction solve, dense over any leading batch dims
     (the category axis rides along as a broadcast dim — no vmap needed).
 
@@ -151,11 +151,18 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
     import jax
     from .atmo import surface_fluxes
 
+    mushy = ktherm == 2
+    if mushy:
+        from . import mushy as mush
+
     snow = hslyr > cst.puny  # snow present mask (hs > puny => snow layers live)
 
     # initial layer temperatures from enthalpy
     Tsn0 = [temp_from_enthalpy_snow(q) for q in qsno]
-    Tin0 = [temp_from_enthalpy_ice(qice[k], Tm[k]) for k in range(nilyr)]
+    if mushy:
+        Tin0 = [mush.temperature_mush(qice[k], salin[k]) for k in range(nilyr)]
+    else:
+        Tin0 = [temp_from_enthalpy_ice(qice[k], Tm[k]) for k in range(nilyr)]
     Tsf = jnp.minimum(Tsf, 0.0)
 
     einit = sum(q * hslyr for q in qsno) + sum(q * hilyr for q in qice)
@@ -168,7 +175,12 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         Tsn = [Tsn_s[k] for k in range(nslyr)]
         Tin = [Tin_s[k] for k in range(nilyr)]
         # conductivities at layer interfaces (kh = 2 k_a k_b/(k_a h_b + k_b h_a))
-        ki = [conductivity_ice(salin[k], Tin[k], conduct) for k in range(nilyr)]
+        if mushy:
+            ki = [mush.conductivity_mush(Tin[k], salin[k])
+                  for k in range(nilyr)]
+        else:
+            ki = [conductivity_ice(salin[k], Tin[k], conduct)
+                  for k in range(nilyr)]
         ks = cst.ksno
         # interface conductances (W/m^2/K).
         # No-snow handling: the tridiagonal keeps its full (1+nslyr+nilyr)
@@ -194,9 +206,13 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         # effective heat capacities; snow: rhos*cp_ice (zero when no snow)
         etas = jnp.where(snow, dt / (cst.rhos * cst.cp_ice *
                                      jnp.maximum(hslyr, cst.puny)), 0.0)
-        ci = [cst.cp_ice - cst.Lfresh * Tm[k] /
-              jnp.maximum(Tin[k] * Tin0[k], 1e-8)
-              for k in range(nilyr)]
+        if mushy:
+            ci = [mush.eff_heat_capacity_mush(Tin[k], Tin0[k], salin[k])
+                  for k in range(nilyr)]
+        else:
+            ci = [cst.cp_ice - cst.Lfresh * Tm[k] /
+                  jnp.maximum(Tin[k] * Tin0[k], 1e-8)
+                  for k in range(nilyr)]
         etai = [dt / (cst.rhoi * jnp.maximum(ci[k], cst.cp_ice * 0.01) * hilyr)
                 for k in range(nilyr)]
 
@@ -275,7 +291,11 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
     # final fluxes at converged temperatures
     fsurf, dfsurf, fsens, flat, flwout = surface_fluxes(
         Tsf, shcoef, lhcoef, potT, Qa, rhoa, flw, fswsfc)
-    ki = [conductivity_ice(salin[k], Tin[k], conduct) for k in range(nilyr)]
+    if mushy:
+        ki = [mush.conductivity_mush(Tin[k], salin[k]) for k in range(nilyr)]
+    else:
+        ki = [conductivity_ice(salin[k], Tin[k], conduct)
+              for k in range(nilyr)]
     khs_sfc = 2.0 * cst.ksno / jnp.maximum(hslyr, cst.puny)
     kh_sfc = jnp.where(snow, khs_sfc, 2.0 * ki[0] / hilyr)
     Ttop = jnp.where(snow, Tsn[0], Tin[0])
@@ -284,7 +304,10 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
 
     # new enthalpies + final energy
     qsno_new = [jnp.where(snow, enthalpy_snow(t), q) for t, q in zip(Tsn, qsno)]
-    qice_new = [enthalpy_ice(Tin[k], Tm[k]) for k in range(nilyr)]
+    if mushy:
+        qice_new = [mush.enthalpy_mush(Tin[k], salin[k]) for k in range(nilyr)]
+    else:
+        qice_new = [enthalpy_ice(Tin[k], Tm[k]) for k in range(nilyr)]
     efinal = sum(q * hslyr for q in qsno_new) + sum(q * hilyr for q in qice_new)
 
     return TempSolveOut(Tsf=Tsf, Tsno=Tsn, Tice=Tin, fsurf=fsurf,
@@ -314,7 +337,8 @@ class ThicknessOut(NamedTuple):
 
 
 def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
-                      Tbot, fbot, fsurf, fcondtop, fcondbot, flat, sss):
+                      Tbot, fbot, fsurf, fcondtop, fcondbot, flat, sss,
+                      qbot_new=None):
     """Growth & melt from the flux imbalances (BL99 bookkeeping).
 
     fbot: ocean->ice heat flux at the bottom (W/m^2, negative = melting
@@ -358,7 +382,10 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
     grow = jnp.maximum(ebot, 0.0)
     # new congelation ice forms with enthalpy at Tbot, salinity profile bottom
     Tm_bot = Tm[-1]
-    qbot = enthalpy_ice(jnp.maximum(Tbot, Tm_bot - 5.0), Tm_bot)
+    if qbot_new is None:
+        qbot = enthalpy_ice(jnp.maximum(Tbot, Tm_bot - 5.0), Tm_bot)
+    else:
+        qbot = qbot_new   # mushy: enthalpy of new bottom ice at phi_i_mushy
     dhi_grow = jnp.where(ice_present, grow / jnp.maximum(-qbot, 1.0), 0.0)
     congel = dhi_grow
     # append growth to the bottom layer

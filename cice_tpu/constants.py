@@ -126,3 +126,4 @@ FIELD_LOC_EFACE = 4
 FIELD_TYPE_SCALAR = 1
 FIELD_TYPE_VECTOR = 2
 FIELD_TYPE_ANGLE = 3
+kbrine = 0.5              # thermal conductivity of brine (W/m/deg)

@@ -70,7 +70,12 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
         zf = (k + 0.5) / nilyr
         Tlay = Tsfc0 * (1.0 - zf) + Tf * zf
         Tlay = jnp.minimum(Tlay, float(Tmlt[k]) - 0.1)
-        qice.append(enthalpy_ice(Tlay, float(Tmlt[k])))
+        if cfg.thermo.ktherm == 2:
+            from ..columns.mushy import enthalpy_mush
+            qice.append(enthalpy_mush(Tlay, jnp.full_like(Tlay,
+                                                          float(salin[k]))))
+        else:
+            qice.append(enthalpy_ice(Tlay, float(Tmlt[k])))
     qice = jnp.stack(qice)                       # (nilyr, ny, nx)
     qsno = enthalpy_snow(jnp.minimum(Tsfc0, -1.0))
 

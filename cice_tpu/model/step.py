@@ -72,6 +72,7 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     nilyr = cfg.domain.nilyr
     nslyr = cfg.domain.nslyr
 
+    mushy = cfg.thermo.ktherm == 2
     salin = bl99_salinity(nilyr)
     Tmlt = melting_temps(salin)
 
@@ -130,20 +131,36 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     hslyr = hsn / nslyr
     Isw = [sw.Iswabs[:, k] for k in range(nilyr)]
 
+    if mushy:
+        from ..columns import mushy as mush
+        sice_all = trcrn["sice"]              # (ncat, nilyr, ny, nx)
+        S_lay = [jnp.where(mask, sice_all[:, k], float(salin[k]))
+                 for k in range(nilyr)]
+        Tm_lay = [mush.liquidus_temperature(S) for S in S_lay]
+        salin_arg, Tm_arg = S_lay, Tm_lay
+        qbot_new, S_bot_new = mush.new_ice_enthalpy_salinity(
+            Tbot, fc.sss, cfg.thermo.phi_i_mushy)
+    else:
+        salin_arg = [float(s) for s in salin]
+        Tm_arg = [float(t) for t in Tmlt]
+        qbot_new = None
+
     ts, qsno_new, qice_new = temperature_changes(
         dt, nilyr, nslyr, Tsf=Tsf, qsno=qsno, qice=qice,
-        salin=[float(s) for s in salin], Tm=[float(t) for t in Tmlt],
+        salin=salin_arg, Tm=Tm_arg,
         hilyr=hilyr, hslyr=hslyr, Tbot=Tbot, fswsfc=sw.fswsfc,
         Iswabs=Isw, shcoef=co.shcoef, lhcoef=co.lhcoef,
         potT=fc.potT, Qa=fc.Qa, rhoa=fc.rhoa, flw=fc.flw,
-        conduct=cfg.thermo.conduct, nit=cfg.thermo.nit)
+        conduct=cfg.thermo.conduct, nit=cfg.thermo.nit,
+        ktherm=cfg.thermo.ktherm)
 
     th, dzi, dzs = thickness_changes(
         dt, nilyr, nslyr, hin=hin_solve * jnp.where(mask, 1.0, 0.0),
         hsn=hsn, qice=qice_new, qsno=qsno_new,
-        Tm=[float(t) for t in Tmlt], salin=[float(s) for s in salin],
+        Tm=Tm_arg, salin=salin_arg,
         Tbot=Tbot, fbot=fbot, fsurf=ts.fsurf, fcondtop=ts.fcondtop,
-        fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss)
+        fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss,
+        qbot_new=qbot_new)
 
     # snowfall accumulation (step_therm1 snow addition)
     dhs_snow = jnp.where(mask, fc.fsnow * dt / cst.rhos, 0.0)
@@ -162,6 +179,25 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # vertical remap to uniform layers
     qice_r = adjust_enthalpy(dzi, th.qice, nilyr, th.hin)
     qsno_r = adjust_enthalpy(dzs0, qs_list, nslyr, hsn_new)
+
+    fsalt_drain = jnp.zeros(grid.shape, an.dtype)
+    if mushy:
+        # bottom congelation carries the new-ice salinity into the bottom
+        # layer, then remap + two-mode gravity drainage (Turner&Hunke 2015)
+        from ..columns.thermo_vertical import safe_mix
+        S_mix = list(S_lay)
+        S_mix[-1] = safe_mix(S_mix[-1], hilyr, S_bot_new, th.congel)
+        sice_r = adjust_enthalpy(dzi, S_mix, nilyr, th.hin)
+        T_r = [mush.temperature_mush(qice_r[k], sice_r[k])
+               for k in range(nilyr)]
+        sice_r, fsalt_d = mush.drain_salinity(
+            cfg.thermo, dt, S_layers=sice_r, T_layers=T_r,
+            hilyr=th.hin / nilyr, sss=fc.sss, nilyr=nilyr)
+        trcrn["sice"] = jnp.stack(
+            [jnp.where(mask, s, sice_all[:, k])
+             for k, s in enumerate(sice_r)], axis=1)
+        # drained brine salt reaches the ocean (category-area weighted below)
+        fsalt_drain = jnp.sum(jnp.where(mask, an, 0.0) * fsalt_d, axis=0)
 
     hin_f = jnp.where(mask, th.hin, 0.0)
     hsn_f = jnp.where(mask, hsn_new, 0.0)
@@ -194,6 +230,7 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     agg = dict(
         fsens=ws(ts.fsens), flat=ws(ts.flat), flwout=ws(ts.flwout),
         evap=ws(th.evapn),
+        fsalt_drain=fsalt_drain,
         fswabs=ws(sw.fswsfc + sw.fswint + sw.fswthru),
         fhocn=ws(th.fhocn), fresh=ws(th.freshn), fsalt=ws(th.fsaltn),
         fswthru=ws(sw.fswthru), meltt=ws(th.meltt), meltb=ws(th.meltb),
@@ -357,7 +394,8 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         evap=agg["evap"], fswabs=agg["fswabs"],
         strairx=strairx_T, strairy=strairy_T,
         fhocn=fhocn_ice, fresh=agg["fresh"] + t2.freshn,
-        fsalt=agg["fsalt"] + t2.fsaltn, fswthru=agg["fswthru"],
+        fsalt=agg["fsalt"] + t2.fsaltn + agg["fsalt_drain"],
+        fswthru=agg["fswthru"],
         strocnx=dyn["strocnx"], strocny=dyn["strocny"],
         meltt=agg["meltt"], meltb=agg["meltb"], melts=agg["melts"],
         meltl=t2.meltl, congel=agg["congel"], frazil=t2.frazil,
