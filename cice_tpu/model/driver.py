@@ -91,6 +91,15 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
         trcrn["vlvl"] = jnp.where(vicen > 0, 1.0, 0.0).astype(dtp)
     if "FY" in trcrn:
         trcrn["FY"] = jnp.where(aicen > 0, 1.0, 0.0).astype(dtp)
+    if "fsd" in trcrn:
+        # start with all area in the smallest floe-size bin
+        trcrn["fsd"] = jnp.zeros_like(trcrn["fsd"]).at[:, 0].set(1.0)
+    if "rsnw" in trcrn:
+        trcrn["rsnw"] = jnp.full_like(trcrn["rsnw"], cfg.snow.rsnw_fall)
+        trcrn["smice"] = jnp.where(
+            vsnon[:, None] > 0,
+            cst.rhos * vsnon[:, None] / jnp.maximum(aicen[:, None], 1e-6) /
+            cfg.domain.nslyr, 0.0).astype(dtp)
 
     sst = jnp.where(icemask_j, Tf, jnp.maximum(Tf, -1.0)).astype(dtp)
     return state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,

@@ -40,6 +40,8 @@ class Forcing:
     fsnow: jnp.ndarray     # snow rate (kg/m^2/s)
     zlvl: jnp.ndarray      # atm level height (m)
     coszen: jnp.ndarray    # cosine of solar zenith angle
+    wave_hs: jnp.ndarray   # significant wave height (m), for FSD fracture
+    wave_Tp: jnp.ndarray   # peak wave period (s)
     # ocean
     uocn: jnp.ndarray      # ocean current (m/s)
     vocn: jnp.ndarray
@@ -62,6 +64,7 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         potT=z(253.0), Tair=z(253.0), Qa=z(0.0006), rhoa=z(cst.rhoa_ref),
         flw=z(180.0), swvdr=z(), swvdf=z(), swidr=z(), swidf=z(),
         frain=z(), fsnow=z(), zlvl=z(10.0), coszen=z(0.5),
+        wave_hs=z(), wave_Tp=z(8.0),
         uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
         Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
     )

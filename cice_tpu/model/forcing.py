@@ -170,4 +170,11 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     ocn = cfg.forcing.ocn_data_type
     if ocn == "box2001":
         fc = box2001_ocn(grid, fc)
+    if cfg.forcing.wave_spec_type != "none":
+        # fully-developed-sea wave state from the local wind over open water
+        # (ice_forcing get_wave_spec stand-in): Hs ~ 0.0248 U^2, Tp ~ 0.729 U
+        hs = 0.0248 * fc.wind ** 2 * jnp.clip(1.0 - aice, 0.0, 1.0)
+        Tp = jnp.maximum(0.729 * fc.wind, 2.0)
+        fc = fc.replace(wave_hs=hs.astype(fc.wind.dtype),
+                        wave_Tp=Tp.astype(fc.wind.dtype))
     return fc

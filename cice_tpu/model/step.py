@@ -32,8 +32,8 @@ from ..columns.shortwave import shortwave_ccsm3
 from ..columns.ponds import step_ponds
 from ..columns.thermo_itd import step_therm2
 from ..columns.thermo_vertical import (adjust_enthalpy, bl99_salinity,
-                                       melting_temps, temperature_changes,
-                                       thickness_changes)
+                                       melting_temps, temp_from_enthalpy_snow,
+                                       temperature_changes, thickness_changes)
 from ..dynamics.common import DynPrep, dyn_prep, evp_params
 from ..dynamics.evp import evp_ocean_stress, evp_solve
 from ..dynamics.common import deformations_B
@@ -224,6 +224,18 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         apeff = jnp.zeros_like(an)
         pond_flush = jnp.zeros_like(an)
 
+    # advanced snow physics (icepack_step_snow; reference calls it as its
+    # own phase after dynamics — here it rides with therm1 where the
+    # per-category melt and snow temperature are in hand)
+    if cfg.tracers.tr_snow:
+        from ..columns.snow import step_snow
+        Tsno_top = jnp.stack([temp_from_enthalpy_snow(q)
+                              for q in [trcrn["qsno"][:, 0]]], axis=0)[0]
+        trcrn, meltsliq, vsnon_out = step_snow(
+            cfg, dt, vsnon=vsnon_out, aicen=an, trcrn=trcrn,
+            Tsno=Tsno_top, melts=th.melts, frain=fc.frain, fsnow=fc.fsnow,
+            wind=fc.wind)
+
     # aggregate cell-mean fluxes (weight: category area; sum over categories)
     w = jnp.where(mask, an, 0.0)
     ws = lambda x: jnp.sum(w * x, axis=0)
@@ -347,12 +359,27 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # --- thermodynamics -------------------------------------------------
     state, agg, hicen_old = step_therm1(ms, grid, state, fc, dt)
 
+    aicen_pre = state.aicen
     t2 = step_therm2(cfg, grid, state.aicen, state.vicen, state.vsnon,
                      state.trcrn, hicen_old=hicen_old, frzmlt=state.frzmlt,
                      Tf=fc.Tf, sst=state.sst, dt=dt,
                      hin_max=hin_max, registry=registry)
     state = state.replace(aicen=t2.aicen, vicen=t2.vicen, vsnon=t2.vsnon,
                           trcrn=t2.trcrn)
+
+    # FSD: thermodynamic evolution + wave fracture (step_dyn_wave)
+    if cfg.tracers.tr_fsd and "fsd" in state.trcrn:
+        from ..columns.fsd import step_dyn_wave, step_fsd_thermo
+        da_new = jnp.maximum(t2.aicen - aicen_pre, 0.0)
+        G_rad = jnp.sign(state.frzmlt) * jnp.abs(state.frzmlt) * 1.0e-8
+        trc = dict(state.trcrn)
+        f = step_fsd_thermo(cfg, dt, fsd=trc["fsd"], aicen=t2.aicen,
+                            da_new=da_new, G_rad=G_rad[None],
+                            frzmlt=state.frzmlt)
+        f = step_dyn_wave(cfg, dt, fsd=f, aicen=t2.aicen, vicen=t2.vicen,
+                          hs_wave=fc.wave_hs, Tp_wave=fc.wave_Tp)
+        trc["fsd"] = f
+        state = state.replace(trcrn=trc)
 
     # --- dynamics + transport + ridging ---------------------------------
     if cfg.dynamics.kdyn >= 1:
