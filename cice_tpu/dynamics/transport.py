@@ -213,9 +213,10 @@ def vanleer_sweep(grid: Grid, phi: jnp.ndarray, vel_edge, h_edge, dl, dt: float,
     return phi - (flux - flux_m) * grid.tarear[None]
 
 
-def transport_remap(grid: Grid, state: State, registry, Tf, dt: float,
-                    grid_ice: str = "B") -> State:
-    """2nd-order monotone transport of the full state ('remap' option)."""
+def transport_vanleer(grid: Grid, state: State, registry, Tf, dt: float,
+                      grid_ice: str = "B") -> State:
+    """2nd-order monotone dimensionally-split MUSCL transport
+    ('vanleer' option — the cheaper alternative to full remapping)."""
     uee, vnn = edge_velocities(grid, state.uvel, state.vvel, grid_ice,
                                state.uvelE, state.vvelN)
     uee = uee * grid.epm
@@ -227,6 +228,19 @@ def transport_remap(grid: Grid, state: State, registry, Tf, dt: float,
                          axis=-1)
     work = vanleer_sweep(grid, work, vnn, grid.HTN * grid.npm, grid.dyT, dt,
                          axis=-2)
+    return work_to_state(work, state, registry, grid.tmask, Tf)
+
+
+def transport_remap(grid: Grid, state: State, registry, Tf, dt: float,
+                    grid_ice: str = "B") -> State:
+    """Incremental-remapping transport of the full state ('remap' —
+    reference transport_remap ice_transport_driver.F90:252): unsplit
+    departure-region remap of the packed densities (see dynamics/remap.py)."""
+    from .remap import horizontal_remap
+    work = state_to_work(state, registry)
+    work = horizontal_remap(grid, work, state.uvel, state.vvel, dt,
+                            grid_ice=grid_ice, uvelE=state.uvelE,
+                            vvelN=state.vvelN)
     return work_to_state(work, state, registry, grid.tmask, Tf)
 
 

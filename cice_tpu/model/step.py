@@ -386,8 +386,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
                                     strairy_T, dt)
         if cfg.dynamics.ktransport >= 1:
-            advect = (transport_remap if cfg.dynamics.advection == "remap"
-                      else transport_upwind)
+            from ..dynamics.transport import transport_vanleer
+            advect = {"remap": transport_remap,
+                      "vanleer": transport_vanleer}.get(
+                          cfg.dynamics.advection, transport_upwind)
             state = advect(grid, state, registry, fc.Tf, dt,
                            grid_ice=cfg.grid.grid_ice)
         if cfg.dynamics.kridge >= 1:

@@ -147,3 +147,43 @@ def test_upwind_blocked_by_land():
     land = ~np.asarray(grid2.tmask)
     assert np.abs(np.asarray(state.aice)[land]).max() == 0.0
     assert abs(float(v1 - v0)) / float(v0) < 1e-5
+
+
+def test_incremental_remap_uniform_field_invariant():
+    """A spatially-uniform density under uniform velocity must be exactly
+    preserved by the remap (reconstruction gradients vanish; flux in =
+    flux out) — sensitive check of the departure-geometry bookkeeping."""
+    cfg, grid, reg, state = _setup()
+    a = jnp.full((cfg.domain.ncat,) + grid.shape, 0.16)
+    state = state.replace(aicen=a, vicen=a * 1.5, vsnon=a * 0.1,
+                          uvel=jnp.full(grid.shape, 0.3),
+                          vvel=jnp.full(grid.shape, -0.2))
+    Tf = jnp.full(grid.shape, -1.8)
+    out = transport_remap(grid, state, reg, Tf, dt=3600.0)
+    # interior cells (the N/S boundary rows see open-boundary in/outflow)
+    np.testing.assert_allclose(np.asarray(out.aicen)[:, 2:-2], 0.16,
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.vicen)[:, 2:-2], 0.24,
+                               rtol=2e-6)
+
+
+def test_incremental_remap_rotation_conserves():
+    """Solid-body rotation: mass exactly conserved, field stays bounded."""
+    cfg, grid, reg, state = _setup()
+    ny, nx = grid.shape
+    jj, ii = np.mgrid[0:ny, 0:nx]
+    dx = float(grid.dxT[0, 0])
+    x = (ii - nx / 2) * dx
+    y = (jj - ny / 2) * dx
+    om = 2.0e-6   # rad/s
+    state = state.replace(uvel=jnp.asarray(-om * y, jnp.float32),
+                          vvel=jnp.asarray(om * x, jnp.float32))
+    Tf = jnp.full(grid.shape, -1.8)
+    a0, v0, s0 = global_mass(grid, state)
+    for _ in range(8):
+        state = transport_remap(grid, state, reg, Tf, dt=3600.0)
+    a1, v1, s1 = global_mass(grid, state)
+    assert abs(float(a1 - a0)) / float(a0) < 1e-5
+    assert abs(float(v1 - v0)) / float(v0) < 1e-5
+    assert float(jnp.max(state.aicen)) <= 0.85   # bounded (near-monotone)
+    assert float(jnp.min(state.aicen)) >= -1e-7
