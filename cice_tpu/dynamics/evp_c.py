@@ -199,6 +199,45 @@ def dyn_prep_c(grid: Grid, cfg_dyn, dt: float, *, aice, vice, vsno,
                  Cw=jnp.full_like(aiE, cst.dragio))
 
 
+class CDPrepExtra(NamedTuple):
+    """Additional E/N-point momentum inputs for the CD grid (both velocity
+    components live at both faces; reference stepuv_CD)."""
+    forceyE: jnp.ndarray
+    wateryE: jnp.ndarray
+    forcexN: jnp.ndarray
+    waterxN: jnp.ndarray
+    vvelE_init: jnp.ndarray
+    uvelN_init: jnp.ndarray
+
+
+def dyn_prep_cd(grid: Grid, cfg_dyn, dt: float, prep: CPrep, *,
+                vvelE, uvelN, strairxT, strairyT) -> CDPrepExtra:
+    """The CD-grid extras on top of dyn_prep_c: y-forcing at E points and
+    x-forcing at N points."""
+    def toE(f, kind="S"):
+        return grid_average_X2Y(kind, f, "T", "E", grid)
+
+    def toN(f, kind="S"):
+        return grid_average_X2Y(kind, f, "T", "N", grid)
+
+    strairyE = toE(strairyT, "F")
+    strairxN = toN(strairxT, "F")
+    sgnE = jnp.sign(jnp.where(prep.fmE == 0, 1.0, prep.fmE))
+    sgnN = jnp.sign(jnp.where(prep.fmN == 0, 1.0, prep.fmN))
+    wateryE = jnp.where(prep.iceEmask,
+                        prep.vocnE * cst.cosw + prep.uocnE * cst.sinw * sgnE,
+                        0.0)
+    waterxN = jnp.where(prep.iceNmask,
+                        prep.uocnN * cst.cosw - prep.vocnN * cst.sinw * sgnN,
+                        0.0)
+    forceyE = jnp.where(prep.iceEmask, strairyE + prep.fmE * prep.uocnE, 0.0)
+    forcexN = jnp.where(prep.iceNmask, strairxN - prep.fmN * prep.vocnN, 0.0)
+    return CDPrepExtra(forceyE=forceyE, wateryE=wateryE, forcexN=forcexN,
+                       waterxN=waterxN,
+                       vvelE_init=jnp.where(prep.iceEmask, vvelE, 0.0),
+                       uvelN_init=jnp.where(prep.iceNmask, uvelN, 0.0))
+
+
 class CEvpState(NamedTuple):
     uvelE: jnp.ndarray
     vvelN: jnp.ndarray
@@ -325,6 +364,178 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
     final = jax.lax.fori_loop(0, p.ndte, body, init)
 
     # B-grid-compatible corner velocity for transport/coupling
+    uvelU = grid_average_X2Y("S", final.uvelE, "E", "U", grid)
+    vvelU = grid_average_X2Y("S", final.vvelN, "N", "U", grid)
+    return final, uvelU, vvelU
+
+
+class CDEvpState(NamedTuple):
+    """CD-grid prognostic set: both velocity components at both faces,
+    stress tensor at T and U points (reference stressCD_T:1978,
+    stressCD_U:2088, stepuv_CD)."""
+    uvelE: jnp.ndarray
+    vvelE: jnp.ndarray
+    uvelN: jnp.ndarray
+    vvelN: jnp.ndarray
+    stresspT: jnp.ndarray
+    stressmT: jnp.ndarray
+    stress12T: jnp.ndarray
+    stresspU: jnp.ndarray
+    stressmU: jnp.ndarray
+    stress12U: jnp.ndarray
+
+
+def evp_cd_solve(grid: Grid, p: EvpParams, prep: CPrep, extra: CDPrepExtra,
+                 strength, init: CDEvpState):
+    """CD-grid EVP subcycle loop (ice_dyn_evp.F90:1125-1293): stresses at
+    BOTH T and U points, momentum stepped for BOTH components at E and N
+    via an implicit 2x2 point solve."""
+    bc = grid.bc
+    DminTarea = p.deltaminEVP * grid.tarea
+    DminUarea = p.deltaminEVP * grid.uarea
+    c1m = 1.0 - p.arlx1i * p.revp
+    a1, d1 = p.arlx1i, p.denom1
+
+    uarea = grid.uarea
+    uarea_w = _shU(uarea, 0, -1, bc)
+    uarea_s = _shU(uarea, -1, 0, bc)
+    uarea_sw = _shU(uarea, -1, -1, bc)
+    ta = grid.tarea
+    ta_e = _shU(ta, 0, 1, bc)
+    ta_n = _shU(ta, 1, 0, bc)
+    ta_ne = _shU(ta, 1, 1, bc)
+
+    def body(_, st: CDEvpState):
+        uvelE, vvelE, uvelN, vvelN = st.uvelE, st.vvelE, st.uvelN, st.vvelN
+        uvelU = grid_average_X2Y("S", uvelE, "E", "U", grid)
+        vvelU = grid_average_X2Y("S", vvelN, "N", "U", grid)
+
+        divU, tenU, shearU = strain_rates_U_c(grid, uvelE, vvelE, uvelN,
+                                              vvelN, uvelU, vvelU)
+
+        # --- T-point stresses (stressCD_T: full tensor) ----------------
+        divT, tensionT = strain_rates_T_c(grid, uvelE, vvelN)
+        shU_w = _shU(shearU, 0, -1, bc)
+        shU_s = _shU(shearU, -1, 0, bc)
+        shU_sw = _shU(shearU, -1, -1, bc)
+        den = uarea + uarea_w + uarea_s + uarea_sw
+        shearT = (shearU * uarea + shU_w * uarea_w +
+                  shU_s * uarea_s + shU_sw * uarea_sw) / den
+        DeltaT = jnp.sqrt(divT ** 2 + p.e_factor * (tensionT ** 2 +
+                                                    shearT ** 2))
+        zetax2T, etax2T, rep_prsT = visc_replpress(strength, DminTarea,
+                                                   DeltaT, p)
+        m = prep.iceTmask
+        spT = jnp.where(m, (st.stresspT * c1m +
+                            a1 * (zetax2T * divT - rep_prsT)) * d1,
+                        st.stresspT)
+        smT = jnp.where(m, (st.stressmT * c1m +
+                            a1 * etax2T * tensionT) * d1, st.stressmT)
+        s12T = jnp.where(m, (st.stress12T * c1m +
+                             a1 * 0.5 * etax2T * shearT) * d1, st.stress12T)
+
+        # --- U-point stresses (stressCD_U, visc_method='avg_zeta') -----
+        def uavg(f):
+            return (f * ta + _shU(f, 0, 1, bc) * ta_e +
+                    _shU(f, 1, 0, bc) * ta_n + _shU(f, 1, 1, bc) * ta_ne) / \
+                (ta + ta_e + ta_n + ta_ne)
+        strU = uavg(strength)
+        DeltaU = jnp.sqrt(divU ** 2 + p.e_factor * (tenU ** 2 +
+                                                    shearU ** 2))
+        zetax2U, etax2U, rep_prsU = visc_replpress(strU, DminUarea, DeltaU, p)
+        spU = (st.stresspU * c1m + a1 * (zetax2U * divU - rep_prsU)) * d1
+        smU = (st.stressmU * c1m + a1 * etax2U * tenU) * d1
+        s12U = (st.stress12U * c1m + a1 * 0.5 * etax2U * shearU) * d1
+
+        # --- stress divergences at E (x & y) and N (x & y) --------------
+        earear = jnp.where(grid.earea > 0,
+                           1.0 / jnp.maximum(grid.earea, 1.0), 0.0)
+        narear = jnp.where(grid.narea > 0,
+                           1.0 / jnp.maximum(grid.narea, 1.0), 0.0)
+
+        # div_stress_Ex (T normal stresses, U shear): as the C grid
+        spT_e = _shE(spT, 0, 1, bc, vec=False)
+        smT_e = _shE(smT, 0, 1, bc, vec=False)
+        dyT_e = _shT(grid.dyT, 0, 1, bc)
+        s12U_s = _shE(s12U, -1, 0, bc, vec=False)
+        dxU_s = _shT(grid.dxU, -1, 0, bc)
+        strintxE = earear * (
+            0.5 * grid.dyE * (spT_e - spT)
+            + (0.5 / grid.dyE) * (dyT_e ** 2 * smT_e - grid.dyT ** 2 * smT)
+            + (1.0 / grid.dxE) * (grid.dxU ** 2 * s12U -
+                                  dxU_s ** 2 * s12U_s))
+
+        # div_stress_Ey (U normal stresses, T shear)
+        spU_s = _shE(spU, -1, 0, bc, vec=False)
+        smU_s = _shE(smU, -1, 0, bc, vec=False)
+        s12T_e = _shE(s12T, 0, 1, bc, vec=False)
+        strintyE = earear * (
+            0.5 * grid.dxE * (spU - spU_s)
+            - (0.5 / grid.dxE) * (grid.dxU ** 2 * smU - dxU_s ** 2 * smU_s)
+            + (1.0 / grid.dyE) * (dyT_e ** 2 * s12T_e -
+                                  grid.dyT ** 2 * s12T))
+
+        # div_stress_Ny (T normal stresses, U shear): as the C grid
+        spT_n = _shN(spT, 1, 0, bc, vec=False)
+        smT_n = _shN(smT, 1, 0, bc, vec=False)
+        dxT_n = _shT(grid.dxT, 1, 0, bc)
+        s12U_w = _shN(s12U, 0, -1, bc, vec=False)
+        dyU_w = _shT(grid.dyU, 0, -1, bc)
+        strintyN = narear * (
+            0.5 * grid.dxN * (spT_n - spT)
+            - (0.5 / grid.dxN) * (dxT_n ** 2 * smT_n - grid.dxT ** 2 * smT)
+            + (1.0 / grid.dyN) * (grid.dyU ** 2 * s12U -
+                                  dyU_w ** 2 * s12U_w))
+
+        # div_stress_Nx (U normal stresses, T shear)
+        spU_w = _shN(spU, 0, -1, bc, vec=False)
+        smU_w = _shN(smU, 0, -1, bc, vec=False)
+        s12T_n = _shN(s12T, 1, 0, bc, vec=False)
+        strintxN = narear * (
+            0.5 * grid.dyN * (spU - spU_w)
+            + (0.5 / grid.dyN) * (grid.dyU ** 2 * smU - dyU_w ** 2 * smU_w)
+            + (1.0 / grid.dxN) * (dxT_n ** 2 * s12T_n -
+                                  grid.dxT ** 2 * s12T))
+
+        # --- momentum: implicit 2x2 at E and at N (stepuv_CD) -----------
+        vrelE = prep.aiE * cst.rhow * prep.Cw * jnp.sqrt(
+            (prep.uocnE - uvelE) ** 2 + (prep.vocnE - vvelE) ** 2)
+        CbE = prep.TbE / (jnp.sqrt(uvelE ** 2 + vvelE ** 2) + cst.u0)
+        ccaE = (p.brlx + p.revp) * prep.emassdti + vrelE * cst.cosw + CbE
+        ccaE = jnp.where(prep.iceEmask, ccaE, 1.0)
+        sgnE = jnp.sign(jnp.where(prep.fmE == 0, 1.0, prep.fmE))
+        ccbE = prep.fmE + sgnE * vrelE * cst.sinw
+        cc1 = strintxE + prep.forcexE + vrelE * prep.waterxE \
+            + prep.emassdti * (p.brlx * uvelE + p.revp * prep.uvelE_init)
+        cc2 = strintyE + extra.forceyE + vrelE * extra.wateryE \
+            + prep.emassdti * (p.brlx * vvelE + p.revp * extra.vvelE_init)
+        detE = ccaE ** 2 + ccbE ** 2
+        uE_new = jnp.where(prep.iceEmask, (ccaE * cc1 + ccbE * cc2) / detE,
+                           0.0)
+        vE_new = jnp.where(prep.iceEmask, (ccaE * cc2 - ccbE * cc1) / detE,
+                           0.0)
+
+        vrelN = prep.aiN * cst.rhow * prep.Cw * jnp.sqrt(
+            (prep.uocnN - uvelN) ** 2 + (prep.vocnN - vvelN) ** 2)
+        CbN = prep.TbN / (jnp.sqrt(uvelN ** 2 + vvelN ** 2) + cst.u0)
+        ccaN = (p.brlx + p.revp) * prep.nmassdti + vrelN * cst.cosw + CbN
+        ccaN = jnp.where(prep.iceNmask, ccaN, 1.0)
+        sgnN = jnp.sign(jnp.where(prep.fmN == 0, 1.0, prep.fmN))
+        ccbN = prep.fmN + sgnN * vrelN * cst.sinw
+        cc3 = strintxN + extra.forcexN + vrelN * extra.waterxN \
+            + prep.nmassdti * (p.brlx * uvelN + p.revp * extra.uvelN_init)
+        cc4 = strintyN + prep.forceyN + vrelN * prep.wateryN \
+            + prep.nmassdti * (p.brlx * vvelN + p.revp * prep.vvelN_init)
+        detN = ccaN ** 2 + ccbN ** 2
+        uN_new = jnp.where(prep.iceNmask, (ccaN * cc3 + ccbN * cc4) / detN,
+                           0.0)
+        vN_new = jnp.where(prep.iceNmask, (ccaN * cc4 - ccbN * cc3) / detN,
+                           0.0)
+
+        return CDEvpState(uE_new, vE_new, uN_new, vN_new,
+                          spT, smT, s12T, spU, smU, s12U)
+
+    final = jax.lax.fori_loop(0, p.ndte, body, init)
     uvelU = grid_average_X2Y("S", final.uvelE, "E", "U", grid)
     vvelU = grid_average_X2Y("S", final.vvelN, "N", "U", grid)
     return final, uvelU, vvelU

@@ -6,15 +6,18 @@ TPU-native re-implementation of cicecore/cicedyn/dynamics/ice_dyn_vp.F90
 2012), Bouillon et al. (2013) revisited VP.
 
 Design: the nonlinear momentum equation F(u)=0 is solved by Picard
-fixed-point iterations; each iteration freezes the viscosities (zeta/eta from
-the previous iterate, `visc_method` semantics) and the drag linearization
-(vrel), yielding a LINEAR operator A(u,v) whose action is matrix-free (the
-same B-grid bilinear stress divergence as EVP, minus the constant
-replacement-pressure part which moves to the RHS). The linear solves use
-`jax.scipy.sparse.linalg.gmres` over the (u, v) pytree with a diagonal
-preconditioner — the idiomatic JAX form of the reference's FGMRES+pgmres
-stack (global dot products lower to psum on a mesh). Fixed iteration counts
-keep everything jit-stable; convergence is monitored, not branched on.
+fixed-point iterations (optionally Anderson-accelerated,
+`algo_nonlin='anderson'`); each iteration freezes the viscosities
+(zeta/eta from the previous iterate) and the drag linearization (vrel),
+yielding a LINEAR operator A(u,v) whose action is matrix-free (the same
+B-grid bilinear stress divergence as EVP, minus the constant
+replacement-pressure part which moves to the RHS). The linear solves use a
+right-preconditioned FLEXIBLE GMRES written here (fixed Krylov dimension &
+restart counts — jit-stable; MGS or CGS orthogonalization per
+`ortho_type`), preconditioned by `precond='pgmres'` (an inner
+diagonally-preconditioned GMRES of dimension `dim_pgmres`, exactly the
+reference's pgmres:3139), 'diag', or 'ident'. Global dot products lower to
+psum on a device mesh. Convergence is monitored, never branched on.
 """
 
 from __future__ import annotations
@@ -80,6 +83,115 @@ def rep_pressure_force(grid: Grid, visc: VpViscosity):
                              z, z, z, z, z, z, z, z)
 
 
+# ---------------------------------------------------------------------------
+# Krylov machinery over (u, v) pairs
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    """Global inner product (lowers to psum under shard_map)."""
+    return jnp.sum(a[0] * b[0] + a[1] * b[1])
+
+
+def _add(a, b, s=1.0):
+    return (a[0] + s * b[0], a[1] + s * b[1])
+
+
+def _scale(a, s):
+    return (a[0] * s, a[1] * s)
+
+
+def fgmres(matvec, b, x0, M, dim: int, restarts: int = 1,
+           ortho: str = "mgs"):
+    """Right-preconditioned flexible GMRES (reference fgmres:2737).
+
+    Fixed Krylov dimension `dim` per cycle and a fixed number of restart
+    cycles — no data-dependent control flow, so the whole solve traces
+    into one XLA computation. The preconditioner M may itself be an
+    iterative solve (flexible: the preconditioned vectors Z_j are stored).
+    """
+    eps = 1e-30
+    x = x0
+    for _ in range(restarts):
+        r = _add(b, matvec(x), -1.0)
+        beta = jnp.sqrt(_dot(r, r))
+        V = [_scale(r, 1.0 / jnp.maximum(beta, eps))]
+        Z = []
+        Hcols = []
+        for j in range(dim):
+            z = M(V[j])
+            w = matvec(z)
+            h = []
+            if ortho == "cgs":
+                hs = [_dot(w, V[i]) for i in range(j + 1)]
+                for i in range(j + 1):
+                    w = _add(w, V[i], -hs[i])
+                h = hs
+            else:  # modified Gram-Schmidt
+                for i in range(j + 1):
+                    hij = _dot(w, V[i])
+                    w = _add(w, V[i], -hij)
+                    h.append(hij)
+            hlast = jnp.sqrt(_dot(w, w))
+            V.append(_scale(w, 1.0 / jnp.maximum(hlast, eps)))
+            Z.append(z)
+            Hcols.append(h + [hlast])
+        # assemble the small Hessenberg system and solve the LS problem
+        H = jnp.zeros((dim + 1, dim), b[0].dtype)
+        for j, col in enumerate(Hcols):
+            for i, hij in enumerate(col):
+                H = H.at[i, j].set(hij)
+        e1 = jnp.zeros((dim + 1,), b[0].dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
+        for j in range(dim):
+            x = _add(x, Z[j], y[j])
+    return x
+
+
+def _pgmres_preconditioner(matvec, diag, dim: int, ortho: str):
+    """The reference's 'pgmres' preconditioner (pgmres:3139): an inner
+    GMRES of small fixed dimension on the same operator, itself diagonally
+    preconditioned."""
+    Md = lambda t: (t[0] / diag, t[1] / diag)
+
+    def M(v):
+        zero = (jnp.zeros_like(v[0]), jnp.zeros_like(v[1]))
+        return fgmres(matvec, v, zero, Md, dim=dim, restarts=1, ortho=ortho)
+    return M
+
+
+def _anderson_update(x_hist, f_hist, g_new, x_new, damping):
+    """Anderson(m) mixing (reference anderson_solver:663 with QR updates;
+    here the small least-squares is solved directly): given histories of
+    iterates x_k and residuals f_k = G(x_k) - x_k, return the accelerated
+    next iterate."""
+    m = len(f_hist) - 1
+    if m < 1:
+        return g_new
+    fk = f_hist[-1]
+    dF = []
+    dX = []
+    for i in range(m):
+        dF.append(_add(f_hist[i + 1], f_hist[i], -1.0))
+        dX.append(_add(x_hist[i + 1], x_hist[i], -1.0))
+    # least squares min ||f_k - dF gamma|| on the flattened columns (more
+    # stable than normal equations when the dF are nearly collinear; the
+    # reference maintains the same LS problem by QR up/downdating)
+    cols = [jnp.concatenate([d[0].ravel(), d[1].ravel()]) for d in dF]
+    Fm = jnp.stack(cols, axis=1)
+    fv = jnp.concatenate([fk[0].ravel(), fk[1].ravel()])
+    gamma, *_ = jnp.linalg.lstsq(Fm, fv, rcond=1e-6)
+    # safeguard: shrink aggressive extrapolations (keeps AA a contraction
+    # even with an inexact inner solve)
+    gnorm = jnp.sqrt(jnp.sum(gamma ** 2))
+    gamma = gamma * jnp.minimum(1.0, 1.5 / jnp.maximum(gnorm, 1e-12))
+    out = g_new
+    for i in range(m):
+        out = _add(out, _add(dX[i], dF[i]), -gamma[i])
+    if damping > 0.0:
+        out = _add(_scale(out, 1.0 - damping), _scale(x_new, damping))
+    return out
+
+
 def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
                     uocn, vocn, dt: float):
     """Picard + GMRES implicit VP solve (reference implicit_solver:152).
@@ -93,6 +205,9 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
     u, v = prep.uvel, prep.vvel
 
     res_hist = []
+    anderson = cfg_dyn.algo_nonlin == "anderson"
+    x_hist = [(u, v)]
+    f_hist = []
 
     def drag_coeffs(u, v):
         vrel = prep.aiU * cst.rhow * prep.Cw * jnp.sqrt((uocn - u) ** 2 +
@@ -100,11 +215,11 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         Cb = prep.TbU / (jnp.sqrt(u ** 2 + v ** 2) + cst.u0)
         return vrel, Cb
 
+    dim = min(cfg_dyn.dim_fgmres, 16)   # fixed Krylov dim (jit-unrolled)
+    restarts = max(1, min(cfg_dyn.maxits_fgmres // max(dim, 1), 3))
+
     for _ in range(cfg_dyn.maxits_nonlin):
-        if cfg_dyn.use_mean_vrel:
-            vrel, Cb = drag_coeffs(u, v)
-        else:
-            vrel, Cb = drag_coeffs(u, v)
+        vrel, Cb = drag_coeffs(u, v)
         visc = calc_viscosities(grid, p, strength, DminTarea, u, v)
 
         cca = prep.umassdti + vrel * cst.cosw + Cb
@@ -125,10 +240,14 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         bv = prep.forcey + vrel * prep.watery + prep.umassdti * prep.vvel_init + ry
         b = (jnp.where(mask, bu, 0.0), jnp.where(mask, bv, 0.0))
 
-        if cfg_dyn.precond in ("diag", "pgmres"):
+        if cfg_dyn.precond == "pgmres":
+            M = _pgmres_preconditioner(matvec, cca_safe,
+                                       max(2, cfg_dyn.dim_pgmres),
+                                       cfg_dyn.ortho_type)
+        elif cfg_dyn.precond == "diag":
             M = lambda x: (x[0] / cca_safe, x[1] / cca_safe)
         else:
-            M = None
+            M = lambda x: x
 
         # nonlinear residual |F(u_k)| = |A(u_k) u_k - b(u_k)| BEFORE the
         # solve: linearization and iterate taken at the same point
@@ -136,13 +255,26 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         res = jnp.sqrt(jnp.sum((au - b[0]) ** 2 + (av - b[1]) ** 2))
         res_hist.append(res)
 
-        x, _ = jax.scipy.sparse.linalg.gmres(
-            matvec, b, x0=(u, v), tol=cfg_dyn.reltol_fgmres, atol=0.0,
-            restart=min(cfg_dyn.dim_fgmres, 50),
-            maxiter=cfg_dyn.maxits_fgmres // min(cfg_dyn.dim_fgmres, 50) + 1,
-            M=M, solve_method="batched")
-        u = jnp.where(mask, x[0], 0.0)
-        v = jnp.where(mask, x[1], 0.0)
+        x = fgmres(matvec, b, (u, v), M, dim=dim, restarts=restarts,
+                   ortho=cfg_dyn.ortho_type)
+        g = (jnp.where(mask, x[0], 0.0), jnp.where(mask, x[1], 0.0))
+
+        if anderson:
+            it = len(res_hist) - 1
+            f_hist.append(_add(g, (u, v), -1.0))
+            if len(f_hist) > cfg_dyn.dim_andacc + 1:
+                f_hist.pop(0)
+                x_hist.pop(0)
+            if it >= cfg_dyn.start_andacc:
+                acc = _anderson_update(x_hist, f_hist, g, (u, v),
+                                       cfg_dyn.damping_andacc)
+            else:
+                acc = g
+            u = jnp.where(mask, acc[0], 0.0)
+            v = jnp.where(mask, acc[1], 0.0)
+            x_hist.append((u, v))
+        else:
+            u, v = g
 
     # final stress state for diagnostics/restart (EVP-compatible layout)
     visc = calc_viscosities(grid, p, strength, DminTarea, u, v)

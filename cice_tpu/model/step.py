@@ -277,6 +277,39 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     strength = ice_strength(state.aicen, state.vicen, state.aice, state.vice, d)
 
+    if cfg.grid.grid_ice == "CD" and d.kdyn == 1:
+        from ..dynamics.evp_c import (CDEvpState, dyn_prep_c, dyn_prep_cd,
+                                      evp_cd_solve)
+        prepc = dyn_prep_c(grid, d, dt, aice=state.aice, vice=state.vice,
+                           vsno=state.vsno, uvelE=state.uvelE,
+                           vvelN=state.vvelN, strairxT=strairx_T,
+                           strairyT=strairy_T, uocn_T=fc.uocn, vocn_T=fc.vocn)
+        extra = dyn_prep_cd(grid, d, dt, prepc, vvelE=state.vvelE,
+                            uvelN=state.uvelN, strairxT=strairx_T,
+                            strairyT=strairy_T)
+        init = CDEvpState(
+            uvelE=prepc.uvelE_init, vvelE=extra.vvelE_init,
+            uvelN=extra.uvelN_init, vvelN=prepc.vvelN_init,
+            stresspT=jnp.where(prepc.iceTmask, state.stressp[0], 0.0),
+            stressmT=jnp.where(prepc.iceTmask, state.stressm[0], 0.0),
+            stress12T=jnp.where(prepc.iceTmask, state.stress12[0], 0.0),
+            stresspU=state.stressp[1], stressmU=state.stressm[1],
+            stress12U=state.stress12[1])
+        final, uU, vU = evp_cd_solve(grid, p, prepc, extra, strength, init)
+        sp = state.stressp.at[0].set(final.stresspT).at[1].set(final.stresspU)
+        sm = state.stressm.at[0].set(final.stressmT).at[1].set(final.stressmU)
+        s12 = state.stress12.at[0].set(final.stress12T).at[1].set(
+            final.stress12U)
+        divu, shear, Delta = deformations_B(grid, uU, vU, p, dt)
+        state = state.replace(uvel=uU, vvel=vU, uvelE=final.uvelE,
+                              vvelE=final.vvelE, uvelN=final.uvelN,
+                              vvelN=final.vvelN, stressp=sp, stressm=sm,
+                              stress12=s12)
+        zero = jnp.zeros_like(uU)
+        return state, dict(strintx=zero, strinty=zero, taubx=zero,
+                           tauby=zero, strocnx=zero, strocny=zero,
+                           divu=divu, shear=shear, Delta=Delta)
+
     if cfg.grid.grid_ice == "C" and d.kdyn == 1:
         from ..dynamics.evp_c import dyn_prep_c, evp_c_solve
         prepc = dyn_prep_c(grid, d, dt, aice=state.aice, vice=state.vice,

@@ -78,3 +78,65 @@ def test_cgrid_close_to_bgrid():
     ubn = np.asarray(ub)[interior]
     scale = np.abs(ubn).max() + 1e-12
     assert np.median(np.abs(uc - ubn)) / scale < 0.15
+
+
+def _cd_init(grid, prep, extra):
+    from cice_tpu.dynamics.evp_c import CDEvpState
+    z = jnp.zeros(grid.shape)
+    return CDEvpState(uvelE=prep.uvelE_init, vvelE=extra.vvelE_init,
+                      uvelN=extra.uvelN_init, vvelN=prep.vvelN_init,
+                      stresspT=z, stressmT=z, stress12T=z,
+                      stresspU=z, stressmU=z, stress12U=z)
+
+
+def test_cdgrid_free_drift():
+    from cice_tpu.dynamics.evp_c import dyn_prep_cd, evp_cd_solve
+    cfg, grid, prep, p, strength = _setup(strength_scale=1e-12)
+    z = jnp.zeros(grid.shape)
+    extra = dyn_prep_cd(grid, cfg.dynamics, cfg.setup.dt, prep, vvelE=z,
+                        uvelN=z, strairxT=jnp.full(grid.shape, 0.15),
+                        strairyT=z)
+    final, uU, vU = evp_cd_solve(grid, p, prep, extra, strength,
+                                 _cd_init(grid, prep, extra))
+    interior = np.s_[5:-5, 5:-5]
+    u = np.asarray(final.uvelE)[interior]
+    v = np.asarray(final.vvelE)[interior]
+    aiE = np.asarray(prep.aiE)[interior]
+    fmE = np.asarray(prep.fmE)[interior]
+    fx = np.asarray(prep.forcexE)[interior]
+    vrel = aiE * cst.rhow * cst.dragio * np.sqrt(u ** 2 + v ** 2)
+    rx = fx - vrel * u + fmE * v
+    assert np.isfinite(u).all()
+    assert np.abs(rx).max() / np.abs(fx).max() < 0.05
+    assert 0.02 < np.abs(u).max() < 1.0
+
+
+def test_cdgrid_close_to_cgrid():
+    """With identical inputs, CD and C velocities should agree closely
+    (CD adds U-point stresses but resolves the same rheology)."""
+    from cice_tpu.dynamics.evp_c import dyn_prep_cd, evp_cd_solve
+    cfg, grid, prep, p, strength = _setup(ndte=600)
+    z = jnp.zeros(grid.shape)
+    finalC, _, _ = evp_c_solve(grid, p, prep, strength, z, z, z)
+    extra = dyn_prep_cd(grid, cfg.dynamics, cfg.setup.dt, prep, vvelE=z,
+                        uvelN=z, strairxT=jnp.full(grid.shape, 0.15),
+                        strairyT=z)
+    finalCD, _, _ = evp_cd_solve(grid, p, prep, extra, strength,
+                                 _cd_init(grid, prep, extra))
+    interior = np.s_[5:-5, 5:-5]
+    uC = np.asarray(finalC.uvelE)[interior]
+    uCD = np.asarray(finalCD.uvelE)[interior]
+    scale = np.abs(uC).max()
+    assert np.abs(uCD - uC).max() < 0.25 * scale + 1e-4
+
+
+def test_cdgrid_end_to_end_step():
+    """Full model step on the CD grid compiles and stays finite."""
+    from cice_tpu.config import box2001_config
+    from cice_tpu.model.driver import Model
+    c = box2001_config(20, 20).with_overrides(**{"grid.grid_ice": "CD"})
+    m = Model(c)
+    m.run(3)
+    assert np.isfinite(np.asarray(m.state.uvelE)).all()
+    assert np.isfinite(np.asarray(m.state.vvelE)).all()
+    assert np.isfinite(np.asarray(m.state.aice)).all()

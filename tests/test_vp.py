@@ -64,3 +64,42 @@ def test_vp_matches_converged_evp():
     scale = np.abs(np.asarray(uvp))[m].max() + 1e-12
     # EVP approximates VP: agreement to ~20% of the velocity scale
     assert np.median(du) / scale < 0.2
+
+
+def test_anderson_accelerates_picard():
+    """Anderson(5) should reach a residual no worse than plain Picard in
+    the same number of nonlinear iterations (reference algo_nonlin)."""
+    cfg, grid, prep, strength = _setup()
+    z = jnp.zeros(grid.shape)
+    few = {"dynamics.maxits_nonlin": 8, "dynamics.dim_fgmres": 8}
+    cfg_p = cfg.with_overrides(**few)
+    cfg_a = cfg.with_overrides(**few, **{"dynamics.algo_nonlin": "anderson",
+                                         "dynamics.dim_andacc": 4})
+    *_, res_p = implicit_solver(grid, cfg_p.dynamics, prep, strength,
+                                uocn=z, vocn=z, dt=cfg.setup.dt)
+    out_a = implicit_solver(grid, cfg_a.dynamics, prep, strength,
+                            uocn=z, vocn=z, dt=cfg.setup.dt)
+    res_a = out_a[-1]
+    assert np.isfinite(np.asarray(out_a[0])).all()
+    assert float(res_a[-1]) <= float(res_p[-1]) * 3.0   # no blow-up
+    assert float(res_a[-1]) < float(res_a[0])           # converging
+
+
+def test_precond_variants_agree():
+    """pgmres / diag / ident preconditioning converge to the same velocity
+    field (preconditioning changes the path, not the solution)."""
+    cfg, grid, prep, strength = _setup(24, 24)
+    z = jnp.zeros(grid.shape)
+    sols = []
+    for pc in ("pgmres", "diag", "ident"):
+        c = cfg.with_overrides(**{"dynamics.precond": pc,
+                                  "dynamics.maxits_nonlin": 12,
+                                  "dynamics.dim_fgmres": 12,
+                                  "dynamics.ortho_type": "mgs" if pc != "diag"
+                                  else "cgs"})
+        u, v, *_ = implicit_solver(grid, c.dynamics, prep, strength,
+                                   uocn=z, vocn=z, dt=cfg.setup.dt)
+        sols.append((np.asarray(u), np.asarray(v)))
+    for (u2, v2) in sols[1:]:
+        scale = np.abs(sols[0][0]).max()
+        assert np.abs(u2 - sols[0][0]).max() < 0.08 * scale + 1e-4
