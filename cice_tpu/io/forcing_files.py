@@ -1,0 +1,190 @@
+"""File-based forcing datasets: readers + time interpolation.
+
+Equivalent of the dataset machinery in
+cicecore/cicedyn/general/ice_forcing.F90: per-dataset file lists
+(`JRA55_files`:2181, `ncar_files`), record reading through the low-level
+field IO (`ice_read_xyt` ice_read_write.F90:198 — big-endian direct-access
+binary; netCDF variants `ice_read_nc_*`:1096), and the linear
+time-interpolation machinery (`interp_coeff`:1341-1488,
+`interpolate_data`:1492, `read_data`:756 with record rotation).
+
+TPU-native shape: files are read on the HOST with numpy (forcing prep sits
+outside the jitted step, exactly as the reference does IO on the master
+rank), producing `(ny, nx)` numpy arrays that the forcing layer uploads
+once per bracketing record; interpolation between the two bracketing
+records happens every step with two scalars (c1, c2).
+
+Supported container formats:
+- `.npz`  — dict of arrays `(nrec, ny, nx)` keyed by field name
+- `.nc`   — netCDF3-classic via scipy (CDF1/2; the reference's
+            `ice_read_nc_xy` for default-format files)
+- `.bin`  — raw big-endian float64 direct-access records in field-major
+            order (the reference's POP-style binary, ice_read_write.F90:198)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+SECDAY = 86400.0
+DAYYR = 365.0
+
+
+# ---------------------------------------------------------------------------
+# record readers
+# ---------------------------------------------------------------------------
+
+def read_field_record(path: str, varname: str, nrec: int, shape,
+                      total_recs: Optional[int] = None) -> np.ndarray:
+    """Read record `nrec` (0-based) of `varname` from a forcing file.
+    Dispatch on extension (reference ice_read_xyt / ice_read_nc_xy)."""
+    ny, nx = shape
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            arr = z[varname]
+        return np.asarray(arr[nrec], np.float64)
+    if path.endswith(".nc"):
+        from scipy.io import netcdf_file
+        with netcdf_file(path, "r", mmap=False) as f:
+            v = f.variables[varname]
+            data = v[nrec] if v.data.ndim == 3 else v[:]
+            out = np.array(data, np.float64)
+            # apply CF scale/offset when present
+            sf = getattr(v, "scale_factor", None)
+            ao = getattr(v, "add_offset", None)
+            if sf is not None:
+                out = out * float(sf)
+            if ao is not None:
+                out = out + float(ao)
+        return out
+    if path.endswith(".bin"):
+        # field-major big-endian f64: all records of field 0, then field 1…
+        # varname here is "<index>" into the per-file field order
+        fidx = int(varname)
+        recsize = ny * nx * 8
+        ntot = total_recs if total_recs else 1
+        off = (fidx * ntot + nrec) * recsize
+        with open(path, "rb") as f:
+            f.seek(off)
+            buf = f.read(recsize)
+        return np.frombuffer(buf, ">f8").reshape(ny, nx).astype(np.float64)
+    raise ValueError(f"unknown forcing container: {path}")
+
+
+# ---------------------------------------------------------------------------
+# time interpolation (reference interp_coeff / interpolate_data)
+# ---------------------------------------------------------------------------
+
+def interp_coeff(timesecs: float, recslot: int, secint: float,
+                 offset: float = 0.0):
+    """Linear weights (c1, c2) between bracketing records
+    (reference interp_coeff ice_forcing.F90:1436): records are centered at
+    (rec-0.5)*secint + offset; recslot is the index of the record AFTER
+    `timesecs`."""
+    t2 = (recslot - 0.5) * secint + offset
+    t1 = t2 - secint
+    c2 = (timesecs - t1) / secint
+    c2 = min(max(c2, 0.0), 1.0)
+    return 1.0 - c2, c2
+
+
+@dataclass
+class ForcingDataset:
+    """One time-varying forcing stream (e.g. NCAR monthly atmosphere,
+    JRA55 3-hourly): bracketing-record cache + per-step interpolation."""
+
+    path_pattern: str            # e.g. "{dir}/jra55_{year:04d}.nc"
+    fields: Dict[str, str]       # model field -> file variable name
+    secint: float                # seconds between records
+    data_dir: str = ""
+    fyear_init: int = 2005
+    ycycle: int = 1              # years in the forcing cycle
+    offset: float = 0.0          # record-center offset (s)
+    shape: tuple = (0, 0)
+    # cache: (year, rec) -> {field: array}
+    _cache: dict = field(default_factory=dict)
+
+    def n_per_year(self) -> int:
+        return int(round(DAYYR * SECDAY / self.secint))
+
+    def _file_for(self, year: int) -> str:
+        cyc_year = self.fyear_init + (year - self.fyear_init) % self.ycycle
+        return self.path_pattern.format(dir=self.data_dir, year=cyc_year)
+
+    def _read_rec(self, year: int, rec: int) -> Dict[str, np.ndarray]:
+        npy = self.n_per_year()
+        # wrap records across year boundaries
+        while rec < 0:
+            year -= 1
+            rec += npy
+        while rec >= npy:
+            year += 1
+            rec -= npy
+        key = (self._file_for(year), rec)
+        if key not in self._cache:
+            path = key[0]
+            out = {}
+            for name, var in self.fields.items():
+                out[name] = read_field_record(path, var, rec, self.shape,
+                                              total_recs=npy)
+            # keep only a handful of records resident
+            if len(self._cache) > 4:
+                self._cache.clear()
+            self._cache[key] = out
+        return self._cache[key]
+
+    def at_time(self, year: int, sec_of_year: float) -> Dict[str, np.ndarray]:
+        """Interpolated fields at (`year`, seconds since Jan 1). 0-based
+        record r is centered at (r+0.5)*secint; `r_after` is the first
+        record centered at/after the requested time."""
+        r_after = int(np.floor((sec_of_year - self.offset) / self.secint +
+                               0.5))
+        c1, c2 = interp_coeff(sec_of_year, r_after + 1, self.secint,
+                              self.offset)
+        r1 = self._read_rec(year, r_after - 1)
+        r2 = self._read_rec(year, r_after)
+        return {k: c1 * r1[k] + c2 * r2[k] for k in self.fields}
+
+
+# ---------------------------------------------------------------------------
+# dataset definitions (reference ncar_files / JRA55_files)
+# ---------------------------------------------------------------------------
+
+def ncar_dataset(data_dir: str, shape, fyear_init=2005,
+                 ycycle=1) -> ForcingDataset:
+    """NCAR bulk monthly forcing (reference ncar_data ice_forcing.F90:2023):
+    monthly records of the bulk-flux inputs."""
+    return ForcingDataset(
+        path_pattern="{dir}/ncar_bulk_{year:04d}.npz",
+        fields=dict(Tair="Tair", Qa="Qa", uatm="uatm", vatm="vatm",
+                    fsw="fsw", cldf="cldf", fsnow="fsnow"),
+        secint=DAYYR * SECDAY / 12.0, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=ycycle, shape=shape)
+
+
+def jra55_dataset(data_dir: str, shape, fyear_init=2005,
+                  ycycle=1) -> ForcingDataset:
+    """JRA55(do) 3-hourly forcing (reference JRA55_data:2305): airtmp,
+    spchmd, wind, downward sw/lw, precipitation."""
+    return ForcingDataset(
+        path_pattern="{dir}/JRA55_{year:04d}.nc",
+        fields=dict(Tair="airtmp", Qa="spchmd", uatm="wndewd",
+                    vatm="wndnwd", swdn="glbrad", flw="dlwsfc",
+                    fsnow="ttlpcp"),
+        secint=3.0 * 3600.0, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=ycycle, shape=shape)
+
+
+def ocean_clim_dataset(data_dir: str, shape, fyear_init=2005) -> ForcingDataset:
+    """Monthly ocean climatology (sst/sss/currents/qdp; reference
+    ocn_data_ncar)."""
+    return ForcingDataset(
+        path_pattern="{dir}/ocean_clim.npz",
+        fields=dict(sst="sst", sss="sss", uocn="uocn", vocn="vocn",
+                    qdp="qdp", hmix="hmix"),
+        secint=DAYYR * SECDAY / 12.0, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=1, shape=shape)

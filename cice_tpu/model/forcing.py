@@ -138,6 +138,88 @@ def seasonal_atm(grid, yday: float, fc: Forcing, *, winter_Tair=-30.0,
                       fsnow=fsnow, frain=frain, coszen=coszen.astype(dt))
 
 
+def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
+    """Derive the full forcing set from raw dataset fields (reference
+    prepare_forcing ice_forcing.F90:1603): potential temperature, air
+    density, humidity caps, SW band split, longwave closure, rain/snow
+    partition, wind speed."""
+    dt = fc.Tair.dtype
+    get = lambda k, dflt: jnp.asarray(raw[k], dt) if k in raw else dflt
+    TairK = get("Tair", fc.Tair)
+    TairK = jnp.maximum(TairK, 150.0)
+    uatm = get("uatm", fc.uatm)
+    vatm = get("vatm", fc.vatm)
+    wind = jnp.sqrt(uatm ** 2 + vatm ** 2)
+    rhoa = fc.rhoa
+    Qa = get("Qa", None)
+    if Qa is None:
+        Qa = 0.8 * qa_saturation(TairK, rhoa)
+    Qa = jnp.clip(Qa, 0.0, qa_saturation(TairK, rhoa))
+    cldf = get("cldf", jnp.full(grid.shape, 0.5, dt))
+    if "swdn" in raw:
+        fsw = get("swdn", None)
+    elif "fsw" in raw:
+        fsw = get("fsw", None)
+    else:
+        # Shine (1984)-style clear-sky + cloud correction from coszen
+        decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
+        coszen = jnp.maximum(jnp.sin(grid.TLAT) * jnp.sin(decl) +
+                             jnp.cos(grid.TLAT) * jnp.cos(decl) * 0.637, 0.0)
+        fsw = 1365.0 * 0.7 * coszen * (1.0 - 0.6 * cldf)
+    fsw = jnp.maximum(fsw, 0.0)
+    swvdr, swvdf, swidr, swidf = shortwave_bands(fsw.astype(dt))
+    flw = get("flw", None)
+    if flw is None:
+        flw = longwave_rosati_miyakoda(TairK, TairK, Qa, cldf)
+    # precipitation: total rate split by air temperature
+    prec = get("fsnow", jnp.zeros(grid.shape, dt))
+    fsnow = jnp.where(TairK < cst.Tffresh, prec, 0.0)
+    frain = jnp.where(TairK >= cst.Tffresh, prec, 0.0)
+    decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
+    coszen = jnp.maximum(jnp.sin(grid.TLAT) * jnp.sin(decl) +
+                         jnp.cos(grid.TLAT) * jnp.cos(decl) * 0.637, 0.0)
+    return fc.replace(
+        Tair=TairK.astype(dt), potT=TairK.astype(dt), Qa=Qa.astype(dt),
+        uatm=uatm.astype(dt), vatm=vatm.astype(dt), wind=wind.astype(dt),
+        flw=jnp.asarray(flw, dt), swvdr=swvdr, swvdf=swvdf, swidr=swidr,
+        swidf=swidf, fsnow=fsnow.astype(dt), frain=frain.astype(dt),
+        coszen=coszen.astype(dt))
+
+
+def file_ocn(grid, cfg, raw: dict, fc: Forcing) -> Forcing:
+    """Ocean forcing from a climatology dataset (reference ocn_data_ncar)."""
+    from ..columns.ocean import freezing_temperature
+    dt = fc.sss.dtype
+    get = lambda k, dflt: jnp.asarray(raw[k], dt) if k in raw else dflt
+    sss = jnp.maximum(get("sss", fc.sss), 0.0)
+    Tf = freezing_temperature(sss, cfg.thermo.tfrz_option)
+    return fc.replace(
+        sss=sss, Tf=Tf,
+        sst_data=jnp.maximum(get("sst", fc.sst_data), Tf),
+        uocn=get("uocn", fc.uocn), vocn=get("vocn", fc.vocn),
+        qdp=get("qdp", fc.qdp), hmix=jnp.maximum(get("hmix", fc.hmix), 5.0))
+
+
+_DATASETS: dict = {}
+
+
+def _get_dataset(cfg, grid, kind: str):
+    """Lazy per-config dataset handles (reference init_forcing_atmo)."""
+    from ..io import forcing_files as ff
+    key = (id(cfg), kind)
+    if key not in _DATASETS:
+        shp = grid.shape
+        f = cfg.forcing
+        if kind == "ncar":
+            ds = ff.ncar_dataset(f.atm_data_dir, shp, f.fyear_init, f.ycycle)
+        elif kind == "jra55":
+            ds = ff.jra55_dataset(f.atm_data_dir, shp, f.fyear_init, f.ycycle)
+        else:
+            ds = ff.ocean_clim_dataset(f.ocn_data_dir, shp, f.fyear_init)
+        _DATASETS[key] = ds
+    return _DATASETS[key]
+
+
 def default_ocn(grid, cfg, fc: Forcing) -> Forcing:
     from ..columns.ocean import freezing_temperature
     sss = jnp.full(grid.shape, 34.0, fc.sss.dtype)
@@ -161,6 +243,13 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     elif atm in ("uniform_east", "uniform_north", "uniform_west",
                  "uniform_south", "calm"):
         fc = uniform_atm(grid, atm, 5.0, aice, fc)
+    elif atm in ("ncar", "jra55") and cfg.forcing.atm_data_dir:
+        # file-based datasets with linear time interpolation
+        year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
+        sec_of_year = timesecs % (365.0 * cst.secday)
+        ds = _get_dataset(cfg, grid, atm)
+        raw = ds.at_time(year, sec_of_year)
+        fc = prepare_forcing(grid, cfg, raw, fc, yday)
     elif atm in ("seasonal", "ncar", "jra55"):
         # dataset drivers fall back to the synthetic annual cycle when no
         # files are configured (file readers live in cice_tpu.io.forcing_files)
@@ -170,6 +259,11 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     ocn = cfg.forcing.ocn_data_type
     if ocn == "box2001":
         fc = box2001_ocn(grid, fc)
+    elif ocn in ("clim", "ncar") and cfg.forcing.ocn_data_dir:
+        year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
+        sec_of_year = timesecs % (365.0 * cst.secday)
+        ds = _get_dataset(cfg, grid, "ocn")
+        fc = file_ocn(grid, cfg, ds.at_time(year, sec_of_year), fc)
     if cfg.forcing.wave_spec_type != "none":
         # fully-developed-sea wave state from the local wind over open water
         # (ice_forcing get_wave_spec stand-in): Hs ~ 0.0248 U^2, Tp ~ 0.729 U

@@ -1,0 +1,101 @@
+"""File-based forcing tests: readers (npz/netCDF3/binary), time
+interpolation (interp_coeff semantics), year cycling, and an end-to-end
+model run driven from forcing files."""
+
+import numpy as np
+import pytest
+
+from cice_tpu.io.forcing_files import (ForcingDataset, interp_coeff,
+                                       ncar_dataset, read_field_record)
+
+NY, NX = 12, 10
+
+
+def _write_npz(tmp_path, year=2005, nrec=12, base=270.0):
+    rng = np.arange(nrec, dtype=np.float64)
+    data = {}
+    for name in ("Tair", "Qa", "uatm", "vatm", "fsw", "cldf", "fsnow"):
+        # record r has constant value base+r so interpolation is checkable
+        data[name] = (base + rng)[:, None, None] * np.ones((nrec, NY, NX))
+    path = tmp_path / f"ncar_bulk_{year:04d}.npz"
+    np.savez(path, **data)
+    return str(tmp_path)
+
+
+def test_interp_coeff_bracketing():
+    secint = 86400.0 * 365.0 / 12.0     # monthly
+    # exactly at a record center: full weight on that record
+    c1, c2 = interp_coeff(0.5 * secint, 1, secint)
+    assert abs(c2 - 1.0) < 1e-12
+    # halfway between record centers 1 and 2
+    c1, c2 = interp_coeff(1.0 * secint, 2, secint)
+    assert abs(c1 - 0.5) < 1e-12 and abs(c2 - 0.5) < 1e-12
+
+
+def test_npz_dataset_interpolation(tmp_path):
+    d = _write_npz(tmp_path)
+    ds = ncar_dataset(d, (NY, NX))
+    secint = ds.secint
+    # at the center of record 3 (0-based): value = 270+3
+    out = ds.at_time(2005, 3.5 * secint)
+    np.testing.assert_allclose(out["Tair"], 273.0, rtol=1e-12)
+    # halfway between records 3 and 4: 273.5
+    out = ds.at_time(2005, 4.0 * secint)
+    np.testing.assert_allclose(out["Tair"], 273.5, rtol=1e-12)
+
+
+def test_year_wrap_and_cycle(tmp_path):
+    d = _write_npz(tmp_path, year=2005)
+    ds = ncar_dataset(d, (NY, NX), fyear_init=2005, ycycle=1)
+    # early January: bracketing records are December (prev year, cycled
+    # back to the same file) and January
+    out = ds.at_time(2005, 3600.0)
+    assert 270.0 <= out["Tair"][0, 0] <= 281.0
+    # a later year maps onto the single-year cycle
+    out2 = ds.at_time(2008, 3600.0)
+    np.testing.assert_allclose(out2["Tair"], out["Tair"])
+
+
+def test_netcdf3_reader(tmp_path):
+    from scipy.io import netcdf_file
+    path = str(tmp_path / "JRA55_2005.nc")
+    with netcdf_file(path, "w") as f:
+        f.createDimension("time", 4)
+        f.createDimension("ny", NY)
+        f.createDimension("nx", NX)
+        v = f.createVariable("airtmp", "d", ("time", "ny", "nx"))
+        for r in range(4):
+            v[r] = 260.0 + r
+    out = read_field_record(path, "airtmp", 2, (NY, NX))
+    np.testing.assert_allclose(out, 262.0)
+
+
+def test_binary_reader(tmp_path):
+    path = str(tmp_path / "forcing.bin")
+    nrec = 3
+    # two fields, field-major, big-endian f64
+    f0 = np.arange(nrec * NY * NX, dtype=">f8").reshape(nrec, NY, NX)
+    f1 = f0 + 1000.0
+    with open(path, "wb") as fh:
+        fh.write(f0.tobytes())
+        fh.write(f1.astype(">f8").tobytes())
+    r = read_field_record(path, "1", 2, (NY, NX), total_recs=nrec)
+    np.testing.assert_allclose(r, np.asarray(f1[2], np.float64))
+
+
+@pytest.mark.slow
+def test_model_runs_from_forcing_files(tmp_path):
+    import jax.numpy as jnp
+    from cice_tpu.config import box2001_config
+    from cice_tpu.model.driver import Model
+    d = _write_npz(tmp_path, base=250.0)
+    cfg = box2001_config(NX, NY).with_overrides(**{
+        "forcing.atm_data_type": "ncar",
+        "forcing.atm_data_dir": d,
+        "forcing.fyear_init": 2005})
+    m = Model(cfg)
+    m.run(4)
+    a = np.asarray(m.state.aice)
+    assert not np.isnan(a).any()
+    # the dataset's air temperature actually reached the forcing
+    assert float(m.forcing.Tair[0, 0]) < 256.0
