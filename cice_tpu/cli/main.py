@@ -213,6 +213,15 @@ def main(argv=None):
     p_suite.add_argument("--set", action="append", metavar="KEY=VAL")
     p_suite.set_defaults(fn=cmd_suite)
 
+    p_qc = sub.add_parser(
+        "qc", help="two-stage statistical QC comparison of two runs")
+    p_qc.add_argument("dir_a")
+    p_qc.add_argument("dir_b")
+    p_qc.add_argument("--var", default="hi")
+    p_qc.set_defaults(fn=lambda a: __import__(
+        "cice_tpu.cli.qc", fromlist=["main"]).main(
+            [a.dir_a, a.dir_b, a.var]))
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

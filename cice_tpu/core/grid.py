@@ -359,6 +359,11 @@ def make_grid(cfg) -> Grid:
                         dtype=cfg.np_dtype)
     if g.grid_format == "latlon":
         return latlon_grid(g.nx_global, g.ny_global, bc=bc, dtype=cfg.np_dtype)
+    if g.grid_format in ("pop_bin", "pop_nc", "nc") or (
+            g.grid_file and g.grid_format not in ("rect", "latlon",
+                                                  "displaced_pole")):
+        from ..io.grids import load_grid_files
+        return load_grid_files(cfg)
     if g.grid_format == "displaced_pole":
         # Without the external gx grid files, approximate the gx3/gx1 domain
         # with a spherical grid of the same dimensions and an idealized

@@ -131,7 +131,10 @@ class Model:
                                        self.forcing.Tf)
         self._step_jit = jax.jit(partial(model_step, self.static, self.grid),
                                  static_argnames=("dt",))
-        self.timers: dict = {}
+        from ..utils.timers import Timers
+        self.timers = Timers().init_standard()
+        self._restore_target = None
+        self._restore_zone = None
         self.flux = None
         self.history = None
         if enable_history:
@@ -140,23 +143,39 @@ class Model:
         self.diag_log: list = []
 
     def step(self):
-        t0 = time.perf_counter()
-        fc = get_forcing(self.cfg, self.grid,
-                         float(self.calendar.elapsed_seconds),
-                         self.calendar.fyday, self.state.aice, self.forcing)
-        self.forcing = fc
-        self.timers["Forcing"] = self.timers.get("Forcing", 0.0) + \
-            time.perf_counter() - t0
-        t0 = time.perf_counter()
-        self.state, self.flux = self._step_jit(self.state, fc,
-                                               dt=self.cfg.setup.dt)
-        jax.block_until_ready(self.state.aicen)
-        self.timers["TimeLoop"] = self.timers.get("TimeLoop", 0.0) + \
-            time.perf_counter() - t0
+        self.timers.start("Total")
+        with self.timers("Forcing"):
+            fc = get_forcing(self.cfg, self.grid,
+                             float(self.calendar.elapsed_seconds),
+                             self.calendar.fyday, self.state.aice,
+                             self.forcing)
+            self.forcing = fc
+        with self.timers("TimeLoop"):
+            self.state, self.flux = self._step_jit(self.state, fc,
+                                                   dt=self.cfg.setup.dt)
+            if self.cfg.forcing.restore_ice or self.cfg.forcing.restore_ocn:
+                from .restoring import restore_ice, restore_sst
+                if self.cfg.forcing.restore_ice:
+                    if self._restore_target is None:
+                        self._restore_target = (self.state.aicen,
+                                                self.state.vicen,
+                                                self.state.vsnon)
+                        self._restore_zone = None
+                    from .restoring import boundary_zone_weight
+                    if self._restore_zone is None:
+                        self._restore_zone = boundary_zone_weight(self.grid)
+                    self.state = restore_ice(self.cfg, self.grid, self.state,
+                                             self._restore_target,
+                                             self.cfg.setup.dt,
+                                             zone=self._restore_zone)
+                if self.cfg.forcing.restore_ocn:
+                    self.state = restore_sst(self.cfg, self.state,
+                                             fc.sst_data, self.cfg.setup.dt)
+            jax.block_until_ready(self.state.aicen)
         self.calendar = self.calendar.advance(self.cfg.setup.dt)
 
         # analysis / IO phases (reference ice_step tail, CICE_RunMod:375-420)
-        t0 = time.perf_counter()
+        self.timers.start("History")
         if self.history is not None:
             self.history.accum(self.state, self.flux)
             self.history.maybe_write(self.calendar)
@@ -169,8 +188,8 @@ class Model:
                                      self.cfg.setup.dumpfreq_n,
                                      self.cfg.setup.dt):
             self.write_restart()
-        self.timers["History"] = self.timers.get("History", 0.0) + \
-            time.perf_counter() - t0
+        self.timers.stop("History")
+        self.timers.stop("Total")
 
     def write_restart(self):
         from ..io.restart import write_restart
