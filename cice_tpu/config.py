@@ -223,6 +223,25 @@ class SnowConfig:
 
 
 @dataclass(frozen=True)
+class ZbgcConfig:
+    # reference: zbgc_nml (shared/ice_init_column.F90 input_zbgc); the
+    # skeletal-layer model parameters follow Jin et al. (2006)
+    skl_bgc: bool = False
+    tr_bgc_N: bool = True          # algal nitrogen tracer
+    tr_bgc_Nit: bool = True        # nitrate tracer
+    restore_bgc: bool = False
+    bgc_flux_type: str = "Jin2006"
+    mu_max: float = 1.44           # max specific growth (1/day)
+    K_Nit: float = 1.0             # nitrate half-saturation (mmol/m^3)
+    fr_graze: float = 0.1          # grazing rate (1/day)
+    mort_pre: float = 0.007        # mortality (1/day)
+    fr_resp: float = 0.05          # fraction of loss remineralized
+    pv0: float = 1.0e-2            # piston velocity scale (m/day)
+    chlabs_par_half: float = 2.0   # light half-saturation (W/m^2)
+    nit_data: float = 10.0         # default ocean nitrate (mmol/m^3)
+
+
+@dataclass(frozen=True)
 class ForcingConfig:
     # reference: forcing_nml
     atmbndy: str = "similarity"     # 'similarity' | 'constant' | 'mixed'
@@ -267,6 +286,7 @@ class Config:
     shortwave: ShortwaveConfig = field(default_factory=ShortwaveConfig)
     ponds: PondConfig = field(default_factory=PondConfig)
     snow: SnowConfig = field(default_factory=SnowConfig)
+    zbgc: ZbgcConfig = field(default_factory=ZbgcConfig)
     forcing: ForcingConfig = field(default_factory=ForcingConfig)
     dtype: str = "float32"          # working dtype for state ('float32'|'float64')
 
@@ -296,7 +316,8 @@ class Config:
 
 # Attach a generic .replace to every group dataclass for ergonomic updates.
 for _cls in (SetupConfig, GridConfig, DomainConfig, TracerConfig, ThermoConfig,
-             DynamicsConfig, ShortwaveConfig, PondConfig, SnowConfig, ForcingConfig):
+             DynamicsConfig, ShortwaveConfig, PondConfig, SnowConfig,
+             ZbgcConfig, ForcingConfig):
     _cls.replace = lambda self, **kw: dataclasses.replace(self, **kw)  # type: ignore
 
 

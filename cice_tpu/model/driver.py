@@ -94,6 +94,10 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
     if "fsd" in trcrn:
         # start with all area in the smallest floe-size bin
         trcrn["fsd"] = jnp.zeros_like(trcrn["fsd"]).at[:, 0].set(1.0)
+    if "bgc_Nit" in trcrn:
+        trcrn["bgc_Nit"] = jnp.where(aicen > 0, cfg.zbgc.nit_data,
+                                     0.0).astype(dtp)
+        trcrn["bgc_N"] = jnp.where(aicen > 0, 0.5, 0.0).astype(dtp)
     if "rsnw" in trcrn:
         trcrn["rsnw"] = jnp.full_like(trcrn["rsnw"], cfg.snow.rsnw_fall)
         trcrn["smice"] = jnp.where(

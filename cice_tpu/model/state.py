@@ -70,6 +70,11 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
     if t.tr_aero and d.n_aero:
         specs.append(TracerSpec("aerosno", DEP_VSNO, 2 * d.n_aero))
         specs.append(TracerSpec("aeroice", DEP_VICE, 2 * d.n_aero))
+    if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
+        if cfg.zbgc.tr_bgc_N:
+            specs.append(TracerSpec("bgc_N", DEP_AICE))    # mmol N/m^2
+        if cfg.zbgc.tr_bgc_Nit:
+            specs.append(TracerSpec("bgc_Nit", DEP_AICE))  # mmol N/m^3
     return tuple(specs)
 
 

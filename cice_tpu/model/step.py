@@ -224,6 +224,22 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         apeff = jnp.zeros_like(an)
         pond_flush = jnp.zeros_like(an)
 
+    # aerosol / isotope tracer physics (icepack_aerosol / icepack_isotope)
+    if cfg.tracers.tr_aero and "aerosno" in trcrn:
+        from ..columns.aero_iso import step_aerosols
+        sn_a, ic_a, _faero = step_aerosols(
+            cfg, dt, aicen=an, vicen=vicen_out, vsnon=vsnon_out,
+            aerosno=trcrn["aerosno"], aeroice=trcrn["aeroice"],
+            melts=th.melts, meltt=th.meltt, snoice=th.snoice, fsnow=fc.fsnow)
+        trcrn["aerosno"], trcrn["aeroice"] = sn_a, ic_a
+    if cfg.tracers.tr_iso and "isosno" in trcrn:
+        from ..columns.aero_iso import step_isotopes
+        sn_i, ic_i, _fiso = step_isotopes(
+            cfg, dt, aicen=an, vsnon=vsnon_out, isosno=trcrn["isosno"],
+            isoice=trcrn["isoice"], fsnow=fc.fsnow, melts=th.melts,
+            snoice=th.snoice)
+        trcrn["isosno"], trcrn["isoice"] = sn_i, ic_i
+
     # advanced snow physics (icepack_step_snow; reference calls it as its
     # own phase after dynamics — here it rides with therm1 where the
     # per-category melt and snow temperature are in hand)
@@ -412,6 +428,22 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         f = step_dyn_wave(cfg, dt, fsd=f, aicen=t2.aicen, vicen=t2.vicen,
                           hs_wave=fc.wave_hs, Tp_wave=fc.wave_Tp)
         trc["fsd"] = f
+        state = state.replace(trcrn=trc)
+
+    # --- biogeochemistry (skeletal-layer; reference biogeochemistry:1634)
+    if cfg.zbgc.skl_bgc and "bgc_N" in state.trcrn:
+        from ..columns.zbgc import step_bgc_skl
+        trc = dict(state.trcrn)
+        aice_safe = jnp.maximum(state.aice, cst.puny)
+        bout = step_bgc_skl(
+            cfg.zbgc, dt, aicen=state.aicen, vicen=state.vicen,
+            bgc_N=trc["bgc_N"], bgc_Nit=trc["bgc_Nit"],
+            fswthru=(agg["fswthru"] / aice_safe)[None],
+            Tbot=fc.Tf[None], meltb=(agg["meltb"] / aice_safe)[None],
+            congel=(agg["congel"] / aice_safe)[None],
+            nit_ocn=cfg.zbgc.nit_data)
+        trc["bgc_N"] = bout.bgc_N
+        trc["bgc_Nit"] = bout.bgc_Nit
         state = state.replace(trcrn=trc)
 
     # --- dynamics + transport + ridging ---------------------------------
