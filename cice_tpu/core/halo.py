@@ -53,23 +53,22 @@ class BC:
 
 
 def _shift_axis(f: jnp.ndarray, n: int, axis: int, cyclic: bool) -> jnp.ndarray:
-    """g[k] = f[k+n] along `axis`; zero ghost unless cyclic."""
+    """g[k] = f[k+n] along `axis`; zero ghost unless cyclic.
+
+    Implemented as roll + wrapped-entry masking (rather than pad+slice):
+    identical semantics, and every op lowers inside Pallas kernels too
+    (the fused EVP kernel traces this same code path)."""
     if n == 0:
         return f
+    g = jnp.roll(f, -n, axis=axis)
     if cyclic:
-        return jnp.roll(f, -n, axis=axis)
-    pad = [(0, 0)] * f.ndim
-    if n > 0:
-        pad[axis] = (0, n)
-        g = jnp.pad(f, pad)
-        sl = [slice(None)] * f.ndim
-        sl[axis] = slice(n, n + f.shape[axis])
-    else:
-        pad[axis] = (-n, 0)
-        g = jnp.pad(f, pad)
-        sl = [slice(None)] * f.ndim
-        sl[axis] = slice(0, f.shape[axis])
-    return g[tuple(sl)]
+        return g
+    import jax
+    ax = axis % f.ndim
+    L = f.shape[ax]
+    idx = jax.lax.broadcasted_iota(jnp.int32, f.shape, ax)
+    keep = (idx < L - n) if n > 0 else (idx >= -n)
+    return jnp.where(keep, g, 0)
 
 
 def shift(f: jnp.ndarray, dj: int = 0, di: int = 0, *, bc: BC,

@@ -77,6 +77,106 @@ def default_fields() -> List[HistoryField]:
     ]
 
 
+def _agg(catfield, aicen, aice):
+    return (catfield * aicen).sum(0) / jnp.maximum(aice, cst.puny)
+
+
+def pond_fields() -> List[HistoryField]:
+    """Melt-pond group (ice_history_pond.F90: apond/hpond/ipond...)."""
+    def apond(s, fl, g):
+        apnd = s.trcrn["apnd"]
+        lvl = s.trcrn.get("alvl", jnp.ones_like(apnd))
+        return jnp.sum(apnd * jnp.clip(lvl, 0, 1) * s.aicen, axis=0)
+    return [
+        _f("apond", "1", "melt pond fraction of grid cell", apond),
+        _f("hpond", "m", "mean melt pond depth",
+           lambda s, fl, g: _agg(s.trcrn["hpnd"], s.aicen, s.aice)),
+        _f("ipond", "m", "mean pond ice lid thickness",
+           lambda s, fl, g: _agg(s.trcrn["ipnd"], s.aicen, s.aice)),
+    ]
+
+
+def snow_fields() -> List[HistoryField]:
+    """Snow-physics group (ice_history_snow.F90: smassice/smassliq/rhos...)."""
+    return [
+        _f("rsnw", "10^-6 m", "mean snow grain radius",
+           lambda s, fl, g: _agg(s.trcrn["rsnw"].mean(axis=1),
+                                 s.aicen, s.aice)),
+        _f("smassice", "kg/m^2", "ice mass content of snow",
+           lambda s, fl, g: jnp.sum(s.trcrn["smice"].sum(axis=1) * s.aicen,
+                                    axis=0)),
+        _f("smassliq", "kg/m^2", "liquid water content of snow",
+           lambda s, fl, g: jnp.sum(s.trcrn["smliq"].sum(axis=1) * s.aicen,
+                                    axis=0)),
+    ]
+
+
+def fsd_fields(cfg) -> List[HistoryField]:
+    """FSD group (ice_history_fsd.F90: fsdrad representative radius...)."""
+    from ..columns.fsd import fsd_bounds
+    _, _, mid = fsd_bounds(cfg.domain.nfsd)
+    mid = jnp.asarray(mid)
+
+    def fsdrad(s, fl, g):
+        f = s.trcrn["fsd"]
+        r = jnp.sum(f * mid[None, :, None, None], axis=1)
+        return _agg(r, s.aicen, s.aice)
+    return [_f("fsdrad", "m", "number-mean floe radius", fsdrad)]
+
+
+def mechred_fields() -> List[HistoryField]:
+    """Mechanical-redistribution group (ice_history_mechred.F90:
+    ardg/vrdg ridged area & volume from the level-ice tracers)."""
+    return [
+        _f("ardg", "1", "ridged ice area fraction",
+           lambda s, fl, g: jnp.sum(
+               (1.0 - jnp.clip(s.trcrn["alvl"], 0, 1)) * s.aicen, axis=0)),
+        _f("vrdg", "m", "ridged ice volume per area",
+           lambda s, fl, g: jnp.sum(
+               (1.0 - jnp.clip(s.trcrn["vlvl"], 0, 1)) * s.vicen, axis=0)),
+    ]
+
+
+def bgc_fields() -> List[HistoryField]:
+    """BGC group (ice_history_bgc.F90 subset for the skl model)."""
+    return [
+        _f("algalN", "mmol N/m^2", "skeletal-layer algal nitrogen",
+           lambda s, fl, g: jnp.sum(s.trcrn["bgc_N"] * s.aicen, axis=0)),
+        _f("nitrate", "mmol N/m^3", "skeletal-layer nitrate",
+           lambda s, fl, g: _agg(s.trcrn["bgc_Nit"], s.aicen, s.aice)),
+    ]
+
+
+def age_fields() -> List[HistoryField]:
+    return [
+        _f("iage", "years", "sea ice age",
+           lambda s, fl, g: _agg(s.trcrn["iage"], s.aicen, s.aice) /
+           (365.0 * 86400.0)),
+        _f("FYarea", "1", "first-year ice area",
+           lambda s, fl, g: jnp.sum(s.trcrn["FY"] * s.aicen, axis=0)),
+    ]
+
+
+def build_fields(cfg) -> List[HistoryField]:
+    """Full conditional registry (init_hist honoring the tracer flags —
+    reference icefields_*_nml groups)."""
+    fields = default_fields()
+    t = cfg.tracers
+    if t.tr_iage and t.tr_FY:
+        fields += age_fields()
+    if t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl:
+        fields += pond_fields()
+    if t.tr_snow:
+        fields += snow_fields()
+    if t.tr_fsd:
+        fields += fsd_fields(cfg)
+    if t.tr_lvl:
+        fields += mechred_fields()
+    if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
+        fields += bgc_fields()
+    return fields
+
+
 @dataclass
 class Stream:
     freq: str                  # 'y' 'm' 'd' 'h' '1' 'x'
@@ -94,7 +194,7 @@ class History:
                  directory: Optional[str] = None):
         self.cfg = cfg
         self.grid = grid
-        self.fields = fields if fields is not None else default_fields()
+        self.fields = fields if fields is not None else build_fields(cfg)
         self.dir = directory or cfg.setup.history_dir
         s = cfg.setup
         self.streams = [Stream(freq=f, freq_n=n, avg=s.hist_avg)

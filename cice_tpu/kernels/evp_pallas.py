@@ -1,0 +1,184 @@
+"""Fused-subcycle EVP Pallas kernel (evp_algorithm='fused_pallas').
+
+The TPU-native answer to the reference's performance EVP path
+(ice_dyn_evp1d.F90 / ice_dyn_core1d.F90 — its gathered shared-memory /
+OpenMP-target "accelerator kernel" form of the B-grid subcycle loop,
+SURVEY.md §2.3). The reference strategy (gather the planet to one node,
+vectorize, scatter back) makes no sense on TPU; the TPU bottleneck is HBM
+bandwidth: the plain XLA `fori_loop` streams the ~40-plane working set
+from HBM once per subcycle (ndte=120 times). This kernel instead:
+
+ - tiles the domain in y (full rows, so EW-cyclic wrap stays a cheap
+   in-register `roll`),
+ - DMAs each tile's working set (constants + state, stacked as planes)
+   into VMEM once,
+ - runs K subcycles entirely in VMEM (the wide-halo trade: halo width
+   2K+2 rows of redundant compute buys K subcycles per HBM round trip —
+   the freedom the reference notes but never exercises,
+   ug_implementation.rst:215-217),
+ - writes back the tile interior.
+
+HBM traffic drops by ~K×. The stress/momentum math is literally the same
+code as the XLA path (dynamics/evp.py stress_update + common.stepu_dense
+traced inside the kernel — core/halo.shift lowers in Pallas by design).
+Supported: ew 'cyclic'/'open'/'closed', ns 'open'/'closed' (zero-ghost
+semantics provided by the zero padding); tripole/y-cyclic fall back to
+the XLA path.
+"""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.grid import Grid
+from ..dynamics.common import DynPrep, EvpParams, stepu_dense
+
+N_CONST = 26
+N_STATE = 14
+
+
+def _pack_const(grid: Grid, prep: DynPrep, strength, DminTarea, uocn, vocn):
+    f = lambda x: x.astype(jnp.float32)
+    planes = [
+        f(grid.dxT), f(grid.dyT), f(grid.cxm), f(grid.cxp), f(grid.cym),
+        f(grid.cyp), f(grid.dxhy), f(grid.dyhx), f(grid.uarear),
+        prep.iceTmask.astype(jnp.float32), prep.iceUmask.astype(jnp.float32),
+        f(prep.aiU), f(prep.umassdti), f(prep.fm), f(prep.waterx),
+        f(prep.watery), f(prep.forcex), f(prep.forcey), f(prep.uvel_init),
+        f(prep.vvel_init), f(prep.Cw), f(prep.TbU),
+        f(strength), f(DminTarea), f(uocn), f(vocn),
+    ]
+    assert len(planes) == N_CONST
+    return jnp.stack(planes)
+
+
+def _unpack_const(c, bc):
+    g = SimpleNamespace(
+        dxT=c[0], dyT=c[1], cxm=c[2], cxp=c[3], cym=c[4], cyp=c[5],
+        dxhy=c[6], dyhx=c[7], uarear=c[8], bc=bc)
+    prep = DynPrep(
+        iceTmask=c[9] > 0.5, iceUmask=c[10] > 0.5, aiU=c[11],
+        umassdti=c[12], fm=c[13], waterx=c[14], watery=c[15],
+        forcex=c[16], forcey=c[17], uvel_init=c[18], vvel_init=c[19],
+        uvel=c[18], vvel=c[19], Cw=c[20], TbU=c[21])
+    return g, prep, c[22], c[23], c[24], c[25]
+
+
+def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
+                halo: int, interpret: bool):
+    """One pallas call running k fused subcycles over y tiles."""
+    from ..dynamics.evp import stress_update
+
+    C, ny, nx = const.shape
+    ntiles = math.ceil(ny / tile_y)
+    ny_pad = ntiles * tile_y
+    H = halo
+    pad_cfg = ((0, 0), (H, H + ny_pad - ny), (0, 0))
+    const_p = jnp.pad(const, pad_cfg)
+    state_p = jnp.pad(state, pad_cfg)
+    win = tile_y + 2 * H
+
+    def kernel(const_hbm, state_hbm, out_ref, cbuf, sbuf, sem0, sem1):
+        ty = pl.program_id(0)
+        row0 = ty * tile_y
+        cp = pltpu.make_async_copy(
+            const_hbm.at[:, pl.ds(row0, win), :], cbuf, sem0)
+        sp_ = pltpu.make_async_copy(
+            state_hbm.at[:, pl.ds(row0, win), :], sbuf, sem1)
+        cp.start()
+        sp_.start()
+        cp.wait()
+        sp_.wait()
+
+        g, prep, strength, DminTarea, uocn, vocn = _unpack_const(cbuf[:], bc)
+        st = sbuf[:]
+        u, v = st[0], st[1]
+        sp = st[2:6]
+        sm = st[6:10]
+        s12 = st[10:14]
+
+        def body(_, carry):
+            u, v, sp, sm, s12 = carry
+            sp, sm, s12, strintx, strinty = stress_update(
+                g, p, strength, DminTarea, u, v, sp, sm, s12, prep.iceTmask)
+            u, v, _, _ = stepu_dense(u, v, strintx, strinty, prep, p,
+                                     uocn, vocn)
+            return (u, v, sp, sm, s12)
+
+        u, v, sp, sm, s12 = jax.lax.fori_loop(0, k, body, (u, v, sp, sm, s12))
+        out = jnp.concatenate([u[None], v[None], sp, sm, s12], axis=0)
+        out_ref[:] = out[:, H:H + tile_y, :]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((N_STATE, tile_y, nx),
+                               lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_STATE, ny_pad, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((N_CONST, win, nx), jnp.float32),
+            pltpu.VMEM((N_STATE, win, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(const_p, state_p)
+    return out[:, :ny, :]
+
+
+def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
+                    stressp, stressm, stress12, *, uocn, vocn,
+                    k_fuse: int = 8, tile_y: int | None = None,
+                    interpret: bool = False):
+    """Drop-in replacement for dynamics.evp.evp_solve using the fused
+    Pallas kernel. Falls back to the XLA loop for unsupported BCs."""
+    from ..dynamics.evp import evp_solve, stress_update
+    from .. import constants as cst
+
+    if grid.bc.tripole or grid.bc.y_cyclic:
+        return evp_solve(grid, p, prep, strength, stressp, stressm,
+                         stress12, uocn=uocn, vocn=vocn)
+
+    ny, nx = grid.shape
+    if tile_y is None:
+        # fit (N_CONST + 2*N_STATE) f32 planes of (tile+2H, nx) in ~12MB
+        H = 2 * k_fuse + 2
+        budget = 10e6 / 4.0 / (N_CONST + 2 * N_STATE) / nx
+        tile_y = int(max(32, min(ny, budget - 2 * H)))
+    tile_y = max(8, (tile_y // 8) * 8)    # TPU sublane tiling constraint
+    H = 2 * k_fuse + 2
+
+    DminTarea = (p.deltaminEVP * grid.tarea).astype(jnp.float32)
+    zero3 = lambda s: jnp.where(prep.iceTmask[None], s, 0.0)
+    const = _pack_const(grid, prep, strength, DminTarea, uocn, vocn)
+    state = jnp.concatenate([
+        prep.uvel[None].astype(jnp.float32),
+        prep.vvel[None].astype(jnp.float32),
+        zero3(stressp).astype(jnp.float32),
+        zero3(stressm).astype(jnp.float32),
+        zero3(stress12).astype(jnp.float32)], axis=0)
+
+    done = 0
+    while done < p.ndte:
+        k = min(k_fuse, p.ndte - done)
+        state = _chunk_call(const, state, p, grid.bc, k, tile_y, H,
+                            interpret)
+        done += k
+
+    u, v = state[0], state[1]
+    sp, sm, s12 = state[2:6], state[6:10], state[10:14]
+
+    # final force diagnostics (same tail as evp_solve)
+    _, _, _, strintx, strinty = stress_update(
+        grid, p, strength, DminTarea, u, v, sp, sm, s12, prep.iceTmask)
+    Cb = prep.TbU / (jnp.sqrt(u ** 2 + v ** 2) + cst.u0)
+    return (u, v, sp, sm, s12, strintx, strinty, -u * Cb, -v * Cb)

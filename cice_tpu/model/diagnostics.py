@@ -80,3 +80,42 @@ def check_state(state: State, umax_stab: float = 1.0) -> Dict[str, jnp.ndarray]:
     bad = (~jnp.isfinite(state.aicen).all()) | (~jnp.isfinite(state.vicen).all()) \
         | (~jnp.isfinite(state.uvel).all()) | (~jnp.isfinite(state.sst).all())
     return {"umax": umax, "unstable": umax > umax_stab, "nonfinite": bad}
+
+
+def print_points_state(grid: Grid, state: State, latpnt=(90.0, -65.0),
+                       lonpnt=(0.0, -45.0)) -> list:
+    """Per-point diagnostic probes (reference print_points / print_state,
+    ice_diagnostics.F90:30,115: two configurable lat/lon probe points whose
+    full local state prints with the runtime diagnostics)."""
+    import numpy as np
+    lat = np.asarray(grid.TLAT) * cst.rad_to_deg
+    lon = np.asarray(grid.TLON) * cst.rad_to_deg
+    out = []
+    for plat, plon in zip(latpnt, lonpnt):
+        d2 = (lat - plat) ** 2 + (np.mod(lon - plon + 180, 360) - 180) ** 2
+        j, i = np.unravel_index(np.argmin(d2), d2.shape)
+        out.append(dict(
+            j=int(j), i=int(i), lat=float(lat[j, i]), lon=float(lon[j, i]),
+            aice=float(state.aice[j, i]), vice=float(state.vice[j, i]),
+            vsno=float(state.vsno[j, i]), uvel=float(state.uvel[j, i]),
+            vvel=float(state.vvel[j, i]), sst=float(state.sst[j, i]),
+            Tsfc=float((state.trcrn["Tsfcn"][:, j, i] *
+                        state.aicen[:, j, i]).sum() /
+                       max(float(state.aice[j, i]), 1e-11))))
+    return out
+
+
+def debug_ice(grid: Grid, state: State, j: int, i: int, stage: str = "") -> dict:
+    """Full column dump at a debug point (reference debug_ice/print_state
+    with debug_model_{step,i,j} namelist, ice_diagnostics.F90:38-46,
+    CICE_RunMod.F90:186-191): every prognostic variable at (j, i)."""
+    import numpy as np
+    out = {"stage": stage, "j": j, "i": i}
+    out["aicen"] = np.asarray(state.aicen[:, j, i]).tolist()
+    out["vicen"] = np.asarray(state.vicen[:, j, i]).tolist()
+    out["vsnon"] = np.asarray(state.vsnon[:, j, i]).tolist()
+    out["uvel"] = float(state.uvel[j, i])
+    out["vvel"] = float(state.vvel[j, i])
+    for name, arr in state.trcrn.items():
+        out[name] = np.asarray(arr[..., j, i]).tolist()
+    return out

@@ -368,6 +368,11 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         u, v, sp, sm, s12, strintx, strinty, taubx, tauby = eap_solve(
             grid, p, prep, strength, state.stressp, state.stressm,
             state.stress12, uocn=uocnU, vocn=vocnU)
+    elif d.evp_algorithm == "fused_pallas":
+        from ..kernels.evp_pallas import evp_solve_fused
+        u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve_fused(
+            grid, p, prep, strength, state.stressp, state.stressm,
+            state.stress12, uocn=uocnU, vocn=vocnU)
     else:
         u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve(
             grid, p, prep, strength, state.stressp, state.stressm,

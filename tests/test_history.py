@@ -66,3 +66,34 @@ def test_stream_trigger_monthly(tmp_path):
     cal = cal.advance(3600)   # -> Feb 1 00:00: closes the monthly interval
     h.accum(state, flux)
     assert len(h.maybe_write(cal, fmt="npz")) == 1
+
+
+def test_conditional_field_groups():
+    """build_fields registers the pond/snow/fsd/mechred/bgc groups when the
+    corresponding tracers are active (reference icefields_*_nml)."""
+    from cice_tpu.config import Config
+    from cice_tpu.io.history import build_fields
+    base = Config()
+    names = {f.name for f in build_fields(base)}
+    assert {"apond", "hpond", "ardg", "iage"} <= names     # defaults on
+    assert "rsnw" not in names and "fsdrad" not in names
+    full = base.with_overrides(**{
+        "tracers.tr_snow": True, "tracers.tr_fsd": True, "domain.nfsd": 12,
+        "zbgc.skl_bgc": True})
+    names2 = {f.name for f in build_fields(full)}
+    assert {"rsnw", "smassliq", "fsdrad", "algalN", "nitrate"} <= names2
+
+
+def test_point_diagnostics():
+    import numpy as np
+    from cice_tpu.config import box2001_config
+    from cice_tpu.model.driver import Model
+    from cice_tpu.model.diagnostics import debug_ice, print_points_state
+    cfg = box2001_config(16, 16)
+    m = Model(cfg)
+    pts = print_points_state(m.grid, m.state, latpnt=(71.4, 71.5),
+                             lonpnt=(-156.0, -155.0))
+    assert len(pts) == 2 and "aice" in pts[0]
+    dump = debug_ice(m.grid, m.state, 8, 8, stage="init")
+    assert len(dump["aicen"]) == cfg.domain.ncat
+    assert "qice" in dump and np.isfinite(dump["uvel"])
