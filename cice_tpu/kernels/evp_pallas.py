@@ -70,23 +70,47 @@ def _unpack_const(c, bc):
     return g, prep, c[22], c[23], c[24], c[25]
 
 
+def _pad_x(arr, H: int, nx_pad: int, x_cyclic: bool):
+    """Add x halo columns (cyclic wrap values or zeros) and zero-pad the
+    lane dimension to the 128-aligned width nx_pad."""
+    nx = arr.shape[-1]
+    if x_cyclic:
+        arr = jnp.concatenate([arr[..., nx - H:], arr, arr[..., :H]],
+                              axis=-1)
+    else:
+        arr = jnp.pad(arr, ((0, 0), (0, 0), (H, H)))
+    extra = nx_pad - arr.shape[-1]
+    if extra:
+        arr = jnp.pad(arr, ((0, 0), (0, 0), (0, extra)))
+    return arr
+
+
 def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
                 halo: int, interpret: bool):
-    """One pallas call running k fused subcycles over y tiles."""
+    """One pallas call running k fused subcycles over y tiles.
+
+    Both halos are materialized in HBM before the call: y via zero rows
+    (open/closed ghost semantics), x via wrap-value (cyclic) or zero
+    columns plus 128-lane alignment padding — inside the kernel every
+    boundary is then plain zero-ghost ('open'), which `shift` implements
+    as roll+mask (Mosaic-friendly)."""
+    from ..core.halo import BC
     from ..dynamics.evp import stress_update
 
     C, ny, nx = const.shape
     ntiles = math.ceil(ny / tile_y)
     ny_pad = ntiles * tile_y
     H = halo
+    nx_pad = -(-(nx + 2 * H) // 128) * 128
     pad_cfg = ((0, 0), (H, H + ny_pad - ny), (0, 0))
-    const_p = jnp.pad(const, pad_cfg)
-    state_p = jnp.pad(state, pad_cfg)
+    const_p = jnp.pad(_pad_x(const, H, nx_pad, bc.x_cyclic), pad_cfg)
+    state_p = jnp.pad(_pad_x(state, H, nx_pad, bc.x_cyclic), pad_cfg)
     win = tile_y + 2 * H
+    bc = BC(ew="open", ns="open")
 
-    def kernel(const_hbm, state_hbm, out_ref, cbuf, sbuf, sem0, sem1):
+    def kernel(const_hbm, state_hbm, out_ref, cbuf, sbuf, sem0, sem1, sem2):
         ty = pl.program_id(0)
-        row0 = ty * tile_y
+        row0 = pl.multiple_of(ty * tile_y, 8)
         cp = pltpu.make_async_copy(
             const_hbm.at[:, pl.ds(row0, win), :], cbuf, sem0)
         sp_ = pltpu.make_async_copy(
@@ -112,27 +136,31 @@ def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
             return (u, v, sp, sm, s12)
 
         u, v, sp, sm, s12 = jax.lax.fori_loop(0, k, body, (u, v, sp, sm, s12))
-        out = jnp.concatenate([u[None], v[None], sp, sm, s12], axis=0)
-        out_ref[:] = out[:, H:H + tile_y, :]
+        sbuf[:] = jnp.concatenate([u[None], v[None], sp, sm, s12], axis=0)
+        wr = pltpu.make_async_copy(
+            sbuf.at[:, pl.ds(H, tile_y), :],
+            out_ref.at[:, pl.ds(row0, tile_y), :], sem2)
+        wr.start()
+        wr.wait()
 
     out = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((N_STATE, tile_y, nx),
-                               lambda t: (0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N_STATE, ny_pad, nx), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((N_STATE, ny_pad, nx_pad),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N_CONST, win, nx), jnp.float32),
-            pltpu.VMEM((N_STATE, win, nx), jnp.float32),
+            pltpu.VMEM((N_CONST, win, nx_pad), jnp.float32),
+            pltpu.VMEM((N_STATE, win, nx_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(const_p, state_p)
-    return out[:, :ny, :]
+    return out[:, :ny, H:H + nx]
 
 
 def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
@@ -152,10 +180,13 @@ def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
     if tile_y is None:
         # fit (N_CONST + 2*N_STATE) f32 planes of (tile+2H, nx) in ~12MB
         H = 2 * k_fuse + 2
-        budget = 10e6 / 4.0 / (N_CONST + 2 * N_STATE) / nx
+        nx_eff = -(-(nx + 2 * (2 * k_fuse + 8)) // 128) * 128
+        budget = 10e6 / 4.0 / (N_CONST + 2 * N_STATE) / nx_eff
         tile_y = int(max(32, min(ny, budget - 2 * H)))
     tile_y = max(8, (tile_y // 8) * 8)    # TPU sublane tiling constraint
-    H = 2 * k_fuse + 2
+    # halo covers the 2-cells-per-subcycle dependency cone, rounded up to
+    # the (8, 128) HBM tile granularity so DMA windows stay aligned
+    H = -(-(2 * k_fuse + 2) // 8) * 8
 
     DminTarea = (p.deltaminEVP * grid.tarea).astype(jnp.float32)
     zero3 = lambda s: jnp.where(prep.iceTmask[None], s, 0.0)
