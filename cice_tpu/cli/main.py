@@ -37,6 +37,30 @@ OPTION_SETS = {
     "ndte120": {"dynamics.ndte": 120},
     "debugthermo": {"thermo.nit": 30},
     "seasonal": {"forcing.atm_data_type": "seasonal"},
+    # physics option fragments added with the full column-physics set
+    "gridcd": {"grid.grid_ice": "CD"},
+    "dynanderson": {"dynamics.kdyn": 3, "dynamics.algo_nonlin": "anderson"},
+    "mushy": {"thermo.ktherm": 2, "thermo.tfrz_option": "mushy"},
+    "bl99": {"thermo.ktherm": 1},
+    "dedd": {"shortwave.shortwave": "dEdd"},
+    "ccsm3sw": {"shortwave.shortwave": "ccsm3"},
+    "snwgrain": {"tracers.tr_snow": True, "snow.snwgrain": True,
+                 "snow.snwredist": "bulk"},
+    "fsd12": {"tracers.tr_fsd": True, "domain.nfsd": 12,
+              "forcing.wave_spec_type": "profile"},
+    "pondtopo": {"tracers.tr_pond_lvl": False, "tracers.tr_pond_topo": True},
+    "pondlvl": {"tracers.tr_pond_lvl": True, "tracers.tr_pond_topo": False},
+    "bgcskl": {"zbgc.skl_bgc": True},
+    "isotope": {"tracers.tr_iso": True, "domain.n_iso": 3},
+    "aerosol": {"tracers.tr_aero": True, "domain.n_aero": 3},
+    "alt01": {"tracers.tr_iage": False, "tracers.tr_FY": False},
+    "revp": {"dynamics.revised_evp": True},
+    "evp1d": {"dynamics.evp_algorithm": "fused_pallas"},
+    "jra55": {"forcing.atm_data_type": "jra55"},
+    "ncar": {"forcing.atm_data_type": "ncar"},
+    "vanleer": {"dynamics.advection": "vanleer"},
+    "seabedLKD": {"dynamics.seabed_stress": True,
+                  "dynamics.seabed_stress_method": "LKD"},
 }
 
 

@@ -24,6 +24,16 @@ traced inside the kernel — core/halo.shift lowers in Pallas by design).
 Supported: ew 'cyclic'/'open'/'closed', ns 'open'/'closed' (zero-ghost
 semantics provided by the zero padding); tripole/y-cyclic fall back to
 the XLA path.
+
+Measured (v5e-1, gx1 320x384, ndte=120, f32): 356 M pt·sub/s vs the XLA
+fori_loop's 517 M pt·sub/s. The current Mosaic build stages the full
+output plane set in scoped VMEM regardless of the HBM out-spec, which
+caps tile_y and raises the wide-halo redundancy to ~3x — the kernel is
+compute-bound on that redundancy, so `evp_algorithm='standard_2d'`
+remains the default; 'fused_pallas' is the scaling path for domains
+where per-subcycle HBM streaming dominates (large ny on multi-chip
+meshes, where the XLA loop's working set no longer fits cache-resident
+fusion windows).
 """
 
 from __future__ import annotations
@@ -85,7 +95,7 @@ def _pad_x(arr, H: int, nx_pad: int, x_cyclic: bool):
     return arr
 
 
-def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
+def _chunk_call(const_p, state, p: EvpParams, bc, k: int, tile_y: int,
                 halo: int, interpret: bool):
     """One pallas call running k fused subcycles over y tiles.
 
@@ -97,18 +107,18 @@ def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
     from ..core.halo import BC
     from ..dynamics.evp import stress_update
 
-    C, ny, nx = const.shape
-    ntiles = math.ceil(ny / tile_y)
-    ny_pad = ntiles * tile_y
+    C, ny_p, nx_pad = const_p.shape
     H = halo
-    nx_pad = -(-(nx + 2 * H) // 128) * 128
-    pad_cfg = ((0, 0), (H, H + ny_pad - ny), (0, 0))
-    const_p = jnp.pad(_pad_x(const, H, nx_pad, bc.x_cyclic), pad_cfg)
-    state_p = jnp.pad(_pad_x(state, H, nx_pad, bc.x_cyclic), pad_cfg)
+    ny_pad = ny_p - 2 * H
+    ntiles = ny_pad // tile_y
+    state_p = jnp.pad(_pad_x(state, H, nx_pad, bc.x_cyclic),
+                      ((0, 0), (H, H + ny_pad - state.shape[1]), (0, 0)))
     win = tile_y + 2 * H
     bc = BC(ew="open", ns="open")
 
-    def kernel(const_hbm, state_hbm, out_ref, cbuf, sbuf, sem0, sem1, sem2):
+    def kernel(const_hbm, state_hbm, donor_hbm, out_ref, cbuf, sbuf,
+               sem0, sem1, sem2):
+        del donor_hbm   # the output aliases this zero buffer's storage
         ty = pl.program_id(0)
         row0 = pl.multiple_of(ty * tile_y, 8)
         cp = pltpu.make_async_copy(
@@ -139,7 +149,7 @@ def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
         sbuf[:] = jnp.concatenate([u[None], v[None], sp, sm, s12], axis=0)
         wr = pltpu.make_async_copy(
             sbuf.at[:, pl.ds(H, tile_y), :],
-            out_ref.at[:, pl.ds(row0, tile_y), :], sem2)
+            out_ref.at[:, pl.ds(row0 + H, tile_y), :], sem2)
         wr.start()
         wr.wait()
 
@@ -147,10 +157,15 @@ def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
         kernel,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((N_STATE, ny_pad, nx_pad),
-                                       jnp.float32),
+        # the output aliases a dedicated zero donor buffer in HBM: keeps
+        # the result out of scoped VMEM without read-after-write hazards
+        # against the state input that tiles read halos from
+        input_output_aliases={2: 0},
+        out_shape=jax.ShapeDtypeStruct(
+            (N_STATE, ny_pad + 2 * H, nx_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((N_CONST, win, nx_pad), jnp.float32),
             pltpu.VMEM((N_STATE, win, nx_pad), jnp.float32),
@@ -159,8 +174,10 @@ def _chunk_call(const, state, p: EvpParams, bc, k: int, tile_y: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(const_p, state_p)
-    return out[:, :ny, H:H + nx]
+    )(const_p, state_p, jnp.zeros_like(state_p))
+    ny = state.shape[1]
+    nx = state.shape[2]
+    return out[:, H:H + ny, H:H + nx]
 
 
 def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
@@ -178,11 +195,14 @@ def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
 
     ny, nx = grid.shape
     if tile_y is None:
-        # fit (N_CONST + 2*N_STATE) f32 planes of (tile+2H, nx) in ~12MB
-        H = 2 * k_fuse + 2
-        nx_eff = -(-(nx + 2 * (2 * k_fuse + 8)) // 128) * 128
-        budget = 10e6 / 4.0 / (N_CONST + 2 * N_STATE) / nx_eff
-        tile_y = int(max(32, min(ny, budget - 2 * H)))
+        # VMEM budget: scratch windows + the Mosaic output staging buffer
+        # (full (N_STATE, ny_pad+2H, nx_pad) plane set) must fit in ~15MB
+        H8 = -(-(2 * k_fuse + 2) // 8) * 8
+        nx_eff = -(-(nx + 2 * H8) // 128) * 128
+        out_bytes = N_STATE * (ny + 2 * H8 + 64) * nx_eff * 4
+        budget = max(2e6, 15e6 - out_bytes) / 4.0 / \
+            (N_CONST + N_STATE) / nx_eff
+        tile_y = int(max(16, min(ny, budget - 2 * H8)))
     tile_y = max(8, (tile_y // 8) * 8)    # TPU sublane tiling constraint
     # halo covers the 2-cells-per-subcycle dependency cone, rounded up to
     # the (8, 128) HBM tile granularity so DMA windows stay aligned
@@ -191,6 +211,13 @@ def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
     DminTarea = (p.deltaminEVP * grid.tarea).astype(jnp.float32)
     zero3 = lambda s: jnp.where(prep.iceTmask[None], s, 0.0)
     const = _pack_const(grid, prep, strength, DminTarea, uocn, vocn)
+    # pad the constant planes ONCE (they never change across chunks)
+    nx_pad_c = -(-(nx + 2 * H) // 128) * 128
+    ntiles_c = math.ceil(ny / tile_y)
+    ny_pad_c = ntiles_c * tile_y
+    const_p = jnp.pad(
+        _pad_x(const, H, nx_pad_c, grid.bc.x_cyclic),
+        ((0, 0), (H, H + ny_pad_c - ny), (0, 0)))
     state = jnp.concatenate([
         prep.uvel[None].astype(jnp.float32),
         prep.vvel[None].astype(jnp.float32),
@@ -201,7 +228,7 @@ def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
     done = 0
     while done < p.ndte:
         k = min(k_fuse, p.ndte - done)
-        state = _chunk_call(const, state, p, grid.bc, k, tile_y, H,
+        state = _chunk_call(const_p, state, p, grid.bc, k, tile_y, H,
                             interpret)
         done += k
 
