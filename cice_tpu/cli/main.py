@@ -246,6 +246,24 @@ def main(argv=None):
         "cice_tpu.cli.qc", fromlist=["main"]).main(
             [a.dir_a, a.dir_b, a.var]))
 
+    p_p2 = sub.add_parser("plot2d", help="map plot of a history field "
+                          "(ciceplots2d.py analogue)")
+    p_p2.add_argument("paths", nargs="+")
+    p_p2.add_argument("--field", "-f", default="aice")
+    p_p2.add_argument("--out", default=None)
+    p_p2.set_defaults(fn=lambda a: print("\n".join(__import__(
+        "cice_tpu.cli.plots", fromlist=["plot2d"]).plot2d(
+            a.paths, a.field, a.out))) or 0)
+
+    p_ts = sub.add_parser("timeseries", help="diagnostics time-series plot "
+                          "(timeseries.py analogue)")
+    p_ts.add_argument("diag_path")
+    p_ts.add_argument("--keys", "-k", action="append", default=None)
+    p_ts.add_argument("--out", default=None)
+    p_ts.set_defaults(fn=lambda a: print(__import__(
+        "cice_tpu.cli.plots", fromlist=["timeseries"]).timeseries(
+            a.diag_path, a.keys, a.out)) or 0)
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

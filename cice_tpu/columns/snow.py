@@ -54,14 +54,31 @@ def update_rhos_wind(cfg_snow, dt, rhos_cmp, wind):
                     0.0, cfg_snow.rhosmax - cfg_snow.rhosmin)
 
 
-def grain_metamorphism(cfg_snow, dt, rsnw, Tsno, smice, smliq):
+def grain_metamorphism(cfg_snow, dt, rsnw, Tsno, smice, smliq, Tgrd=None,
+                       rhos_eff=None):
     """Grain radius evolution: dry growth toward a warm-limit radius with
-    temperature-gradient acceleration; wet growth from liquid content."""
+    temperature-gradient acceleration (or SNICAR-table rates when
+    snw_aging_table != 'exponential'); wet growth from liquid content."""
     liq_frac = smliq / jnp.maximum(smice + smliq, cst.puny)
-    # dry: equilibrium radius grows as snow warms toward 0C
-    warm = jnp.clip(1.0 + Tsno / 20.0, 0.0, 1.0)        # 0 at -20C, 1 at 0C
-    r_eq = cfg_snow.rsnw_fall + (cfg_snow.rsnw_tmax - cfg_snow.rsnw_fall) * warm
-    rs_dry = rsnw + (r_eq - rsnw) * (1.0 - jnp.exp(-dt / TAU_DRY))
+    table_kind = getattr(cfg_snow, "snw_aging_table", "exponential")
+    if table_kind in ("test", "snicar", "file") and Tgrd is not None:
+        # tabulated dry aging (init_snowtable path, snow_nml snw_aging_table)
+        from .snowtable import (load_table_file, make_test_table,
+                                table_aging_rate)
+        table = (load_table_file(cfg_snow.snw_filename)
+                 if table_kind == "file" and cfg_snow.snw_filename
+                 else make_test_table())
+        rhos_l = rhos_eff if rhos_eff is not None else \
+            jnp.full_like(rsnw, cst.rhos)
+        rate = table_aging_rate(table, Tsno * jnp.ones_like(rsnw), Tgrd,
+                                rhos_l, rsnw, cfg_snow.rsnw_fall)
+        rs_dry = rsnw + rate * dt
+    else:
+        # dry: equilibrium radius grows as snow warms toward 0C
+        warm = jnp.clip(1.0 + Tsno / 20.0, 0.0, 1.0)    # 0 at -20C, 1 at 0C
+        r_eq = cfg_snow.rsnw_fall + \
+            (cfg_snow.rsnw_tmax - cfg_snow.rsnw_fall) * warm
+        rs_dry = rsnw + (r_eq - rsnw) * (1.0 - jnp.exp(-dt / TAU_DRY))
     # wet: r^3 growth with liquid fraction cubed (Brun 1989)
     r3 = rs_dry ** 3 + C_WET * 1.0e9 * liq_frac ** 3 * dt
     rs = jnp.where(liq_frac > 1e-4, r3 ** (1.0 / 3.0), rs_dry)
@@ -138,8 +155,12 @@ def step_snow(cfg, dt, *, vsnon, aicen, trcrn, Tsno, melts, frain, fsnow,
         fsnow=fsnow[None], aicen=aicen[:, None])
     meltsliq = jnp.sum(drain, axis=1)
 
+    # snowpack temperature gradient proxy: surface at Tsno, base near 0C
+    Tgrd = jnp.abs(Tsno[:, None]) / jnp.maximum(hslyr[:, None] * nslyr, 0.05)
     rsnw_n = grain_metamorphism(cfg.snow, dt, rsnw, Tsno[:, None],
-                                smice_n, smliq_n)
+                                smice_n, smliq_n, Tgrd=Tgrd,
+                                rhos_eff=snow_effective_density(
+                                    cfg.snow, smice_n, smliq_n, rhos_cmp))
     # fresh snowfall resets the top layer radius toward rsnw_fall
     new_frac = jnp.clip(fsnow[None] * dt /
                         jnp.maximum(cst.rhos * hslyr[:, None], cst.puny),

@@ -90,6 +90,8 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
         # iage: new ice has age 0 -> weighted dilution happens automatically
         elif spec.name == "iage":
             trc[spec.name][0] = t * wv_old
+        elif spec.name == "fbri":
+            trc[spec.name][0] = t * wv_old + 1.0 * wv_new  # new ice brine-full
 
     aicen = aicen.at[0].set(atot)
     vicen = vicen.at[0].set(vtot)

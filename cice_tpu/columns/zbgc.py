@@ -82,3 +82,174 @@ def step_bgc_skl(cfg_bgc, dt, *, aicen, vicen, bgc_N, bgc_Nit, fswthru,
                    axis=0) / dt
     return BgcOut(bgc_N=N_new, bgc_Nit=Nit_new, flux_NO3_ocn=flux,
                   grow_net=jnp.where(mask, mu, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Full skeletal-layer nutrient/ecosystem network (presence-driven)
+# ---------------------------------------------------------------------------
+
+# stoichiometry (Elliott et al. 2012 sea-ice ecodynamics; icepack defaults)
+R_SI2N = (1.8, 0.0, 0.0)       # silicate:N uptake per algal class
+R_S2N = (0.03, 0.03, 0.03)     # DMSP sulfur per algal N
+R_C2N = 7.0                    # carbon:N (mol)
+ALGAL_CLASSES = ("bgc_N", "bgc_N2", "bgc_N3")   # diatoms, small phyto, Phaeo
+
+
+class BgcNetOut(NamedTuple):
+    trc: dict                   # updated bgc tracers (same keys as input)
+    flux_bgc_ocn: dict          # name -> net flux to ocean (mmol/m^2/s)
+    grow_net: jnp.ndarray       # diagnostic net specific growth (1/s)
+
+
+def step_bgc_skl_net(cfg_bgc, dt, *, aicen, trc, fswthru, Tbot, meltb,
+                     congel, ocean):
+    """One step of the full skeletal-layer BGC network, dense over
+    (ncat, ny, nx). `trc` holds whichever bgc tracers are registered:
+    algae `bgc_N[,2,3]` (mmol N/m^2), dissolved pools `bgc_Nit, bgc_Am,
+    bgc_Sil, bgc_DMSPd, bgc_DMS, bgc_DON` (mmol/m^3 of skeletal layer),
+    particulates `bgc_DMSPp, bgc_PON` (mmol/m^2), iron `bgc_Fed, bgc_Fep`
+    (umol/m^3, /m^2). `ocean` maps dissolved-tracer name -> mixed-layer
+    concentration. Science: Jin et al. 2006 limitation/temperature forms;
+    Elliott et al. 2012 sulfur cycle; first-order nitrification and
+    remineralization. Reference surface: icepack_biogeochemistry
+    (ice_step_mod.F90:1634-1782) with skl_bgc=.true. and zbgc_nml flags
+    tr_bgc_{Nit,Am,Sil,DMS,PON,DON,Fe}.
+    """
+    mask = aicen > cst.puny
+    out = dict(trc)
+    secday = cst.secday
+    Tfac = jnp.exp(0.0633 * jnp.minimum(Tbot, 0.0))
+    frel = jnp.clip(meltb / SK_L, 0.0, 1.0)        # bottom-melt release frac
+    pv = cfg_bgc.pv0 / secday                      # piston velocity (m/s)
+    fluxes = {}
+
+    # total algal biomass for self-shading
+    Ntot = sum(trc[a] for a in ALGAL_CLASSES if a in trc)
+    par = 0.45 * jnp.maximum(fswthru, 0.0) * jnp.exp(-CHLABS * Ntot)
+    L_lim = par / (par + cfg_bgc.chlabs_par_half)
+
+    Nit = trc.get("bgc_Nit")
+    Am = trc.get("bgc_Am")
+    Sil = trc.get("bgc_Sil")
+
+    tot_grow = 0.0
+    tot_upNit = 0.0     # mmol N/m^2 taken from nitrate this step
+    tot_upAm = 0.0
+    tot_upSil = 0.0
+    tot_mort = 0.0      # algal losses to detritus/dissolved pools
+    grow_net = jnp.zeros_like(aicen)
+
+    for ia, name in enumerate(ALGAL_CLASSES):
+        if name not in trc:
+            continue
+        Nalg = trc[name]
+        # Liebig limitation over available nutrients
+        N_pool = (Nit if Nit is not None else cfg_bgc.nit_data)
+        if Am is not None:
+            N_pool = N_pool + Am
+        N_lim = N_pool / (N_pool + cfg_bgc.K_Nit)
+        lim = jnp.minimum(L_lim, N_lim)
+        if R_SI2N[ia] > 0.0 and Sil is not None:
+            lim = jnp.minimum(lim, Sil / (Sil + cfg_bgc.K_Sil))
+        mu = cfg_bgc.mu_max / secday * lim * Tfac
+        grow = mu * Nalg * dt
+        grow = jnp.minimum(grow, 0.9 * N_pool * SK_L)
+        # ammonium is taken preferentially
+        if Am is not None:
+            upAm = jnp.minimum(grow, 0.9 * Am * SK_L)
+        else:
+            upAm = 0.0
+        upNit = grow - upAm
+        loss = (cfg_bgc.fr_graze + cfg_bgc.mort_pre) / secday * Nalg * dt
+        loss = jnp.minimum(loss, Nalg + grow)
+        Nnew = Nalg + grow - loss
+        released = frel * Nnew
+        Nnew = jnp.where(mask, jnp.maximum(Nnew - released, 0.0), 0.0)
+        out[name] = Nnew
+        fluxes[name] = jnp.sum(jnp.where(mask, aicen * released, 0.0),
+                               axis=0) / dt
+        tot_grow = tot_grow + grow
+        tot_upNit = tot_upNit + upNit
+        tot_upAm = tot_upAm + upAm
+        tot_upSil = tot_upSil + R_SI2N[ia] * grow
+        tot_mort = tot_mort + loss
+        grow_net = grow_net + jnp.where(mask, mu, 0.0)
+
+        # sulfur cycle rides on algal growth/mortality
+        if "bgc_DMSPp" in trc:
+            out["bgc_DMSPp"] = out.get("bgc_DMSPp", trc["bgc_DMSPp"]) + \
+                R_S2N[ia] * (grow - loss)
+
+    # --- dissolved / particulate pool updates ---------------------------
+    def _dissolved(name, source_per_area, uptake_per_area):
+        """Update a dissolved pool (mmol/m^3 in the skl layer): in-ice
+        source/sink + molecular-sublayer exchange with the ocean."""
+        C = out[name]
+        C = C + (source_per_area - uptake_per_area) / SK_L
+        ocn = ocean.get(name, 0.0)
+        dC = pv * (ocn - C) * dt / SK_L
+        C = C + dC
+        C = jnp.where(mask, jnp.maximum(C, 0.0),
+                      jnp.broadcast_to(jnp.asarray(ocn, C.dtype), C.shape))
+        out[name] = C
+        fluxes[name] = jnp.sum(jnp.where(mask, -aicen * dC * SK_L, 0.0),
+                               axis=0) / dt
+
+    remin = cfg_bgc.fr_resp * tot_mort          # N remineralized in place
+    to_PON = (1.0 - cfg_bgc.fr_resp) * tot_mort
+
+    if Am is not None:
+        # remineralization feeds ammonium; nitrification drains it to NO3
+        nitrif = cfg_bgc.k_nitrif / secday * Am * SK_L * dt
+        _dissolved("bgc_Am", remin, tot_upAm + nitrif)
+    else:
+        nitrif = remin                           # shortcut straight to NO3
+    if Nit is not None:
+        _dissolved("bgc_Nit", nitrif, tot_upNit)
+    if Sil is not None:
+        _dissolved("bgc_Sil", 0.0, tot_upSil)
+
+    if "bgc_PON" in trc:
+        PON = out.get("bgc_PON", trc["bgc_PON"]) + to_PON
+        rel = frel * PON
+        out["bgc_PON"] = jnp.where(mask, jnp.maximum(PON - rel, 0.0), 0.0)
+        fluxes["bgc_PON"] = jnp.sum(jnp.where(mask, aicen * rel, 0.0),
+                                    axis=0) / dt
+
+    if "bgc_DON" in trc:
+        # a fraction of grazing losses dissolves; slow remineralization
+        don_src = cfg_bgc.f_don * tot_mort
+        don_sink = cfg_bgc.kn_bac / secday * out["bgc_DON"] * SK_L * dt
+        _dissolved("bgc_DON", don_src, don_sink)
+
+    if "bgc_DMSPp" in trc:
+        # particulate DMSP lysis -> dissolved DMSPd
+        DMSPp = jnp.maximum(out["bgc_DMSPp"], 0.0)
+        lysis = dt / (cfg_bgc.t_sk_conv * secday) * DMSPp
+        relp = frel * (DMSPp - lysis)
+        out["bgc_DMSPp"] = jnp.where(mask,
+                                     jnp.maximum(DMSPp - lysis - relp, 0.0),
+                                     0.0)
+        fluxes["bgc_DMSPp"] = jnp.sum(jnp.where(mask, aicen * relp, 0.0),
+                                      axis=0) / dt
+        if "bgc_DMSPd" in trc:
+            # DMSPd -> DMS conversion with yield fraction
+            conv = dt / (cfg_bgc.t_sk_conv * secday) * \
+                out["bgc_DMSPd"] * SK_L
+            _dissolved("bgc_DMSPd", lysis, conv)
+            if "bgc_DMS" in trc:
+                ox = dt / (cfg_bgc.t_sk_ox * secday) * out["bgc_DMS"] * SK_L
+                _dissolved("bgc_DMS", cfg_bgc.y_sk_DMS * conv, ox)
+
+    if "bgc_Fed" in trc:
+        # dissolved iron scavenges onto particles; particulate released on melt
+        fed_sink = cfg_bgc.k_fe_scav / secday * out["bgc_Fed"] * SK_L * dt
+        _dissolved("bgc_Fed", 0.0, fed_sink)
+        if "bgc_Fep" in trc:
+            Fep = out["bgc_Fep"] + fed_sink
+            rel = frel * Fep
+            out["bgc_Fep"] = jnp.where(mask, jnp.maximum(Fep - rel, 0.0), 0.0)
+            fluxes["bgc_Fep"] = jnp.sum(jnp.where(mask, aicen * rel, 0.0),
+                                        axis=0) / dt
+
+    return BgcNetOut(trc=out, flux_bgc_ocn=fluxes, grow_net=grow_net)

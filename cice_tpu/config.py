@@ -36,6 +36,7 @@ class SetupConfig:
     npt_unit: str = "1"             # '1'=steps, 'd','m','y','h','s'
     ndtd: int = 1                   # dynamics subcycles per thermo step
     runtype: str = "initial"        # 'initial' | 'continue'
+    prescribed_ice: bool = False    # AMIP prescribed concentration (ice_prescribed_mod)
     ice_ic: str = "default"         # 'default' | 'none' | path
     restart: bool = False
     restart_dir: str = "./restart/"
@@ -49,6 +50,7 @@ class SetupConfig:
     histfreq_n: Tuple[int, ...] = (1, 1, 1, 1, 1)
     hist_avg: bool = True
     history_dir: str = "./history/"
+    hist_cmip: bool = False         # add CMIP si* alias fields (f_CMIP)
     history_file: str = "iceh"
     calendar_type: str = "noleap"   # 'noleap' | 'gregorian' | '360day'
     conserv_check: bool = False
@@ -66,6 +68,9 @@ class GridConfig:
     dyrect: float = 30.0e5
     lonrefrect: float = -156.5
     latrefrect: float = 71.35
+    scale_dxdy: bool = False        # variable rect spacing (rectgrid_scale_dxdy:2772)
+    dxscale: float = 1.0            # geometric spacing ratio per cell, x
+    dyscale: float = 1.0
     kmt_type: str = "default"       # 'default' | 'none' | 'channel' | 'wall' | 'boxislands'
     ew_boundary_type: str = "cyclic"   # 'cyclic' | 'closed' | 'open'
     ns_boundary_type: str = "open"     # 'open' | 'closed' | 'cyclic' | 'tripole' | 'tripoleT'
@@ -99,6 +104,7 @@ class TracerConfig:
     tr_fsd: bool = False
     tr_iso: bool = False
     tr_aero: bool = False
+    tr_brine: bool = False         # dynamic brine height (fbri)
 
 
 @dataclass(frozen=True)
@@ -220,6 +226,8 @@ class SnowConfig:
     windmin: float = 10.0
     drhosdwind: float = 27.3
     snwlvlfac: float = 0.3
+    snw_aging_table: str = "exponential"  # 'exponential'|'test'|'snicar'|'file'
+    snw_filename: str = ""                # aging-table file (snw_aging_table='file')
 
 
 @dataclass(frozen=True)
@@ -229,16 +237,36 @@ class ZbgcConfig:
     skl_bgc: bool = False
     tr_bgc_N: bool = True          # algal nitrogen tracer
     tr_bgc_Nit: bool = True        # nitrate tracer
+    n_algae: int = 1               # algal classes (diatom/small-phyto/Phaeo)
+    tr_bgc_Am: bool = False        # ammonium
+    tr_bgc_Sil: bool = False       # silicate
+    tr_bgc_DMS: bool = False       # DMSPp + DMSPd + DMS sulfur cycle
+    tr_bgc_PON: bool = False       # passive particulate N
+    tr_bgc_DON: bool = False       # dissolved organic N
+    tr_bgc_Fe: bool = False        # dissolved + particulate iron
     restore_bgc: bool = False
     bgc_flux_type: str = "Jin2006"
     mu_max: float = 1.44           # max specific growth (1/day)
     K_Nit: float = 1.0             # nitrate half-saturation (mmol/m^3)
+    K_Am: float = 0.3              # ammonium half-saturation (mmol/m^3)
+    K_Sil: float = 4.0             # silicate half-saturation (mmol/m^3)
     fr_graze: float = 0.1          # grazing rate (1/day)
     mort_pre: float = 0.007        # mortality (1/day)
     fr_resp: float = 0.05          # fraction of loss remineralized
+    f_don: float = 0.6             # fraction of losses to DON
+    kn_bac: float = 0.03           # DON bacterial remin rate (1/day)
+    k_nitrif: float = 0.046        # nitrification rate (1/day)
+    t_sk_conv: float = 3.0         # DMSP->DMS conversion time (days)
+    t_sk_ox: float = 10.0          # DMS oxidation time (days)
+    y_sk_DMS: float = 0.7          # DMS yield from DMSPd
+    k_fe_scav: float = 0.01        # iron scavenging rate (1/day)
     pv0: float = 1.0e-2            # piston velocity scale (m/day)
     chlabs_par_half: float = 2.0   # light half-saturation (W/m^2)
     nit_data: float = 10.0         # default ocean nitrate (mmol/m^3)
+    amm_data: float = 1.0          # default ocean ammonium (mmol/m^3)
+    sil_data: float = 25.0         # default ocean silicate (mmol/m^3)
+    dms_data: float = 0.1          # default ocean DMS (mmol S/m^3)
+    fed_data: float = 0.5          # default ocean dissolved Fe (umol/m^3)
 
 
 @dataclass(frozen=True)

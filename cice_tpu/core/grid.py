@@ -305,18 +305,30 @@ def make_kmt_rect(nx: int, ny: int, kmt_type: str, bc: BC) -> np.ndarray:
 def rectgrid(nx: int, ny: int, dxrect_cm: float = 30.0e5, dyrect_cm: float = 30.0e5,
              kmt_type: str = "default", bc: BC = BC(ew="cyclic", ns="open"),
              lonrefrect: float = -156.5, latrefrect: float = 71.35,
+             dxscale: float = 1.0, dyscale: float = 1.0,
              dtype=jnp.float32) -> Grid:
-    """Uniform rectangular grid with analytic coordinates."""
+    """Rectangular grid with analytic coordinates; uniform spacing, or
+    geometrically scaled from the domain center when dx/dyscale != 1
+    (reference rectgrid_scale_dxdy, ice_grid.F90:2772)."""
     dx = dxrect_cm * cst.cm_to_m
     dy = dyrect_cm * cst.cm_to_m
-    dlon = dx / cst.radius            # radians
-    dlat = dy / cst.radius
+    if dxscale != 1.0 or dyscale != 1.0:
+        # per-column/row spacing scaled by r^|i-center| (variable resolution)
+        ix = np.arange(nx) - (nx - 1) / 2.0
+        iy = np.arange(ny) - (ny - 1) / 2.0
+        dxs = dx * dxscale ** np.abs(ix)                 # (nx,)
+        dys = dy * dyscale ** np.abs(iy)                 # (ny,)
+    else:
+        dxs = np.full(nx, dx)
+        dys = np.full(ny, dy)
     lon0 = lonrefrect * cst.deg_to_rad
     lat0 = latrefrect * cst.deg_to_rad
-    ULON = lon0 + dlon * np.arange(nx)[None, :] + 0.0 * np.arange(ny)[:, None]
-    ULAT = lat0 + dlat * np.arange(ny)[:, None] + 0.0 * np.arange(nx)[None, :]
-    HTN = np.full((ny, nx), dx)
-    HTE = np.full((ny, nx), dy)
+    xU = np.cumsum(dxs)                                  # U-point x (m)
+    yU = np.cumsum(dys)
+    ULON = lon0 + (xU / cst.radius)[None, :] + 0.0 * np.arange(ny)[:, None]
+    ULAT = lat0 + (yU / cst.radius)[:, None] + 0.0 * np.arange(nx)[None, :]
+    HTN = np.broadcast_to(dxs[None, :], (ny, nx)).copy()
+    HTE = np.broadcast_to(dys[:, None], (ny, nx)).copy()
     hm = make_kmt_rect(nx, ny, kmt_type, bc)
     return _derive(ULAT, ULON, HTN, HTE, hm, bc, dtype=dtype)
 
@@ -356,6 +368,8 @@ def make_grid(cfg) -> Grid:
     if g.grid_format == "rect":
         return rectgrid(g.nx_global, g.ny_global, g.dxrect, g.dyrect,
                         g.kmt_type, bc, g.lonrefrect, g.latrefrect,
+                        dxscale=g.dxscale if g.scale_dxdy else 1.0,
+                        dyscale=g.dyscale if g.scale_dxdy else 1.0,
                         dtype=cfg.np_dtype)
     if g.grid_format == "latlon":
         return latlon_grid(g.nx_global, g.ny_global, bc=bc, dtype=cfg.np_dtype)

@@ -315,4 +315,4 @@ def eap_solve(grid: Grid, p: EvpParams, prep: DynPrep, strength,
     Cb = prep.TbU / (jnp.sqrt(final.uvel ** 2 + final.vvel ** 2) + cst.u0)
     return (final.uvel, final.vvel, final.stressp, final.stressm,
             final.stress12, strintx, strinty, -final.uvel * Cb,
-            -final.vvel * Cb)
+            -final.vvel * Cb, final.a11, final.a12)

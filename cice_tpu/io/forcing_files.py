@@ -188,3 +188,95 @@ def ocean_clim_dataset(data_dir: str, shape, fyear_init=2005) -> ForcingDataset:
                     qdp="qdp", hmix="hmix"),
         secint=DAYYR * SECDAY / 12.0, data_dir=data_dir,
         fyear_init=fyear_init, ycycle=1, shape=shape)
+
+
+def monthly_dataset(data_dir: str, shape, fyear_init=2005,
+                    ycycle=1) -> ForcingDataset:
+    """Monthly climatology atmosphere (reference monthly_data
+    ice_forcing.F90: cldf/fsnow/Tair/Qa/wind monthly means)."""
+    return ForcingDataset(
+        path_pattern="{dir}/monthly_clim.npz",
+        fields=dict(Tair="Tair", Qa="Qa", uatm="uatm", vatm="vatm",
+                    cldf="cldf", fsnow="fsnow"),
+        secint=DAYYR * SECDAY / 12.0, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=ycycle, shape=shape)
+
+
+def hadgem_dataset(data_dir: str, shape, fyear_init=2005,
+                   ycycle=1) -> ForcingDataset:
+    """HadGEM3 monthly forcing (reference hadgem_data ice_forcing.F90):
+    direct wind stress (strax/stray) + optional topmelt/botmelt per
+    category are the distinguishing fields; here the cell-mean pair."""
+    return ForcingDataset(
+        path_pattern="{dir}/MONTHLY/hadgem_{year:04d}.nc",
+        fields=dict(Tair="airtmp", Qa="spchmd", strax="taux", stray="tauy",
+                    uatm="u10", vatm="v10", swdn="swdn", flw="lwdn",
+                    fsnow="snowfall", frain="rainfall"),
+        secint=DAYYR * SECDAY / 12.0, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=ycycle, shape=shape)
+
+
+def hycom_ocean_dataset(data_dir: str, shape,
+                        fyear_init=2005) -> ForcingDataset:
+    """HYCOM ocean forcing (reference ocn_data_hycom_init: netCDF sst/sss
+    + surface currents on the model grid)."""
+    return ForcingDataset(
+        path_pattern="{dir}/hycom_ocn_{year:04d}.nc",
+        fields=dict(sst="sst", sss="sss", uocn="uvel", vocn="vvel"),
+        secint=SECDAY, data_dir=data_dir,
+        fyear_init=fyear_init, ycycle=1, shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# point time-series datasets (oned / ISPOL): single-column records broadcast
+# to the (ny, nx) grid — the reference's oned_data/ISPOL_data read scalar
+# series the same way (ice_forcing.F90 oned_files/ISPOL_files)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PointSeriesDataset:
+    """Scalar time series (one value per record per field) broadcast to the
+    grid; container: npz of 1-D arrays keyed by field."""
+
+    path: str
+    fields: Dict[str, str]
+    secint: float
+    shape: tuple = (0, 0)
+    _data: Optional[dict] = None
+
+    def _load(self):
+        if self._data is None:
+            with np.load(self.path) as z:
+                self._data = {k: np.asarray(z[v], np.float64)
+                              for k, v in self.fields.items() if v in z}
+        return self._data
+
+    def at_time(self, year: int, sec_of_year: float) -> Dict[str, np.ndarray]:
+        data = self._load()
+        out = {}
+        for k, series in data.items():
+            n = series.size
+            r_after = int(np.floor(sec_of_year / self.secint + 0.5))
+            c1, c2 = interp_coeff(sec_of_year, r_after + 1, self.secint)
+            v = c1 * series[(r_after - 1) % n] + c2 * series[r_after % n]
+            out[k] = np.full(self.shape, v)
+        return out
+
+
+def oned_dataset(data_dir: str, shape) -> PointSeriesDataset:
+    """Single-point hourly forcing (reference oned_data)."""
+    return PointSeriesDataset(
+        path=os.path.join(data_dir, "oned_forcing.npz"),
+        fields=dict(Tair="Tair", Qa="Qa", uatm="uatm", vatm="vatm",
+                    fsw="fsw", flw="flw", fsnow="fsnow"),
+        secint=3600.0, shape=shape)
+
+
+def ispol_dataset(data_dir: str, shape) -> PointSeriesDataset:
+    """ISPOL (Ice Station POLarstern) Weddell-Sea field-campaign series
+    (reference ISPOL_data; 6-hourly)."""
+    return PointSeriesDataset(
+        path=os.path.join(data_dir, "ispol_forcing.npz"),
+        fields=dict(Tair="Tair", Qa="Qa", uatm="uatm", vatm="vatm",
+                    fsw="fsw", flw="flw", fsnow="fsnow"),
+        secint=6.0 * 3600.0, shape=shape)

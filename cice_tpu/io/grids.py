@@ -59,6 +59,47 @@ def read_pop_grid_nc(path: str):
     return out
 
 
+def read_mom_supergrid(path: str):
+    """MOM6 supergrid netCDF (reference mom_grid, ice_grid.F90:1702).
+
+    The supergrid holds coordinates at DOUBLE resolution: `x`,`y` are
+    (2ny+1, 2nx+1) lon/lat in degrees, `dx` (2ny+1, 2nx) and `dy`
+    (2ny, 2nx+1) edge lengths in meters, `angle_dx` (2ny+1, 2nx+1) degrees.
+    Model U (corner) points are the even supergrid nodes; T-cell edge
+    lengths are sums of supergrid half-edges."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        x = np.array(f.variables["x"][:], np.float64)
+        y = np.array(f.variables["y"][:], np.float64)
+        dx = np.array(f.variables["dx"][:], np.float64)
+        dy = np.array(f.variables["dy"][:], np.float64)
+        ang = (np.array(f.variables["angle_dx"][:], np.float64)
+               if "angle_dx" in f.variables else None)
+    ny2, nx2 = dx.shape[0] - 1, dy.shape[1] - 1   # 2*ny, 2*nx
+    ny, nx = ny2 // 2, nx2 // 2
+    deg2rad = np.pi / 180.0
+    ULAT = y[2::2, 2::2] * deg2rad                # (ny, nx) corner lat
+    ULON = x[2::2, 2::2] * deg2rad
+    # T-cell north edge (row 2j+2), split at the N point (cols 2i, 2i+1)
+    HTN = dx[2::2, 0::2] + dx[2::2, 1::2]         # (ny, nx), meters
+    # T-cell east edge (col 2i+2), split at the E point (rows 2j, 2j+1)
+    HTE = dy[0::2, 2::2] + dy[1::2, 2::2]
+    out = dict(ULAT=ULAT, ULON=ULON, HTN=HTN, HTE=HTE, nx=nx, ny=ny)
+    if ang is not None:
+        out["ANGLE"] = ang[2::2, 2::2] * deg2rad
+    return out
+
+
+def read_ocean_mask_nc(path: str) -> np.ndarray:
+    """MOM ocean_mask.nc / topog-derived wet mask (1 = ocean)."""
+    from scipy.io import netcdf_file
+    with netcdf_file(path, "r", mmap=False) as f:
+        for n in ("mask", "wet", "kmt"):
+            if n in f.variables:
+                return np.array(f.variables[n][:], np.float64)
+    raise ValueError(f"no mask/wet/kmt variable in {path}")
+
+
 def load_grid_files(cfg, dtype=None) -> Grid:
     """Build a Grid from grid_file (+ kmt_file) per grid_format
     ('pop_bin' | 'pop_nc'); boundary conditions from
@@ -66,6 +107,13 @@ def load_grid_files(cfg, dtype=None) -> Grid:
     g = cfg.grid
     nx, ny = g.nx_global, g.ny_global
     bc = BC(ew=g.ew_boundary_type, ns=g.ns_boundary_type)
+    if g.grid_format in ("mom", "mom_nc"):
+        d = read_mom_supergrid(g.grid_file)
+        kmt = (read_ocean_mask_nc(g.kmt_file) if g.kmt_file
+               else np.ones((d["ny"], d["nx"])))
+        return from_arrays(d["ULAT"], d["ULON"], d["HTN"], d["HTE"], kmt,
+                           bc, angle=d.get("ANGLE"),
+                           dtype=dtype if dtype is not None else cfg.np_dtype)
     if g.grid_format in ("pop_nc", "nc"):
         d = read_pop_grid_nc(g.grid_file)
     else:

@@ -77,6 +77,39 @@ def default_fields() -> List[HistoryField]:
     ]
 
 
+def cmip_fields() -> List[HistoryField]:
+    """CMIP-standard alias fields (reference f_si* registrations in
+    ice_history.F90 / icefields_nml: siconc, sithick, sisnthick, simass,
+    sisnmass, siu, siv, sispeed, sitemptop, sitimefrac)."""
+    def _thick(s, fl, g):
+        return s.vice / jnp.maximum(s.aice, cst.puny)
+
+    def _snthick(s, fl, g):
+        return s.vsno / jnp.maximum(s.aice, cst.puny)
+
+    return [
+        _f("siconc", "1", "sea-ice area fraction (CMIP)",
+           lambda s, fl, g: s.aice),
+        _f("sithick", "m", "sea-ice thickness (CMIP)", _thick),
+        _f("sisnthick", "m", "snow thickness (CMIP)", _snthick),
+        _f("simass", "kg/m^2", "sea-ice mass per area (CMIP)",
+           lambda s, fl, g: cst.rhoi * s.vice),
+        _f("sisnmass", "kg/m^2", "snow mass per area (CMIP)",
+           lambda s, fl, g: cst.rhos * s.vsno),
+        _f("siu", "m/s", "sea-ice x velocity (CMIP)",
+           lambda s, fl, g: s.uvel),
+        _f("siv", "m/s", "sea-ice y velocity (CMIP)",
+           lambda s, fl, g: s.vvel),
+        _f("sispeed", "m/s", "sea-ice speed (CMIP)",
+           lambda s, fl, g: jnp.sqrt(s.uvel ** 2 + s.vvel ** 2)),
+        _f("sitemptop", "C", "sea-ice surface temperature (CMIP)",
+           lambda s, fl, g: (s.trcrn["Tsfcn"] * s.aicen).sum(0) /
+           jnp.maximum(s.aice, cst.puny)),
+        _f("sitimefrac", "1", "time fraction with ice present (CMIP)",
+           lambda s, fl, g: (s.aice > cst.puny).astype(s.aice.dtype)),
+    ]
+
+
 def _agg(catfield, aicen, aice):
     return (catfield * aicen).sum(0) / jnp.maximum(aice, cst.puny)
 
@@ -137,13 +170,43 @@ def mechred_fields() -> List[HistoryField]:
     ]
 
 
-def bgc_fields() -> List[HistoryField]:
-    """BGC group (ice_history_bgc.F90 subset for the skl model)."""
-    return [
+def bgc_fields(cfg=None) -> List[HistoryField]:
+    """BGC group (ice_history_bgc.F90 subset for the skl model); optional
+    pools appear iff their tracer is registered."""
+    fields = [
         _f("algalN", "mmol N/m^2", "skeletal-layer algal nitrogen",
            lambda s, fl, g: jnp.sum(s.trcrn["bgc_N"] * s.aicen, axis=0)),
         _f("nitrate", "mmol N/m^3", "skeletal-layer nitrate",
            lambda s, fl, g: _agg(s.trcrn["bgc_Nit"], s.aicen, s.aice)),
+    ]
+    if cfg is None:
+        return fields
+    z = cfg.zbgc
+    opt = [("bgc_Am", "ammonium", "mmol N/m^3", z.tr_bgc_Am),
+           ("bgc_Sil", "silicate", "mmol Si/m^3", z.tr_bgc_Sil),
+           ("bgc_DMS", "DMS", "mmol S/m^3", z.tr_bgc_DMS),
+           ("bgc_DMSPd", "DMSPd", "mmol S/m^3", z.tr_bgc_DMS),
+           ("bgc_PON", "PON", "mmol N/m^2", z.tr_bgc_PON),
+           ("bgc_DON", "DON", "mmol N/m^3", z.tr_bgc_DON),
+           ("bgc_Fed", "dFe", "umol Fe/m^3", z.tr_bgc_Fe)]
+    for key, label, unit, on in opt:
+        if on:
+            fields.append(_f(label, unit, f"skeletal-layer {label}",
+                             (lambda k: lambda s, fl, g: _agg(
+                                 s.trcrn[k], s.aicen, s.aice))(key)))
+    return fields
+
+
+def hbrine_fields() -> List[HistoryField]:
+    """Brine group (ice_history_bgc.F90 fbri/hbri fields)."""
+    def hbri(s, fl, g):
+        am = jnp.maximum(s.aicen, 1e-11)
+        hin = jnp.where(s.aicen > 1e-11, s.vicen / am, 0.0)
+        return jnp.sum(s.trcrn["fbri"] * hin * s.aicen, axis=0)
+    return [
+        _f("fbri", "1", "brine height fraction of ice thickness",
+           lambda s, fl, g: _agg(s.trcrn["fbri"], s.aicen, s.aice)),
+        _f("hbri", "m", "cell-mean brine height", hbri),
     ]
 
 
@@ -173,7 +236,11 @@ def build_fields(cfg) -> List[HistoryField]:
     if t.tr_lvl:
         fields += mechred_fields()
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
-        fields += bgc_fields()
+        fields += bgc_fields(cfg)
+    if t.tr_brine:
+        fields += hbrine_fields()
+    if getattr(cfg.setup, "hist_cmip", False):
+        fields += cmip_fields()
     return fields
 
 

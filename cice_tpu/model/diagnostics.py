@@ -53,6 +53,40 @@ def runtime_diags(grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
     return d
 
 
+def bgc_diags(grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
+    """BGC tracer totals & means (reference bgc_diags,
+    analysis/ice_diagnostics_bgc.F90): area-integrated algal N and
+    ice-concentration-weighted means of the dissolved pools."""
+    tarea = grid.tarea * grid.hm
+    d: Dict[str, jnp.ndarray] = {}
+    aice_w = jnp.sum(state.aice * tarea)
+    for name, trc in state.trcrn.items():
+        if not name.startswith("bgc_"):
+            continue
+        cell = jnp.sum(trc * state.aicen, axis=0)     # cell-mean content
+        d[f"{name}_tot"] = jnp.sum(cell * tarea)
+        d[f"{name}_mean"] = d[f"{name}_tot"] / jnp.maximum(aice_w, cst.puny)
+    return d
+
+
+def hbrine_diags(grid: Grid, state: State) -> Dict[str, jnp.ndarray]:
+    """Brine-height diagnostics (reference hbrine_diags,
+    analysis/ice_diagnostics_bgc.F90): mean fbri and mean brine height over
+    ice-covered area."""
+    if "fbri" not in state.trcrn:
+        return {}
+    tarea = grid.tarea * grid.hm
+    am = jnp.maximum(state.aicen, cst.puny)
+    hin = jnp.where(state.aicen > cst.puny, state.vicen / am, 0.0)
+    hbri = jnp.sum(state.trcrn["fbri"] * hin * state.aicen, axis=0)
+    aice_w = jnp.maximum(jnp.sum(state.aice * tarea), cst.puny)
+    return {
+        "fbri_mean": jnp.sum(jnp.sum(state.trcrn["fbri"] * state.aicen,
+                                     axis=0) * tarea) / aice_w,
+        "hbri_mean": jnp.sum(hbri * tarea) / aice_w,
+    }
+
+
 def total_energy(grid: Grid, state: State) -> jnp.ndarray:
     """Total ice+snow enthalpy (J) — conservation oracle
     (reference conserv_check global sums)."""

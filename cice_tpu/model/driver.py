@@ -98,6 +98,17 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
         trcrn["bgc_Nit"] = jnp.where(aicen > 0, cfg.zbgc.nit_data,
                                      0.0).astype(dtp)
         trcrn["bgc_N"] = jnp.where(aicen > 0, 0.5, 0.0).astype(dtp)
+    for nm, v0 in (("bgc_N2", 0.3), ("bgc_N3", 0.2),
+                   ("bgc_Am", cfg.zbgc.amm_data),
+                   ("bgc_Sil", cfg.zbgc.sil_data),
+                   ("bgc_DMSPp", 0.1), ("bgc_DMSPd", cfg.zbgc.dms_data),
+                   ("bgc_DMS", cfg.zbgc.dms_data), ("bgc_PON", 0.1),
+                   ("bgc_DON", 1.0), ("bgc_Fed", cfg.zbgc.fed_data),
+                   ("bgc_Fep", 0.1)):
+        if nm in trcrn:
+            trcrn[nm] = jnp.where(aicen > 0, v0, 0.0).astype(dtp)
+    if "fbri" in trcrn:
+        trcrn["fbri"] = jnp.where(aicen > 0, 1.0, 0.0).astype(dtp)
     if "rsnw" in trcrn:
         trcrn["rsnw"] = jnp.full_like(trcrn["rsnw"], cfg.snow.rsnw_fall)
         trcrn["smice"] = jnp.where(
@@ -154,6 +165,13 @@ class Model:
                              self.calendar.fyday, self.state.aice,
                              self.forcing)
             self.forcing = fc
+        if self.cfg.setup.prescribed_ice:
+            # AMIP-style prescribed concentration (ice_prescribed_mod):
+            # reset the ITD to the data before the (thermo-only) step
+            from .prescribed import prescribe_ice_state
+            aice_dat = self._prescribed_aice(fc)
+            self.state = prescribe_ice_state(self.cfg, self.grid, self.state,
+                                             aice_dat, self.static.hin_max)
         with self.timers("TimeLoop"):
             self.state, self.flux = self._step_jit(self.state, fc,
                                                    dt=self.cfg.setup.dt)
@@ -194,6 +212,27 @@ class Model:
             self.write_restart()
         self.timers.stop("History")
         self.timers.stop("Total")
+
+    def _prescribed_aice(self, fc):
+        """Ice-coverage data for prescribed mode: an `ice_cov` stream file
+        when configured, else a seasonal analytic cover (high-lat cap)."""
+        import numpy as np
+        f = self.cfg.forcing
+        if f.atm_data_dir:
+            path = f"{f.atm_data_dir}/ice_cov.npz"
+            try:
+                with np.load(path) as z:
+                    cov = z["ice_cov"]
+                month = self.calendar.month - 1
+                return cov[month % cov.shape[0]]
+            except FileNotFoundError:
+                pass
+        import jax.numpy as jnp
+        lat = self.grid.TLAT
+        phase = np.cos(2.0 * np.pi * (self.calendar.fyday - 80.0) / 365.0)
+        edge_nh = (68.0 - 8.0 * phase) * np.pi / 180.0
+        edge_sh = -(62.0 + 6.0 * phase) * np.pi / 180.0
+        return jnp.where((lat > edge_nh) | (lat < edge_sh), 0.95, 0.0)
 
     def write_restart(self):
         from ..io.restart import write_restart

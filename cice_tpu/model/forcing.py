@@ -214,6 +214,18 @@ def _get_dataset(cfg, grid, kind: str):
             ds = ff.ncar_dataset(f.atm_data_dir, shp, f.fyear_init, f.ycycle)
         elif kind == "jra55":
             ds = ff.jra55_dataset(f.atm_data_dir, shp, f.fyear_init, f.ycycle)
+        elif kind == "monthly":
+            ds = ff.monthly_dataset(f.atm_data_dir, shp, f.fyear_init,
+                                    f.ycycle)
+        elif kind == "hadgem":
+            ds = ff.hadgem_dataset(f.atm_data_dir, shp, f.fyear_init,
+                                   f.ycycle)
+        elif kind == "oned":
+            ds = ff.oned_dataset(f.atm_data_dir, shp)
+        elif kind == "ISPOL":
+            ds = ff.ispol_dataset(f.atm_data_dir, shp)
+        elif kind == "hycom":
+            ds = ff.hycom_ocean_dataset(f.ocn_data_dir, shp, f.fyear_init)
         else:
             ds = ff.ocean_clim_dataset(f.ocn_data_dir, shp, f.fyear_init)
         _DATASETS[key] = ds
@@ -243,14 +255,20 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     elif atm in ("uniform_east", "uniform_north", "uniform_west",
                  "uniform_south", "calm"):
         fc = uniform_atm(grid, atm, 5.0, aice, fc)
-    elif atm in ("ncar", "jra55") and cfg.forcing.atm_data_dir:
+    elif atm in ("ncar", "jra55", "monthly", "hadgem", "oned",
+                 "ISPOL") and cfg.forcing.atm_data_dir:
         # file-based datasets with linear time interpolation
         year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
         sec_of_year = timesecs % (365.0 * cst.secday)
         ds = _get_dataset(cfg, grid, atm)
         raw = ds.at_time(year, sec_of_year)
         fc = prepare_forcing(grid, cfg, raw, fc, yday)
-    elif atm in ("seasonal", "ncar", "jra55"):
+        if "strax" in raw:      # hadgem: prescribed wind stress
+            dt_ = fc.strax.dtype
+            fc = fc.replace(strax=jnp.asarray(raw["strax"], dt_),
+                            stray=jnp.asarray(raw["stray"], dt_))
+    elif atm in ("seasonal", "ncar", "jra55", "monthly", "hadgem", "oned",
+                 "ISPOL"):
         # dataset drivers fall back to the synthetic annual cycle when no
         # files are configured (file readers live in cice_tpu.io.forcing_files)
         fc = seasonal_atm(grid, yday, fc)
@@ -259,10 +277,10 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     ocn = cfg.forcing.ocn_data_type
     if ocn == "box2001":
         fc = box2001_ocn(grid, fc)
-    elif ocn in ("clim", "ncar") and cfg.forcing.ocn_data_dir:
+    elif ocn in ("clim", "ncar", "hycom") and cfg.forcing.ocn_data_dir:
         year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
         sec_of_year = timesecs % (365.0 * cst.secday)
-        ds = _get_dataset(cfg, grid, "ocn")
+        ds = _get_dataset(cfg, grid, "hycom" if ocn == "hycom" else "ocn")
         fc = file_ocn(grid, cfg, ds.at_time(year, sec_of_year), fc)
     if cfg.forcing.wave_spec_type != "none":
         # fully-developed-sea wave state from the local wind over open water

@@ -70,11 +70,33 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
     if t.tr_aero and d.n_aero:
         specs.append(TracerSpec("aerosno", DEP_VSNO, 2 * d.n_aero))
         specs.append(TracerSpec("aeroice", DEP_VICE, 2 * d.n_aero))
+    if t.tr_brine:
+        specs.append(TracerSpec("fbri", DEP_VICE))     # brine height fraction
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
-        if cfg.zbgc.tr_bgc_N:
+        z = cfg.zbgc
+        if z.tr_bgc_N:
             specs.append(TracerSpec("bgc_N", DEP_AICE))    # mmol N/m^2
-        if cfg.zbgc.tr_bgc_Nit:
+            if z.n_algae >= 2:
+                specs.append(TracerSpec("bgc_N2", DEP_AICE))
+            if z.n_algae >= 3:
+                specs.append(TracerSpec("bgc_N3", DEP_AICE))
+        if z.tr_bgc_Nit:
             specs.append(TracerSpec("bgc_Nit", DEP_AICE))  # mmol N/m^3
+        if z.tr_bgc_Am:
+            specs.append(TracerSpec("bgc_Am", DEP_AICE))
+        if z.tr_bgc_Sil:
+            specs.append(TracerSpec("bgc_Sil", DEP_AICE))
+        if z.tr_bgc_DMS:
+            specs.append(TracerSpec("bgc_DMSPp", DEP_AICE))
+            specs.append(TracerSpec("bgc_DMSPd", DEP_AICE))
+            specs.append(TracerSpec("bgc_DMS", DEP_AICE))
+        if z.tr_bgc_PON:
+            specs.append(TracerSpec("bgc_PON", DEP_AICE))
+        if z.tr_bgc_DON:
+            specs.append(TracerSpec("bgc_DON", DEP_AICE))
+        if z.tr_bgc_Fe:
+            specs.append(TracerSpec("bgc_Fed", DEP_AICE))
+            specs.append(TracerSpec("bgc_Fep", DEP_AICE))
     return tuple(specs)
 
 
@@ -100,6 +122,10 @@ class State:
     stressp: jnp.ndarray       # sigma11+sigma22 at NE,NW,SW,SE
     stressm: jnp.ndarray       # sigma11-sigma22
     stress12: jnp.ndarray      # sigma12
+    # EAP structure tensor at 4 corners (prognostic when kdyn=2; restart
+    # parity with reference write/read_restart_eap, ice_dyn_eap.F90:2059)
+    a11: jnp.ndarray           # (4, ny, nx), isotropic = 0.5
+    a12: jnp.ndarray           # (4, ny, nx), isotropic = 0
     # ocean-coupling scalar state carried between steps
     sst: jnp.ndarray           # sea surface temperature (C)
     frzmlt: jnp.ndarray        # freezing/melting potential (W/m^2)
@@ -144,5 +170,6 @@ def zeros_state(cfg, grid) -> State:
         uvel=z2(), vvel=z2(), uvelE=z2(), vvelE=z2(), uvelN=z2(), vvelN=z2(),
         stressp=jnp.zeros((4, ny, nx), dt), stressm=jnp.zeros((4, ny, nx), dt),
         stress12=jnp.zeros((4, ny, nx), dt),
+        a11=jnp.full((4, ny, nx), 0.5, dt), a12=jnp.zeros((4, ny, nx), dt),
         sst=z2(), frzmlt=z2(), iceUmask=jnp.zeros((ny, nx), jnp.bool_),
     )

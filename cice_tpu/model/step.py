@@ -240,6 +240,15 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             snoice=th.snoice)
         trcrn["isosno"], trcrn["isoice"] = sn_i, ic_i
 
+    # brine height tracer (icepack update_hbrine; SURVEY §2.9 hbrine group)
+    if cfg.tracers.tr_brine and "fbri" in trcrn:
+        from ..columns.hbrine import update_hbrine
+        hb = update_hbrine(
+            dt, aicen=an, vicen=vicen_out, vsnon=vsnon_out,
+            fbri=trcrn["fbri"], qice=trcrn["qice"], sice=trcrn["sice"],
+            meltb=th.meltb, meltt=th.meltt, congel=th.congel)
+        trcrn["fbri"] = hb.fbri
+
     # advanced snow physics (icepack_step_snow; reference calls it as its
     # own phase after dynamics — here it rides with therm1 where the
     # per-category melt and snow temperature are in hand)
@@ -365,9 +374,12 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                             dt=dt)
     elif d.kdyn == 2:
         from ..dynamics.eap import eap_solve
-        u, v, sp, sm, s12, strintx, strinty, taubx, tauby = eap_solve(
+        (u, v, sp, sm, s12, strintx, strinty, taubx, tauby,
+         a11, a12) = eap_solve(
             grid, p, prep, strength, state.stressp, state.stressm,
-            state.stress12, uocn=uocnU, vocn=vocnU)
+            state.stress12, uocn=uocnU, vocn=vocnU,
+            a11=state.a11, a12=state.a12)
+        state = state.replace(a11=a11, a12=a12)
     elif d.evp_algorithm == "fused_pallas":
         from ..kernels.evp_pallas import evp_solve_fused
         u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve_fused(
@@ -437,18 +449,22 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     # --- biogeochemistry (skeletal-layer; reference biogeochemistry:1634)
     if cfg.zbgc.skl_bgc and "bgc_N" in state.trcrn:
-        from ..columns.zbgc import step_bgc_skl
+        from ..columns.zbgc import step_bgc_skl_net
         trc = dict(state.trcrn)
+        bgc_keys = [k for k in trc if k.startswith("bgc_")]
         aice_safe = jnp.maximum(state.aice, cst.puny)
-        bout = step_bgc_skl(
-            cfg.zbgc, dt, aicen=state.aicen, vicen=state.vicen,
-            bgc_N=trc["bgc_N"], bgc_Nit=trc["bgc_Nit"],
+        z = cfg.zbgc
+        ocean = {"bgc_Nit": z.nit_data, "bgc_Am": z.amm_data,
+                 "bgc_Sil": z.sil_data, "bgc_DMSPd": z.dms_data,
+                 "bgc_DMS": z.dms_data, "bgc_DON": 0.0,
+                 "bgc_Fed": z.fed_data}
+        bout = step_bgc_skl_net(
+            z, dt, aicen=state.aicen,
+            trc={k: trc[k] for k in bgc_keys},
             fswthru=(agg["fswthru"] / aice_safe)[None],
             Tbot=fc.Tf[None], meltb=(agg["meltb"] / aice_safe)[None],
-            congel=(agg["congel"] / aice_safe)[None],
-            nit_ocn=cfg.zbgc.nit_data)
-        trc["bgc_N"] = bout.bgc_N
-        trc["bgc_Nit"] = bout.bgc_Nit
+            congel=(agg["congel"] / aice_safe)[None], ocean=ocean)
+        trc.update(bout.trc)
         state = state.replace(trcrn=trc)
 
     # --- dynamics + transport + ridging ---------------------------------
