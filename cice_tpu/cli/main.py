@@ -51,6 +51,15 @@ OPTION_SETS = {
     "pondtopo": {"tracers.tr_pond_lvl": False, "tracers.tr_pond_topo": True},
     "pondlvl": {"tracers.tr_pond_lvl": True, "tracers.tr_pond_topo": False},
     "bgcskl": {"zbgc.skl_bgc": True},
+    # vertically-resolved z-tracer BGC on the brine column (set_nml.bgcz)
+    "bgcz": {"zbgc.z_tracers": True, "zbgc.solve_zbgc": True,
+             "tracers.tr_brine": True, "domain.nblyr": 7,
+             "zbgc.tr_bgc_Am": True, "zbgc.tr_bgc_Sil": True,
+             "zbgc.tr_bgc_DMS": True, "zbgc.tr_bgc_PON": True,
+             "zbgc.tr_bgc_DON": True, "zbgc.tr_bgc_Fe": True,
+             "zbgc.n_algae": 3},
+    "zaero": {"zbgc.z_tracers": True, "tracers.tr_brine": True,
+              "domain.nblyr": 7, "zbgc.tr_zaero": True, "zbgc.n_zaero": 3},
     "isotope": {"tracers.tr_iso": True, "domain.n_iso": 3},
     "aerosol": {"tracers.tr_aero": True, "domain.n_aero": 3},
     "alt01": {"tracers.tr_iage": False, "tracers.tr_FY": False},

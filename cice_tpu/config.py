@@ -267,6 +267,94 @@ class ZbgcConfig:
     sil_data: float = 25.0         # default ocean silicate (mmol/m^3)
     dms_data: float = 0.1          # default ocean DMS (mmol S/m^3)
     fed_data: float = 0.5          # default ocean dissolved Fe (umol/m^3)
+    don_data: float = 0.0          # default ocean DON (mmol/m^3)
+    hum_data: float = 1.0          # default ocean humics (mmol C/m^3)
+
+    # --- vertically-resolved framework (z_tracers / solve_zbgc;
+    # reference zbgc_nml, ug_case_settings.rst:802-960) ------------------
+    z_tracers: bool = False        # carry tracers on the nblyr bio grid
+    solve_zbgc: bool = False       # run the reaction network on that grid
+    tr_bgc_hum: bool = False       # passive humic matter tracer
+    tr_zaero: bool = False         # vertical aerosols (black carbon, dust)
+    n_zaero: int = 0               # up to 6 z-aerosol species
+    dEdd_algae: bool = False       # chl feeds the radiative transfer
+    # mobility types: <0 purely mobile; [0,1] interpolates stationary-ness
+    algaltype_diatoms: float = 0.0
+    algaltype_sp: float = 0.0
+    algaltype_phaeo: float = 0.0
+    nitratetype: float = -1.0
+    ammoniumtype: float = 0.0
+    silicatetype: float = -1.0
+    dmspptype: float = 0.5
+    dmspdtype: float = 0.0
+    dontype_protein: float = 0.0
+    fedtype_1: float = 0.0
+    feptype_1: float = 0.5
+    humtype: float = 0.0
+    zaerotype_bc1: float = -1.0
+    zaerotype_bc2: float = -1.0
+    zaerotype_dust1: float = -1.0
+    zaerotype_dust2: float = -1.0
+    zaerotype_dust3: float = -1.0
+    zaerotype_dust4: float = -1.0
+    tau_min: float = 3600.0        # rapid mobile<->stationary exchange (s)
+    tau_max: float = 604800.0      # slow exchange (s)
+    grid_o: float = 0.006          # bottom molecular-sublayer scale (m)
+    grid_o_t: float = 0.006        # top exchange scale (m)
+    l_sk: float = 2.0              # characteristic diffusive scale (m)
+    initbio_frac: float = 1.0      # new-ice scavenging of ocean tracer
+    frazil_scav: float = 0.8       # frazil-formation scavenging factor
+    max_loss: float = 0.9          # max fractional uptake per step
+    # per-algal-class parameters (diatoms / small plankton / Phaeocystis)
+    mu_max_diatoms: float = 1.44   # max growth (1/day)
+    mu_max_sp: float = 0.41
+    mu_max_phaeo: float = 0.63
+    grow_Tdep_diatoms: float = 0.063   # growth T-dependence (1/degC)
+    grow_Tdep_sp: float = 0.063
+    grow_Tdep_phaeo: float = 0.063
+    mort_pre_diatoms: float = 0.007    # mortality (1/day)
+    mort_pre_sp: float = 0.007
+    mort_pre_phaeo: float = 0.007
+    mort_Tdep_diatoms: float = 0.03    # mortality T-dependence (1/degC)
+    mort_Tdep_sp: float = 0.03
+    mort_Tdep_phaeo: float = 0.03
+    K_Nit_diatoms: float = 1.0     # nitrate half-saturation (mmol/m^3)
+    K_Nit_sp: float = 1.0
+    K_Nit_phaeo: float = 1.0
+    K_Am_diatoms: float = 0.3      # ammonium half-saturation (mmol/m^3)
+    K_Am_sp: float = 0.3
+    K_Am_phaeo: float = 0.3
+    K_Sil_diatoms: float = 4.0     # silicate half-saturation (mmol/m^3)
+    K_Sil_sp: float = 0.0
+    K_Sil_phaeo: float = 0.0
+    alpha2max_low_diatoms: float = 0.3   # light limitation (1/(W/m^2))
+    alpha2max_low_sp: float = 0.2
+    alpha2max_low_phaeo: float = 0.17
+    beta2max_diatoms: float = 0.001      # light inhibition (1/(W/m^2))
+    beta2max_sp: float = 0.001
+    beta2max_phaeo: float = 0.04
+    ratio_Si2N_diatoms: float = 1.8      # Si:N uptake (mol/mol)
+    ratio_Si2N_sp: float = 0.0
+    ratio_Si2N_phaeo: float = 0.0
+    ratio_S2N_diatoms: float = 0.03      # S:N (mol/mol)
+    ratio_S2N_sp: float = 0.03
+    ratio_S2N_phaeo: float = 0.03
+    ratio_chl2N_diatoms: float = 2.1     # chl:N (mg/mmol)
+    ratio_chl2N_sp: float = 1.1
+    ratio_chl2N_phaeo: float = 0.84
+    chlabs_diatoms: float = 0.03   # chl absorption (1/m per mg chl/m^3)
+    chlabs_sp: float = 0.01
+    chlabs_phaeo: float = 0.05
+    fr_graze_diatoms: float = 0.19       # fraction grazed (1/day scale)
+    fr_graze_sp: float = 0.19
+    fr_graze_phaeo: float = 0.19
+    fr_graze_s: float = 0.5        # grazing fraction spilled
+    fr_graze_e: float = 0.5        # assimilation fraction excreted
+    fr_mort2min: float = 0.9       # mortality fraction to ammonium
+    f_don_protein: float = 0.6     # spilled grazing fraction to DON
+    f_don_Am_protein: float = 1.0  # remineralized DON fraction to NH4
+    kn_bac_protein: float = 0.2    # bacterial DON degradation (1/day)
+    t_iron_conv: float = 3065.0    # pFe->dFe desorption time (days)
 
 
 @dataclass(frozen=True)

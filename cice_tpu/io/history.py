@@ -197,6 +197,32 @@ def bgc_fields(cfg=None) -> List[HistoryField]:
     return fields
 
 
+def zbgc_fields(cfg) -> List[HistoryField]:
+    """z-tracer group (ice_history_bgc.F90 vertically-resolved fields):
+    brine-column-integrated burdens of the (ncat, nblyr, ny, nx) tracers."""
+    from ..columns.zbgc_vertical import z_tracer_names
+
+    def _integ(key):
+        # integral over the brine column: mean over layers x hbr, x aicen
+        def fn(s, fl, g):
+            am = jnp.maximum(s.aicen, 1e-11)
+            hbr = s.trcrn["fbri"] * jnp.where(s.aicen > 1e-11,
+                                              s.vicen / am, 0.0)
+            return jnp.sum(jnp.mean(s.trcrn[key], axis=1) * hbr * s.aicen,
+                           axis=0)
+        return fn
+
+    units = {"bgc_Fed": "umol Fe/m^2", "bgc_Fep": "umol Fe/m^2"}
+    fields = []
+    for nm in z_tracer_names(cfg.zbgc):
+        u = units.get(nm, "mmol/m^2")
+        if nm.startswith("zaero"):
+            u = "kg/m^2"
+        fields.append(_f(nm + "_int", u,
+                         f"brine-column integrated {nm}", _integ(nm)))
+    return fields
+
+
 def hbrine_fields() -> List[HistoryField]:
     """Brine group (ice_history_bgc.F90 fbri/hbri fields)."""
     def hbri(s, fl, g):
@@ -237,6 +263,8 @@ def build_fields(cfg) -> List[HistoryField]:
         fields += mechred_fields()
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
         fields += bgc_fields(cfg)
+    if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.z_tracers:
+        fields += zbgc_fields(cfg)
     if t.tr_brine:
         fields += hbrine_fields()
     if getattr(cfg.setup, "hist_cmip", False):

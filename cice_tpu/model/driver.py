@@ -94,19 +94,33 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
     if "fsd" in trcrn:
         # start with all area in the smallest floe-size bin
         trcrn["fsd"] = jnp.zeros_like(trcrn["fsd"]).at[:, 0].set(1.0)
+    def _init_bgc(nm, v0):
+        # skl tracers are (ncat, ny, nx); z tracers are (ncat, nb, ny, nx)
+        if nm not in trcrn:
+            return
+        m = aicen > 0
+        if trcrn[nm].ndim == 4:
+            m = m[:, None]
+        trcrn[nm] = jnp.where(m, v0, 0.0).astype(dtp)
+
     if "bgc_Nit" in trcrn:
-        trcrn["bgc_Nit"] = jnp.where(aicen > 0, cfg.zbgc.nit_data,
-                                     0.0).astype(dtp)
-        trcrn["bgc_N"] = jnp.where(aicen > 0, 0.5, 0.0).astype(dtp)
+        _init_bgc("bgc_Nit", cfg.zbgc.nit_data)
+        _init_bgc("bgc_N", 0.5)
     for nm, v0 in (("bgc_N2", 0.3), ("bgc_N3", 0.2),
                    ("bgc_Am", cfg.zbgc.amm_data),
                    ("bgc_Sil", cfg.zbgc.sil_data),
                    ("bgc_DMSPp", 0.1), ("bgc_DMSPd", cfg.zbgc.dms_data),
                    ("bgc_DMS", cfg.zbgc.dms_data), ("bgc_PON", 0.1),
                    ("bgc_DON", 1.0), ("bgc_Fed", cfg.zbgc.fed_data),
-                   ("bgc_Fep", 0.1)):
-        if nm in trcrn:
-            trcrn[nm] = jnp.where(aicen > 0, v0, 0.0).astype(dtp)
+                   ("bgc_Fep", 0.1), ("bgc_hum", cfg.zbgc.hum_data)):
+        _init_bgc(nm, v0)
+    # z-tracer companions: mobile fraction starts fully mobile; aerosols
+    # start clean
+    for nm in list(trcrn):
+        if nm.endswith("_mf"):
+            _init_bgc(nm, 1.0)
+        elif nm.startswith("zaero"):
+            _init_bgc(nm, 0.0)
     if "fbri" in trcrn:
         trcrn["fbri"] = jnp.where(aicen > 0, 1.0, 0.0).astype(dtp)
     if "rsnw" in trcrn:

@@ -97,6 +97,17 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         if z.tr_bgc_Fe:
             specs.append(TracerSpec("bgc_Fed", DEP_AICE))
             specs.append(TracerSpec("bgc_Fep", DEP_AICE))
+    if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.z_tracers:
+        # vertically-resolved z tracers (zbgc_nml z_tracers): bulk
+        # concentrations on the nblyr bio grid, conserved per unit brine
+        # volume vice*fbri (reference trcr_depend = 2 + nt_fbri), each with
+        # a mobile-fraction companion (reference zbgc_frac tracer,
+        # sg_tracers.rst:114 nt_zbgc_frac)
+        from ..columns.zbgc_vertical import z_tracer_names
+        nb = max(cfg.domain.nblyr, 1)
+        for nm in z_tracer_names(cfg.zbgc):
+            specs.append(TracerSpec(nm, DEP_VICE, nb, parent="fbri"))
+            specs.append(TracerSpec(nm + "_mf", DEP_VICE, nb, parent="fbri"))
     return tuple(specs)
 
 

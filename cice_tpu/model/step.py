@@ -249,6 +249,38 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             meltb=th.meltb, meltt=th.meltt, congel=th.congel)
         trcrn["fbri"] = hb.fbri
 
+        # vertically-resolved biogeochemistry on the brine column
+        # (z_tracers/solve_zbgc; reference biogeochemistry phase between
+        # step_therm1 and step_therm2, ice_step_mod.F90:1634-1782)
+        if cfg.zbgc.z_tracers:
+            from ..columns.zbgc_vertical import step_zbgc, z_tracer_names
+            znames = [n for n in z_tracer_names(cfg.zbgc) if n in trcrn]
+            if znames:
+                zdep = None
+                if cfg.zbgc.tr_zaero and cfg.zbgc.n_zaero > 0:
+                    # standalone deposition defaults (faero_default,
+                    # ice_forcing_bgc.F90): BC1, BC2, then dust species
+                    from ..columns.aero_iso import FAERO_DEFAULT
+                    zdep = {
+                        f"zaero{i+1}": jnp.full(
+                            aice.shape,
+                            FAERO_DEFAULT[min(i, len(FAERO_DEFAULT) - 1)],
+                            aice.dtype)
+                        for i in range(cfg.zbgc.n_zaero)}
+                zout = step_zbgc(
+                    cfg.zbgc, dt, aicen=an, vicen=vicen_out,
+                    vsnon=vsnon_out, fbri=trcrn["fbri"],
+                    qice=trcrn["qice"], sice=trcrn["sice"],
+                    trc={n: trcrn[n] for n in znames},
+                    frac={n: trcrn[n + "_mf"] for n in znames},
+                    darcy_V=hb.darcy_V,
+                    fswthru=sw.fswint + sw.fswthru, Tbot=Tbot,
+                    meltt=th.meltt, meltb=th.meltb, congel=th.congel,
+                    frazil=jnp.zeros_like(aice), zaero_dep=zdep)
+                for n in znames:
+                    trcrn[n] = zout.trc[n]
+                    trcrn[n + "_mf"] = zout.frac[n]
+
     # advanced snow physics (icepack_step_snow; reference calls it as its
     # own phase after dynamics — here it rides with therm1 where the
     # per-category melt and snow temperature are in hand)
