@@ -29,7 +29,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as cst
+from ..columns.orbit import OrbitalParams, compute_coszen
 from .flux import Forcing, zeros_forcing
+
+
+def default_coszen(grid, yday, params: OrbitalParams = OrbitalParams()):
+    """Daily-mean cosine solar zenith + eccentricity factor on the T grid
+    (reference compute_coszen ice_forcing.F90:2558; orbit from
+    icepack_init_orbit — columns/orbit.py)."""
+    return compute_coszen(grid.TLAT, grid.TLON, yday, params,
+                          daily_mean=True)
 
 
 def shortwave_bands(fsw):
@@ -115,11 +124,9 @@ def seasonal_atm(grid, yday: float, fc: Forcing, *, winter_Tair=-30.0,
     """
     lat = grid.TLAT
     dt = fc.Tair.dtype
-    # solar declination-driven insolation proxy
-    decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
-    coszen = jnp.maximum(jnp.sin(lat) * jnp.sin(decl) +
-                         jnp.cos(lat) * jnp.cos(decl) * 0.637, 0.0)
-    fsw = 1365.0 * 0.7 * coszen * (1.0 - 0.6 * cldf)
+    # daily-mean solar zenith from the orbital machinery (shr_orb parity)
+    coszen, eccf = default_coszen(grid, yday)
+    fsw = 1365.0 * eccf * 0.7 * coszen * (1.0 - 0.6 * cldf)
     phase = jnp.cos(2.0 * jnp.pi * (yday - 202.0) / 365.0)   # warmest ~ day 202 NH
     seasonal = 0.5 * (1.0 - phase * jnp.sign(lat))
     Tair_c = winter_Tair + (summer_Tair - winter_Tair) * seasonal
@@ -162,10 +169,8 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
         fsw = get("fsw", None)
     else:
         # Shine (1984)-style clear-sky + cloud correction from coszen
-        decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
-        coszen = jnp.maximum(jnp.sin(grid.TLAT) * jnp.sin(decl) +
-                             jnp.cos(grid.TLAT) * jnp.cos(decl) * 0.637, 0.0)
-        fsw = 1365.0 * 0.7 * coszen * (1.0 - 0.6 * cldf)
+        coszen, eccf = default_coszen(grid, yday)
+        fsw = 1365.0 * eccf * 0.7 * coszen * (1.0 - 0.6 * cldf)
     fsw = jnp.maximum(fsw, 0.0)
     swvdr, swvdf, swidr, swidf = shortwave_bands(fsw.astype(dt))
     flw = get("flw", None)
@@ -175,9 +180,7 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
     prec = get("fsnow", jnp.zeros(grid.shape, dt))
     fsnow = jnp.where(TairK < cst.Tffresh, prec, 0.0)
     frain = jnp.where(TairK >= cst.Tffresh, prec, 0.0)
-    decl = 0.409 * jnp.cos(2.0 * jnp.pi * (yday - 172.0) / 365.0)
-    coszen = jnp.maximum(jnp.sin(grid.TLAT) * jnp.sin(decl) +
-                         jnp.cos(grid.TLAT) * jnp.cos(decl) * 0.637, 0.0)
+    coszen, _ = default_coszen(grid, yday)
     return fc.replace(
         Tair=TairK.astype(dt), potT=TairK.astype(dt), Qa=Qa.astype(dt),
         uatm=uatm.astype(dt), vatm=vatm.astype(dt), wind=wind.astype(dt),
