@@ -70,6 +70,21 @@ OPTION_SETS = {
     "vanleer": {"dynamics.advection": "vanleer"},
     "seabedLKD": {"dynamics.seabed_stress": True,
                   "dynamics.seabed_stress_method": "LKD"},
+    # grid-size presets (gx3/gx1 dimensions on the synthetic grid; real POP
+    # grid files plug in via grid.grid_format='pop_nc' + paths)
+    "gx3": {"grid.nx_global": 100, "grid.ny_global": 116},
+    "gx1": {"grid.nx_global": 320, "grid.ny_global": 384},
+    "iopio": {"setup.restart_format": "pio"},
+    "diag1": {"setup.diagfreq": 1},
+    "histinst": {"setup.hist_avg": False},
+    "histdaily": {"setup.histfreq": ("d", "x", "x", "x", "x")},
+    "dumpd": {"setup.dumpfreq": "d"},
+    "run10day": {"setup.npt_unit": "d", "setup.npt": 10},
+    "run1year": {"setup.npt_unit": "y", "setup.npt": 1},
+    "prescribed": {"setup.prescribed_ice": True, "dynamics.kdyn": 0},
+    "ktherm1": {"thermo.ktherm": 1},
+    "leap": {"setup.calendar_type": "gregorian"},
+    "cal360": {"setup.calendar_type": "360day"},
 }
 
 
@@ -139,6 +154,37 @@ def cmd_case(args):
     return 0
 
 
+def _diag_series(cfg, nsteps=6):
+    """Run nsteps and collect per-step global diagnostics — the numerical
+    fingerprint the reference's comparelog.csh greps from the log
+    (per-step 'total ice area' block, comparelog.csh:60-70)."""
+    from ..model.diagnostics import runtime_diags
+    from ..model.driver import Model
+    m = Model(cfg)
+    series = []
+    for _ in range(nsteps):
+        m.step()
+        d = runtime_diags(m.grid, m.state)
+        series.append({k: float(v) for k, v in d.items()})
+    return m, series
+
+
+def compare_series(a, b, rtol=0.0):
+    """comparelog.csh analogue: per-step global sums must match (BFB by
+    default). Returns list of (step, key, va, vb) mismatches."""
+    errs = []
+    if len(a) != len(b):
+        errs.append((-1, "nsteps", float(len(a)), float(len(b))))
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for k, va in ra.items():
+            vb = rb.get(k)
+            if vb is None:
+                errs.append((i, k, va, float("nan")))
+            elif abs(va - vb) > rtol * max(abs(va), abs(vb)):
+                errs.append((i, k, va, vb))
+    return errs
+
+
 def _test_smoke(cfg) -> bool:
     import numpy as np
     from ..model.driver import Model
@@ -146,6 +192,67 @@ def _test_smoke(cfg) -> bool:
     m.run(min(24, 6))
     ok = bool(np.isfinite(np.asarray(m.state.vice)).all())
     ok &= float(m.state.aice.max()) <= 1.0 + 1e-6
+    return ok
+
+
+def _force_cpu_devices(n=8):
+    """Re-init jax on an n-device virtual CPU backend (decomp testing on a
+    box with one real chip; mirrors __graft_entry__.dryrun_multichip)."""
+    import jax
+    if len(jax.devices()) >= n and jax.devices()[0].platform == "cpu":
+        return
+    from jax.extend import backend as _b
+    _b.clear_backends()
+    jax.config.update("jax_num_cpu_devices", n)
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _test_decomp(cfg) -> bool:
+    """Decomposition-invariance test (test_decomp.script / decomp_suite.ts
+    analogue): the same run on a 1-device vs 2x4 vs 4x2 mesh must agree to
+    roundoff — the distributed-correctness oracle (SURVEY §4.3).
+
+    Contract delta vs the reference: MPI decompositions are BFB because the
+    per-point arithmetic is literally the same instructions; XLA recompiles
+    per sharding (different fusion/fma choices), so bitwise equality across
+    meshes is not an XLA guarantee. The oracle here is f64 state with a
+    1e-4 scaled-difference bound after 2 coupled steps — real halo/stencil
+    bugs produce O(1) tile-edge errors; roundoff reassociation produces
+    ~1e-10 directly (measured) and up to ~1e-5 where a cell sits exactly on
+    the iceUmask threshold (dyn_prep aiU>1e-11 cut), so the margin stays
+    ~4 orders of magnitude."""
+    import numpy as np
+    import jax
+    _force_cpu_devices(8)
+    jax.config.update("jax_enable_x64", True)
+    cfg = cfg.with_overrides(dtype="float64")
+    from ..model.driver import Model
+    from ..parallel.mesh import make_mesh, shard_state
+    results = []
+    for shape in [None, (2, 4), (4, 2)]:
+        m = Model(cfg)
+        if shape is not None:
+            mesh = make_mesh(shape=shape)
+            m.state = shard_state(mesh, m.state)
+            m.forcing = shard_state(mesh, m.forcing)
+        m.run(2)
+        results.append(
+            [(jax.tree_util.keystr(p), np.asarray(x))
+             for p, x in jax.tree_util.tree_flatten_with_path(m.state)[0]])
+    ok = True
+    for r in results[1:]:
+        for (name, a), (_, b) in zip(results[0], r):
+            if a.dtype.kind == "f":
+                scale = float(np.abs(a).max())
+                if scale > 1e-6:     # skip essentially-zero fields
+                    d = float(np.abs(a - b).max())
+                    if d > 1e-4 * scale:
+                        print(f"  decomp mismatch {name}: "
+                              f"{d:.3e} vs scale {scale:.3e}")
+                        ok = False
+            elif not np.array_equal(a, b):
+                print(f"  decomp mismatch {name} (int/bool)")
+                ok = False
     return ok
 
 
@@ -173,9 +280,7 @@ def _test_restart(cfg) -> bool:
     return True
 
 
-def cmd_test(args):
-    cfg = build_config(args)
-    # small default test shape
+def _default_test_cfg(args, cfg):
     if not args.set or not any("nx_global" in s for s in args.set):
         cfg = cfg.with_overrides(**{
             "grid.nx_global": 32, "grid.ny_global": 32,
@@ -183,14 +288,46 @@ def cmd_test(args):
             "forcing.atm_data_type": "box2001",
             "forcing.ocn_data_type": "box2001",
             "dynamics.ndte": 20, "thermo.nit": 4})
-    fn = {"smoke": _test_smoke, "restart": _test_restart}[args.type]
+    return cfg
+
+
+def cmd_test(args):
+    cfg = _default_test_cfg(args, build_config(args))
     t0 = time.time()
+    bgen = getattr(args, "bgen", None)
+    bcmp = getattr(args, "bcmp", None)
+    if bgen or bcmp:
+        # baseline generate/compare (cice.setup --bgen/--bcmp,
+        # ug_testing.rst:70-86): the stored artifact is the per-step global
+        # diagnostics series — the comparelog oracle
+        key = f"{args.type}_{(args.opts or 'base').replace(',', '+')}.json"
+        _, series = _diag_series(cfg)
+        if bgen:
+            os.makedirs(bgen, exist_ok=True)
+            with open(os.path.join(bgen, key), "w") as f:
+                json.dump(series, f)
+            print(f"BGEN  {key} ({time.time()-t0:.1f}s)")
+            return 0
+        with open(os.path.join(bcmp, key)) as f:
+            base = json.load(f)
+        errs = compare_series(base, series)
+        verdict = "PASS" if not errs else "FAIL"
+        print(f"{verdict} bcmp_{args.type} vs {key} "
+              f"({len(errs)} mismatches, {time.time()-t0:.1f}s)")
+        for i, k, va, vb in errs[:10]:
+            print(f"    step {i} {k}: baseline {va!r} vs run {vb!r}")
+        return 0 if not errs else 1
+    fn = {"smoke": _test_smoke, "restart": _test_restart,
+          "decomp": _test_decomp}[args.type]
     ok = fn(cfg)
     verdict = "PASS" if ok else "FAIL"
     print(f"{verdict} test_{args.type} ({time.time()-t0:.1f}s)")
     return 0 if ok else 1
 
 
+# suite tables (tests/*.ts analogue). Rows: (type, opts[, bfbcomp-opts]) —
+# the optional 3rd column makes another row's diagnostics series the BFB
+# oracle for this row (base_suite.ts 5th column semantics).
 SUITES = {
     "quick": [("smoke", ""), ("restart", "")],
     "dynamics": [("smoke", ""), ("smoke", "gridc"), ("smoke", "dynpicard"),
@@ -198,6 +335,8 @@ SUITES = {
     "base": [("smoke", ""), ("restart", ""), ("smoke", "gridc"),
              ("smoke", "dynpicard"), ("smoke", "upwind"),
              ("restart", "upwind"), ("smoke", "seasonal")],
+    "decomp": [("decomp", ""), ("decomp", "upwind")],
+    "reprosum": [("smoke", "", ""), ("smoke", "ndte120")],
 }
 
 
@@ -206,10 +345,26 @@ def cmd_suite(args):
     if rows is None:
         sys.exit(f"unknown suite '{args.name}' (available: {', '.join(SUITES)})")
     results = []
-    for ttype, opts in rows:
-        ns = argparse.Namespace(opts=opts, set=args.set, type=ttype)
-        rc = cmd_test(ns)
-        results.append((ttype, opts, rc == 0))
+    series_cache = {}
+    for row in rows:
+        ttype, opts = row[0], row[1]
+        bfb_ref = row[2] if len(row) > 2 else None
+        if bfb_ref is not None and ttype == "smoke":
+            # bfb-compare flow: run this config's series, compare against the
+            # referenced config's series (computing & caching it on demand)
+            if bfb_ref not in series_cache:
+                nsr = argparse.Namespace(opts=bfb_ref, set=args.set)
+                cfgr = _default_test_cfg(nsr, build_config(nsr))
+                _, series_cache[bfb_ref] = _diag_series(cfgr)
+            ns = argparse.Namespace(opts=opts, set=args.set)
+            cfg = _default_test_cfg(ns, build_config(ns))
+            _, series = _diag_series(cfg)   # ref==opts ⇒ run-to-run repro
+            ok = not compare_series(series_cache[bfb_ref], series)
+            series_cache[opts] = series
+        else:
+            ns = argparse.Namespace(opts=opts, set=args.set, type=ttype)
+            ok = cmd_test(ns) == 0
+        results.append((ttype, opts, ok))
     npass = sum(1 for *_, ok in results if ok)
     for ttype, opts, ok in results:
         print(f"  {'PASS' if ok else 'FAIL'}  {ttype:8s} {opts}")
@@ -236,9 +391,14 @@ def main(argv=None):
     p_case.set_defaults(fn=cmd_case)
 
     p_test = sub.add_parser("test", help="run a single test")
-    p_test.add_argument("--type", choices=["smoke", "restart"], default="smoke")
+    p_test.add_argument("--type", choices=["smoke", "restart", "decomp"],
+                        default="smoke")
     p_test.add_argument("--opts", "-s", default="")
     p_test.add_argument("--set", action="append", metavar="KEY=VAL")
+    p_test.add_argument("--bgen", default=None, metavar="DIR",
+                        help="generate a baseline diagnostics series")
+    p_test.add_argument("--bcmp", default=None, metavar="DIR",
+                        help="compare against a stored baseline (BFB)")
     p_test.set_defaults(fn=cmd_test)
 
     p_suite = sub.add_parser("suite", help="run a test suite")
