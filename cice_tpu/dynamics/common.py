@@ -193,8 +193,16 @@ def seabed_stress_LKD(grid: Grid, cfg_dyn, aice, vice, iceUmask):
 # ---------------------------------------------------------------------------
 
 def visc_replpress(strength, DminArea, Delta, p: EvpParams):
-    tmp = (p.capping * (strength / jnp.maximum(Delta, DminArea)) +
-           (1.0 - p.capping) * (strength / (Delta + DminArea)))
+    # p.capping is a trace-time Python float (0 or 1 from capping_method):
+    # specialize to ONE division per call — visc_replpress runs at 4 corners
+    # per subcycle, so this halves the EVP hot loop's divide count
+    if p.capping == 1.0:
+        tmp = strength / jnp.maximum(Delta, DminArea)
+    elif p.capping == 0.0:
+        tmp = strength / (Delta + DminArea)
+    else:
+        tmp = (p.capping * (strength / jnp.maximum(Delta, DminArea)) +
+               (1.0 - p.capping) * (strength / (Delta + DminArea)))
     zetax2 = (1.0 + p.Ktens) * tmp
     rep_prs = (1.0 - p.Ktens) * tmp * Delta
     etax2 = p.epp2i * zetax2
@@ -221,8 +229,9 @@ def stepu_dense(uvel, vvel, strintx, strinty, prep: DynPrep, p: EvpParams,
     cc1 = strintx + prep.forcex + taux + prep.umassdti * (p.brlx * uold + p.revp * prep.uvel_init)
     cc2 = strinty + prep.forcey + tauy + prep.umassdti * (p.brlx * vold + p.revp * prep.vvel_init)
     ab2 = jnp.where(prep.iceUmask, ab2, 1.0)
-    unew = jnp.where(prep.iceUmask, (cca * cc1 + ccb * cc2) / ab2, 0.0)
-    vnew = jnp.where(prep.iceUmask, (cca * cc2 - ccb * cc1) / ab2, 0.0)
+    rab2 = 1.0 / ab2          # one divide for the 2x2 solve, not two
+    unew = jnp.where(prep.iceUmask, (cca * cc1 + ccb * cc2) * rab2, 0.0)
+    vnew = jnp.where(prep.iceUmask, (cca * cc2 - ccb * cc1) * rab2, 0.0)
     taubx = -unew * Cb
     tauby = -vnew * Cb
     return unew, vnew, taubx, tauby

@@ -25,15 +25,19 @@ Supported: ew 'cyclic'/'open'/'closed', ns 'open'/'closed' (zero-ghost
 semantics provided by the zero padding); tripole/y-cyclic fall back to
 the XLA path.
 
-Measured (v5e-1, gx1 320x384, ndte=120, f32): 356 M pt·sub/s vs the XLA
-fori_loop's 517 M pt·sub/s. The current Mosaic build stages the full
-output plane set in scoped VMEM regardless of the HBM out-spec, which
-caps tile_y and raises the wide-halo redundancy to ~3x — the kernel is
-compute-bound on that redundancy, so `evp_algorithm='standard_2d'`
-remains the default; 'fused_pallas' is the scaling path for domains
-where per-subcycle HBM streaming dominates (large ny on multi-chip
-meshes, where the XLA loop's working set no longer fits cache-resident
-fusion windows).
+Measured (v5e-1, gx1 320x384, ndte=120, f32): 467 M pt·sub/s (k=2,
+tile_y=80, 1.2x halo redundancy) vs the XLA fori_loop's 483 M. Both are
+VPU-compute-bound, ~6x above the HBM roofline — the hand-managed VMEM
+residency cannot beat XLA single-chip because HBM streaming is not the
+limiter at this size. The kernel's value is the subcycle/exchange ratio
+on MULTI-CHIP meshes: k fused subcycles per halo exchange cuts the
+per-subcycle ICI latency term by k (SURVEY §7.3 item 5), which the XLA
+loop cannot do (it must permute edges every subcycle). Design notes:
+output is a blocked VMEM out_spec (pipelined per-tile writeback) — an
+HBM out-spec gets staged whole on the scoped-VMEM stack and OOMs;
+Mosaic also keeps every live (win, nx_pad) f32 temporary of the traced
+stress math on that stack (~40 planes), which is what actually caps the
+tile window (~110 rows at nx_pad=384), hence the small default k.
 """
 
 from __future__ import annotations
@@ -103,7 +107,16 @@ def _chunk_call(const_p, state, p: EvpParams, bc, k: int, tile_y: int,
     (open/closed ghost semantics), x via wrap-value (cyclic) or zero
     columns plus 128-lane alignment padding — inside the kernel every
     boundary is then plain zero-ghost ('open'), which `shift` implements
-    as roll+mask (Mosaic-friendly)."""
+    as roll+mask (Mosaic-friendly).
+
+    VMEM strategy: inputs stay in HBM and each tile DMAs its (overlapping)
+    halo window into scratch manually — overlapping windows cannot be
+    expressed as blocked in_specs. The OUTPUT however is a standard blocked
+    VMEM out_spec (one tile_y slab per grid step): Mosaic then stages only
+    a double-buffered tile (not the whole plane set, which is what blew the
+    16 MB scoped-VMEM stack in the HBM-out_spec + DMA-writeback design) and
+    pipelines the writeback. Reads/writes go plane-by-plane to keep the
+    Mosaic stack free of whole-set temporaries."""
     from ..core.halo import BC
     from ..dynamics.evp import stress_update
 
@@ -116,9 +129,7 @@ def _chunk_call(const_p, state, p: EvpParams, bc, k: int, tile_y: int,
     win = tile_y + 2 * H
     bc = BC(ew="open", ns="open")
 
-    def kernel(const_hbm, state_hbm, donor_hbm, out_ref, cbuf, sbuf,
-               sem0, sem1, sem2):
-        del donor_hbm   # the output aliases this zero buffer's storage
+    def kernel(const_hbm, state_hbm, out_ref, cbuf, sbuf, sem0, sem1):
         ty = pl.program_id(0)
         row0 = pl.multiple_of(ty * tile_y, 8)
         cp = pltpu.make_async_copy(
@@ -131,11 +142,10 @@ def _chunk_call(const_p, state, p: EvpParams, bc, k: int, tile_y: int,
         sp_.wait()
 
         g, prep, strength, DminTarea, uocn, vocn = _unpack_const(cbuf[:], bc)
-        st = sbuf[:]
-        u, v = st[0], st[1]
-        sp = st[2:6]
-        sm = st[6:10]
-        s12 = st[10:14]
+        u, v = sbuf[0], sbuf[1]
+        sp = jnp.stack([sbuf[2 + i] for i in range(4)])
+        sm = jnp.stack([sbuf[6 + i] for i in range(4)])
+        s12 = jnp.stack([sbuf[10 + i] for i in range(4)])
 
         def body(_, carry):
             u, v, sp, sm, s12 = carry
@@ -146,43 +156,39 @@ def _chunk_call(const_p, state, p: EvpParams, bc, k: int, tile_y: int,
             return (u, v, sp, sm, s12)
 
         u, v, sp, sm, s12 = jax.lax.fori_loop(0, k, body, (u, v, sp, sm, s12))
-        sbuf[:] = jnp.concatenate([u[None], v[None], sp, sm, s12], axis=0)
-        wr = pltpu.make_async_copy(
-            sbuf.at[:, pl.ds(H, tile_y), :],
-            out_ref.at[:, pl.ds(row0 + H, tile_y), :], sem2)
-        wr.start()
-        wr.wait()
+        itr = slice(H, H + tile_y)
+        out_ref[0] = u[itr]
+        out_ref[1] = v[itr]
+        for i in range(4):
+            out_ref[2 + i] = sp[i][itr]
+            out_ref[6 + i] = sm[i][itr]
+            out_ref[10 + i] = s12[i][itr]
 
     out = pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        # the output aliases a dedicated zero donor buffer in HBM: keeps
-        # the result out of scoped VMEM without read-after-write hazards
-        # against the state input that tiles read halos from
-        input_output_aliases={2: 0},
+        out_specs=pl.BlockSpec((N_STATE, tile_y, nx_pad),
+                               lambda ty: (0, ty, 0)),
         out_shape=jax.ShapeDtypeStruct(
-            (N_STATE, ny_pad + 2 * H, nx_pad), jnp.float32),
+            (N_STATE, ny_pad, nx_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((N_CONST, win, nx_pad), jnp.float32),
             pltpu.VMEM((N_STATE, win, nx_pad), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(const_p, state_p, jnp.zeros_like(state_p))
+    )(const_p, state_p)
     ny = state.shape[1]
     nx = state.shape[2]
-    return out[:, H:H + ny, H:H + nx]
+    return out[:, :ny, H:H + nx]
 
 
 def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
                     stressp, stressm, stress12, *, uocn, vocn,
-                    k_fuse: int = 8, tile_y: int | None = None,
+                    k_fuse: int = 2, tile_y: int | None = None,
                     interpret: bool = False):
     """Drop-in replacement for dynamics.evp.evp_solve using the fused
     Pallas kernel. Falls back to the XLA loop for unsupported BCs."""
@@ -195,14 +201,14 @@ def evp_solve_fused(grid: Grid, p: EvpParams, prep: DynPrep, strength,
 
     ny, nx = grid.shape
     if tile_y is None:
-        # VMEM budget: scratch windows + the Mosaic output staging buffer
-        # (full (N_STATE, ny_pad+2H, nx_pad) plane set) must fit in ~15MB
+        # empirical VMEM model (v5e, 16MB): scratch (N_CONST+N_STATE=40
+        # planes) + ~40 planes of live Mosaic-stack temporaries from the
+        # traced stress math, all (win, nx_pad) f32, + the double-buffered
+        # blocked output (2*N_STATE*tile_y):  4*nx_pad*(80*win + 28*ty)
         H8 = -(-(2 * k_fuse + 2) // 8) * 8
         nx_eff = -(-(nx + 2 * H8) // 128) * 128
-        out_bytes = N_STATE * (ny + 2 * H8 + 64) * nx_eff * 4
-        budget = max(2e6, 15e6 - out_bytes) / 4.0 / \
-            (N_CONST + N_STATE) / nx_eff
-        tile_y = int(max(16, min(ny, budget - 2 * H8)))
+        units = 16e6 / (4.0 * nx_eff)
+        tile_y = int(max(8, min(ny, (units - 160 * H8) / 108)))
     tile_y = max(8, (tile_y // 8) * 8)    # TPU sublane tiling constraint
     # halo covers the 2-cells-per-subcycle dependency cone, rounded up to
     # the (8, 128) HBM tile granularity so DMA windows stay aligned
