@@ -41,6 +41,7 @@ class SetupConfig:
     restart: bool = False
     restart_dir: str = "./restart/"
     restart_file: str = "iced"
+    restart_format: str = "npz"     # 'npz' (root write) | 'pio' (shard-wise, io_pio2 analogue)
     pointer_file: str = "./restart/ice.restart_file"
     dumpfreq: str = "y"
     dumpfreq_n: int = 1
@@ -54,6 +55,15 @@ class SetupConfig:
     history_file: str = "iceh"
     calendar_type: str = "noleap"   # 'noleap' | 'gregorian' | '360day'
     conserv_check: bool = False
+    # point probes & per-stage debug dumps (ice_diagnostics print_points /
+    # debug_model_{step,i,j} namelist)
+    print_points: bool = False
+    latpnt: Tuple[float, float] = (90.0, -65.0)
+    lonpnt: Tuple[float, float] = (0.0, -45.0)
+    debug_model: bool = False
+    debug_model_i: int = -1         # -1: use latpnt/lonpnt probe 1
+    debug_model_j: int = -1
+    debug_model_step: int = 0       # start dumping at this step
 
 
 @dataclass(frozen=True)

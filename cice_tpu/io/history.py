@@ -32,12 +32,18 @@ class HistoryField:
     name: str
     units: str
     long_name: str
-    extract: Callable          # (state, flux, grid) -> (ny, nx) array
+    extract: Callable          # (state, flux, grid[, forcing]) -> (ny, nx)
     cell_mask: bool = True     # apply ocean mask on write
+    needs_forcing: bool = False  # extract takes a 4th `forcing` argument
 
 
 def _f(name, units, long_name, fn):
     return HistoryField(name, units, long_name, fn)
+
+
+def _ff(name, units, long_name, fn):
+    """Field sourced from the atmosphere/ocean forcing (f_Tair, f_uatm, ...)."""
+    return HistoryField(name, units, long_name, fn, needs_forcing=True)
 
 
 def default_fields() -> List[HistoryField]:
@@ -246,10 +252,127 @@ def age_fields() -> List[HistoryField]:
     ]
 
 
+def dyn_fields() -> List[HistoryField]:
+    """Dynamics diagnostics (f_divu/f_shear/f_sig1/f_sig2/f_strength/
+    f_strint*/f_taub* in icefields_nml)."""
+    import math
+
+    def _princ(s, fl, g, which):
+        # normalized principal stresses sig1/sig2 (principal_stress,
+        # reference ice_history accum via icepack): corner-mean tensor
+        sp = s.stressp.mean(0)
+        sm = s.stressm.mean(0)
+        s12 = s.stress12.mean(0)
+        rad = jnp.sqrt((0.5 * sm) ** 2 + s12 ** 2)
+        P = jnp.maximum(fl.strength, 1e-11)
+        v = 0.5 * sp + jnp.where(which == 1, rad, -rad)
+        return jnp.where(fl.strength > 1e-11, v / P, 0.0)
+
+    return [
+        _f("divu", "%/day", "strain rate (divergence)",
+           lambda s, fl, g: fl.divu * 8.64e6),
+        _f("shear", "%/day", "strain rate (shear)",
+           lambda s, fl, g: fl.shear * 8.64e6),
+        _f("sig1", "1", "norm. principal stress 1",
+           lambda s, fl, g: _princ(s, fl, g, 1)),
+        _f("sig2", "1", "norm. principal stress 2",
+           lambda s, fl, g: _princ(s, fl, g, 2)),
+        _f("strength", "N/m", "compressive ice strength",
+           lambda s, fl, g: fl.strength),
+        _f("strintx", "N/m^2", "internal stress divergence (x)",
+           lambda s, fl, g: fl.strintx),
+        _f("strinty", "N/m^2", "internal stress divergence (y)",
+           lambda s, fl, g: fl.strinty),
+        _f("taubx", "N/m^2", "seabed stress (x)", lambda s, fl, g: fl.taubx),
+        _f("tauby", "N/m^2", "seabed stress (y)", lambda s, fl, g: fl.tauby),
+        _f("strairy", "N/m^2", "atm/ice stress (y)",
+           lambda s, fl, g: fl.strairy),
+        _f("strocny", "N/m^2", "ocean/ice stress (y)",
+           lambda s, fl, g: fl.strocny),
+        _f("trsig", "N/m^2", "internal stress tensor trace",
+           lambda s, fl, g: 0.25 * s.stressp.sum(0)),
+        _f("icepresent", "1", "fraction of time ice present",
+           lambda s, fl, g: jnp.where(s.aice > 1e-11, 1.0, 0.0)),
+        _f("dardg1dt", "%/day", "area rate ridging",
+           lambda s, fl, g: fl.dardg1dt * 8.64e6),
+        _f("dardg2dt", "%/day", "ridge area formation rate",
+           lambda s, fl, g: fl.dardg2dt * 8.64e6),
+        _f("dvirdgdt", "cm/day", "volume rate ridged",
+           lambda s, fl, g: fl.dvirdgdt * 8.64e6),
+        _f("opening", "%/day", "lead opening rate",
+           lambda s, fl, g: fl.opening * 8.64e6),
+        _f("daidtt", "%/day", "area tendency, thermo",
+           lambda s, fl, g: fl.daidtt * 8.64e6),
+        _f("dvidtt", "cm/day", "volume tendency, thermo",
+           lambda s, fl, g: fl.dvidtt * 8.64e6),
+        _f("daidtd", "%/day", "area tendency, dynamics",
+           lambda s, fl, g: fl.daidtd * 8.64e6),
+        _f("dvidtd", "cm/day", "volume tendency, dynamics",
+           lambda s, fl, g: fl.dvidtd * 8.64e6),
+    ]
+
+
+def forcing_fields() -> List[HistoryField]:
+    """Atmosphere/ocean forcing snapshots (f_Tair/f_uatm/.../f_sss)."""
+    return [
+        _ff("Tair", "C", "air temperature",
+            lambda s, fl, g, fc: fc.Tair - 273.15),
+        _ff("Qa", "kg/kg", "air specific humidity",
+            lambda s, fl, g, fc: fc.Qa),
+        _ff("uatm", "m/s", "wind velocity (x)", lambda s, fl, g, fc: fc.uatm),
+        _ff("vatm", "m/s", "wind velocity (y)", lambda s, fl, g, fc: fc.vatm),
+        _ff("fswdn", "W/m^2", "downward shortwave",
+            lambda s, fl, g, fc: fc.swvdr + fc.swvdf + fc.swidr + fc.swidf),
+        _ff("flwdn", "W/m^2", "downward longwave", lambda s, fl, g, fc: fc.flw),
+        _ff("snow", "kg/m^2/s", "snowfall rate", lambda s, fl, g, fc: fc.fsnow),
+        _ff("rain", "kg/m^2/s", "rainfall rate", lambda s, fl, g, fc: fc.frain),
+        _ff("uocn", "m/s", "ocean current (x)", lambda s, fl, g, fc: fc.uocn),
+        _ff("vocn", "m/s", "ocean current (y)", lambda s, fl, g, fc: fc.vocn),
+        _ff("sss", "psu", "sea surface salinity", lambda s, fl, g, fc: fc.sss),
+        _ff("coszen", "1", "cosine solar zenith",
+            lambda s, fl, g, fc: fc.coszen),
+    ]
+
+
+def flux_extra_fields() -> List[HistoryField]:
+    return [
+        _f("evap", "kg/m^2/s", "evaporation/sublimation",
+           lambda s, fl, g: fl.evap),
+        _f("fsurf_ai", "W/m^2", "net surface heat flux",
+           lambda s, fl, g: fl.fsurf),
+        _f("fcondtop_ai", "W/m^2", "top conductive heat flux",
+           lambda s, fl, g: fl.fcondtop),
+        _f("alvdr", "1", "visible direct albedo", lambda s, fl, g: fl.alvdr),
+        _f("alvdf", "1", "visible diffuse albedo", lambda s, fl, g: fl.alvdf),
+        _f("alidr", "1", "near-IR direct albedo", lambda s, fl, g: fl.alidr),
+        _f("alidf", "1", "near-IR diffuse albedo", lambda s, fl, g: fl.alidf),
+        _f("sice", "psu", "bulk ice salinity",
+           lambda s, fl, g: s.trcrn["sice"].mean(1).mean(0)
+           if "sice" in s.trcrn else jnp.zeros_like(s.aice)),
+    ]
+
+
+def category_fields(ncat: int) -> List[HistoryField]:
+    """Per-category planes (the reference's 3Dc axis fields aicen/vicen/
+    Tsfcn etc. written as one 2-D variable per category, aicen001-style)."""
+    out = []
+    for n in range(ncat):
+        out.append(_f(f"aicen{n+1:03d}", "1", f"ice area, category {n+1}",
+                      lambda s, fl, g, n=n: s.aicen[n]))
+        out.append(_f(f"vicen{n+1:03d}", "m", f"ice volume, category {n+1}",
+                      lambda s, fl, g, n=n: s.vicen[n]))
+        out.append(_f(f"vsnon{n+1:03d}", "m", f"snow volume, category {n+1}",
+                      lambda s, fl, g, n=n: s.vsnon[n]))
+        out.append(_f(f"Tsfcn{n+1:03d}", "C", f"surface temp, category {n+1}",
+                      lambda s, fl, g, n=n: s.trcrn["Tsfcn"][n]))
+    return out
+
+
 def build_fields(cfg) -> List[HistoryField]:
     """Full conditional registry (init_hist honoring the tracer flags —
     reference icefields_*_nml groups)."""
-    fields = default_fields()
+    fields = default_fields() + dyn_fields() + forcing_fields() \
+        + flux_extra_fields() + category_fields(cfg.domain.ncat)
     t = cfg.tracers
     if t.tr_iage and t.tr_FY:
         fields += age_fields()
@@ -296,9 +419,14 @@ class History:
                         for f, n in zip(s.histfreq, s.histfreq_n) if f != "x"]
 
     # -- per-step accumulation (accum_hist, ice_history.F90:2201) ----------
-    def accum(self, state, flux):
-        snap = jnp.stack([f.extract(state, flux, self.grid)
-                          for f in self.fields])
+    def accum(self, state, flux, forcing=None):
+        def _x(f):
+            if f.needs_forcing:
+                if forcing is None:
+                    return jnp.zeros(self.grid.shape, state.aicen.dtype)
+                return f.extract(state, flux, self.grid, forcing)
+            return f.extract(state, flux, self.grid)
+        snap = jnp.stack([_x(f) for f in self.fields])
         for st in self.streams:
             if st.avg:
                 st.acc = snap if st.acc is None else st.acc + snap

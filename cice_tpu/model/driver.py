@@ -152,9 +152,14 @@ class Model:
         self.forcing = default_ocn(self.grid, cfg, self.forcing)
         self.state = zeros_state(cfg, self.grid)
         if cfg.setup.runtype == "continue":
-            from ..io.restart import read_restart
-            self.state, self.calendar = read_restart(cfg.setup.pointer_file,
-                                                     self.state)
+            if cfg.setup.restart_format == "pio":
+                from ..io.pio import read_restart_sharded
+                self.state, self.calendar = read_restart_sharded(
+                    cfg.setup.pointer_file, self.state)
+            else:
+                from ..io.restart import read_restart
+                self.state, self.calendar = read_restart(
+                    cfg.setup.pointer_file, self.state)
         elif cfg.setup.ice_ic == "default":
             self.state = set_state_var(cfg, self.grid, self.state,
                                        self.forcing.Tf)
@@ -213,13 +218,44 @@ class Model:
         # analysis / IO phases (reference ice_step tail, CICE_RunMod:375-420)
         self.timers.start("History")
         if self.history is not None:
-            self.history.accum(self.state, self.flux)
+            self.history.accum(self.state, self.flux, self.forcing)
             self.history.maybe_write(self.calendar)
         if self.cfg.setup.diagfreq and \
                 self.calendar.istep % self.cfg.setup.diagfreq == 0:
-            from .diagnostics import runtime_diags
+            from .diagnostics import (check_state, print_points_state,
+                                      runtime_diags, total_energy,
+                                      total_water_mass)
             d = runtime_diags(self.grid, self.state)
-            self.diag_log.append({k: float(v) for k, v in d.items()})
+            rec = {k: float(v) for k, v in d.items()}
+            if self.cfg.setup.conserv_check:
+                # conservation series + NaN/instability watchdog
+                # (reference conserv_check + check_umax/diagnostic_abort)
+                rec["total_energy"] = float(total_energy(self.grid,
+                                                         self.state))
+                rec["total_water"] = float(total_water_mass(self.grid,
+                                                            self.state))
+                w = check_state(self.state)
+                if bool(w["nonfinite"]):
+                    self.write_restart()
+                    raise FloatingPointError(
+                        f"non-finite state at step {self.calendar.istep} "
+                        f"(early checkpoint written)")
+            if self.cfg.setup.print_points:
+                rec["points"] = print_points_state(
+                    self.grid, self.state, self.cfg.setup.latpnt,
+                    self.cfg.setup.lonpnt)
+            self.diag_log.append(rec)
+        if self.cfg.setup.debug_model and \
+                self.calendar.istep >= self.cfg.setup.debug_model_step:
+            from .diagnostics import debug_ice, print_points_state
+            i, j = self.cfg.setup.debug_model_i, self.cfg.setup.debug_model_j
+            if i < 0 or j < 0:
+                p = print_points_state(self.grid, self.state,
+                                       self.cfg.setup.latpnt,
+                                       self.cfg.setup.lonpnt)[0]
+                i, j = p["i"], p["j"]
+            print(f"debug_model step {self.calendar.istep}:",
+                  debug_ice(self.grid, self.state, j, i, stage="post_step"))
         if self.calendar.is_boundary(self.cfg.setup.dumpfreq,
                                      self.cfg.setup.dumpfreq_n,
                                      self.cfg.setup.dt):
@@ -249,6 +285,11 @@ class Model:
         return jnp.where((lat > edge_nh) | (lat < edge_sh), 0.95, 0.0)
 
     def write_restart(self):
+        if self.cfg.setup.restart_format == "pio":
+            from ..io.pio import write_restart_sharded
+            return write_restart_sharded(self.cfg.setup.restart_dir,
+                                         self.state, self.calendar,
+                                         self.cfg.setup.pointer_file)
         from ..io.restart import write_restart
         return write_restart(self.cfg.setup.restart_dir, self.state,
                              self.calendar, self.cfg.setup.pointer_file,

@@ -106,6 +106,25 @@ class FluxOut:
     albice: jnp.ndarray
     fsurf: jnp.ndarray     # net surface flux diagnostic
     fcondtop: jnp.ndarray
+    # dynamics diagnostics (history sources: f_divu/f_shear/f_sig*/f_str*)
+    divu: jnp.ndarray      # velocity divergence (1/s, *dt in history)
+    shear: jnp.ndarray     # shear deformation rate
+    Delta: jnp.ndarray     # total deformation (Delta)
+    strintx: jnp.ndarray   # internal stress divergence at U (N/m^2)
+    strinty: jnp.ndarray
+    taubx: jnp.ndarray     # seabed (basal) stress (N/m^2)
+    tauby: jnp.ndarray
+    strength: jnp.ndarray  # ice compressive strength (N/m)
+    # mechanical redistribution rates (history f_dardg1dt etc.)
+    dardg1dt: jnp.ndarray  # area rate ridged
+    dardg2dt: jnp.ndarray  # area rate of new ridges
+    dvirdgdt: jnp.ndarray  # volume rate ridged
+    opening: jnp.ndarray   # lead opening rate
+    # state tendencies split thermo vs dynamics (f_daidtt/f_dvidtt/...)
+    daidtt: jnp.ndarray    # area tendency, thermodynamics (1/s)
+    dvidtt: jnp.ndarray    # volume tendency, thermodynamics (m/s)
+    daidtd: jnp.ndarray    # area tendency, dynamics (1/s)
+    dvidtd: jnp.ndarray    # volume tendency, dynamics (m/s)
 
     def replace(self, **kw) -> "FluxOut":
         return dataclasses.replace(self, **kw)

@@ -365,7 +365,8 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         zero = jnp.zeros_like(uU)
         return state, dict(strintx=zero, strinty=zero, taubx=zero,
                            tauby=zero, strocnx=zero, strocny=zero,
-                           divu=divu, shear=shear, Delta=Delta)
+                           divu=divu, shear=shear, Delta=Delta,
+                           strength=strength)
 
     if cfg.grid.grid_ice == "C" and d.kdyn == 1:
         from ..dynamics.evp_c import dyn_prep_c, evp_c_solve
@@ -387,7 +388,8 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         zero = jnp.zeros_like(uU)
         return state, dict(strintx=zero, strinty=zero, taubx=zero,
                            tauby=zero, strocnx=zero, strocny=zero,
-                           divu=divu, shear=shear, Delta=Delta)
+                           divu=divu, shear=shear, Delta=Delta,
+                           strength=strength)
 
     prep = dyn_prep(grid, d, dt, aice=state.aice, vice=state.vice,
                     vsno=state.vsno, aiceU_prev_mask=state.iceUmask,
@@ -429,7 +431,7 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                           stress12=s12, iceUmask=prep.iceUmask)
     dyn_diags = dict(strintx=strintx, strinty=strinty, taubx=taubx,
                      tauby=tauby, strocnx=strocnx, strocny=strocny,
-                     divu=divu, shear=shear, Delta=Delta)
+                     divu=divu, shear=shear, Delta=Delta, strength=strength)
     return state, dyn_diags
 
 
@@ -453,6 +455,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     else:
         strairx_T = fc.strax
         strairy_T = fc.stray
+
+    # tendency bookkeeping (init_history_therm/_dyn saved copies,
+    # ice_flux.F90: daidtt/dvidtt thermo vs daidtd/dvidtd dynamics rates)
+    aice_init, vice_init = state.aice, state.vice
 
     # --- thermodynamics -------------------------------------------------
     state, agg, hicen_old = step_therm1(ms, grid, state, fc, dt)
@@ -499,29 +505,38 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         trc.update(bout.trc)
         state = state.replace(trcrn=trc)
 
+    daidtt = (state.aice - aice_init) / dt
+    dvidtt = (state.vice - vice_init) / dt
+    aice_posttherm, vice_posttherm = state.aice, state.vice
+
     # --- dynamics + transport + ridging ---------------------------------
+    # ndtd supercycling: the dynamics/transport/ridge sequence runs ndtd
+    # times per thermo step at dt/ndtd (reference do k=1,ndtd loop,
+    # CICE_RunMod.F90:287-322); ndtd is static so this unrolls at trace time
     if cfg.dynamics.kdyn >= 1:
-        state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
-                                    strairy_T, dt)
-        if cfg.dynamics.ktransport >= 1:
-            from ..dynamics.transport import transport_vanleer
-            advect = {"remap": transport_remap,
-                      "vanleer": transport_vanleer}.get(
-                          cfg.dynamics.advection, transport_upwind)
-            state = advect(grid, state, registry, fc.Tf, dt,
-                           grid_ice=cfg.grid.grid_ice)
-        if cfg.dynamics.kridge >= 1:
-            aicen, vicen, vsnon, trcrn, rdg = ridge_ice(
-                cfg, state.aicen, state.vicen, state.vsnon, state.trcrn,
-                divu=dyn["divu"], Delta=dyn["Delta"], dt=dt,
-                hin_max=hin_max, registry=registry)
-            state = state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
-                                  trcrn=trcrn)
+        dt_dyn = dt / max(cfg.setup.ndtd, 1)
+        for _ in range(max(cfg.setup.ndtd, 1)):
+            state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
+                                        strairy_T, dt_dyn)
+            if cfg.dynamics.ktransport >= 1:
+                from ..dynamics.transport import transport_vanleer
+                advect = {"remap": transport_remap,
+                          "vanleer": transport_vanleer}.get(
+                              cfg.dynamics.advection, transport_upwind)
+                state = advect(grid, state, registry, fc.Tf, dt_dyn,
+                               grid_ice=cfg.grid.grid_ice)
+            if cfg.dynamics.kridge >= 1:
+                aicen, vicen, vsnon, trcrn, rdg = ridge_ice(
+                    cfg, state.aicen, state.vicen, state.vsnon, state.trcrn,
+                    divu=dyn["divu"], Delta=dyn["Delta"], dt=dt_dyn,
+                    hin_max=hin_max, registry=registry)
+                state = state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
+                                      trcrn=trcrn)
+                dyn.update(rdg)
     else:
-        dyn = dict(strocnx=jnp.zeros(grid.shape, state.aicen.dtype),
-                   strocny=jnp.zeros(grid.shape, state.aicen.dtype),
-                   divu=jnp.zeros(grid.shape, state.aicen.dtype),
-                   shear=jnp.zeros(grid.shape, state.aicen.dtype))
+        _z = jnp.zeros(grid.shape, state.aicen.dtype)
+        dyn = dict(strocnx=_z, strocny=_z, divu=_z, shear=_z, Delta=_z,
+                   strintx=_z, strinty=_z, taubx=_z, tauby=_z, strength=_z)
 
     # --- ocean mixed layer / frzmlt -------------------------------------
     fbot_used = agg.pop("fbot_used")
@@ -536,6 +551,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         zlvl=fc.zlvl)
     state = state.replace(sst=sst_new, frzmlt=frzmlt)
 
+    zf = jnp.zeros(grid.shape, state.aicen.dtype)
     flux = zeros_fluxout(grid.shape, state.aicen.dtype).replace(
         fsens=agg["fsens"], flat=agg["flat"], flwout=agg["flwout"],
         evap=agg["evap"], fswabs=agg["fswabs"],
@@ -549,6 +565,14 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         snoice=agg["snoice"], alvdr=agg["alvdr"], alvdf=agg["alvdf"],
         alidr=agg["alidr"], alidf=agg["alidf"],
         albice=jnp.zeros(grid.shape, state.aicen.dtype),
-        fsurf=agg["fsurf"], fcondtop=agg["fcondtop"])
+        fsurf=agg["fsurf"], fcondtop=agg["fcondtop"],
+        divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
+        strintx=dyn["strintx"], strinty=dyn["strinty"],
+        taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],
+        dardg1dt=dyn.get("dardg1dt", zf), dardg2dt=dyn.get("dardg2dt", zf),
+        dvirdgdt=dyn.get("dvirdgdt", zf), opening=dyn.get("opening", zf),
+        daidtt=daidtt, dvidtt=dvidtt,
+        daidtd=(state.aice - aice_posttherm) / dt,
+        dvidtd=(state.vice - vice_posttherm) / dt)
 
     return state, flux
