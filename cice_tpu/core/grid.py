@@ -378,6 +378,26 @@ def make_grid(cfg) -> Grid:
                                                   "displaced_pole")):
         from ..io.grids import load_grid_files
         return load_grid_files(cfg)
+    if g.grid_format == "tripole":
+        # synthetic tripole: spherical metrics (mirror-symmetric across the
+        # northern seam since dx depends only on j) + the U-fold halo
+        # semantics. Stands in for tx1 when the POP tripole files are absent;
+        # file-based tx1 loads through io.grids with ns_boundary_type set.
+        from .landmask import idealized_world_kmt
+        if g.nx_global % 2:
+            raise ValueError("tripole grids need even nx_global (fold pairs "
+                             "i <-> nx-1-i; ug_implementation.rst:279)")
+        bc = BC(ew="cyclic",
+                ns=g.ns_boundary_type
+                if g.ns_boundary_type in ("tripole", "tripoleT")
+                else "tripole")
+        kmt = (None if g.kmt_type == "none"
+               else idealized_world_kmt(g.nx_global, g.ny_global))
+        if kmt is None:
+            kmt = np.ones((g.ny_global, g.nx_global))
+            kmt[0, :] = 0.0       # southern land rim; the north is the seam
+        return latlon_grid(g.nx_global, g.ny_global, lat_min=-78.0,
+                           lat_max=89.0, kmt=kmt, bc=bc, dtype=cfg.np_dtype)
     if g.grid_format == "displaced_pole":
         # Without the external gx grid files, approximate the gx3/gx1 domain
         # with a spherical grid of the same dimensions and an idealized

@@ -119,7 +119,9 @@ def dyn_prep(grid: Grid, cfg_dyn, dt: float, *,
         for di in (-1, 0, 1):
             if dj == 0 and di == 0:
                 continue
-            near = near | sh(tmphm.astype(jnp.int8), dj, di).astype(bool)
+            # f32 (not int) so the tripole fold's ghost-row averaging never
+            # scatters a float into an int buffer
+            near = near | (sh(tmphm.astype(jnp.float32), dj, di) > 0.5)
     iceTmask = near & tmask
 
     # T->U state averages ('S': masked area-weighted)

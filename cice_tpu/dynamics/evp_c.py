@@ -144,7 +144,8 @@ def dyn_prep_c(grid: Grid, cfg_dyn, dt: float, *, aice, vice, vsno,
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
             if dj or di:
-                near = near | _shT(tmphm.astype(jnp.int8), dj, di, bc).astype(bool)
+                near = near | (_shT(tmphm.astype(jnp.float32), dj, di,
+                                    bc) > 0.5)
     iceTmask = near & grid.tmask
 
     def toE(f, kind="S"):
