@@ -83,6 +83,7 @@ OPTION_SETS = {
     "run1year": {"setup.npt_unit": "y", "setup.npt": 1},
     "prescribed": {"setup.prescribed_ice": True, "dynamics.kdyn": 0},
     "ktherm1": {"thermo.ktherm": 1},
+    "fdrag": {"forcing.formdrag": True},
     "leap": {"setup.calendar_type": "gregorian"},
     "cal360": {"setup.calendar_type": "360day"},
 }

@@ -55,7 +55,8 @@ def _psixu(xd):
 
 def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
                         *, natmiter: int = 5, over: str = "ice",
-                        iceruf: float = cst.iceruf) -> AtmoCoeffs:
+                        iceruf: float = cst.iceruf,
+                        Cdn_atm=None) -> AtmoCoeffs:
     """Monin-Obukhov similarity transfer coefficients over ice or ocean.
 
     Tsf in degC; potT (K) potential temperature at zlvl; Qa specific humidity;
@@ -77,10 +78,16 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
     delt = potT - TsfK
     delq = Qa - qsfc
 
-    # neutral coefficients
-    rdn = cst.vonkar / jnp.log(cst.zref / zrf)
-    rhn = rdn
-    ren = rdn
+    # neutral coefficients; with formdrag the momentum coefficient comes
+    # from the Tsamados decomposition (sqrt(Cdn) = u*/U at zref),
+    # reference icepack_atmo formdrag branch
+    rdn0 = cst.vonkar / jnp.log(cst.zref / zrf)
+    if Cdn_atm is not None and over == "ice":
+        rdn = jnp.sqrt(jnp.maximum(Cdn_atm, 1e-6))
+    else:
+        rdn = rdn0
+    rhn = rdn0     # heat/moisture stay skin-scale (form drag is momentum-only)
+    ren = rdn0
 
     # initial turbulent scales
     ustar = rdn * vmag

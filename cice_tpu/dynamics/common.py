@@ -99,7 +99,7 @@ class DynPrep:
 def dyn_prep(grid: Grid, cfg_dyn, dt: float, *,
              aice, vice, vsno, aiceU_prev_mask,
              uvel, vvel, strairxT, strairyT, uocn_T, vocn_T,
-             ss_tltx_T, ss_tlty_T) -> DynPrep:
+             ss_tltx_T, ss_tlty_T, Cw_in=None) -> DynPrep:
     """Compute time-invariant (per dynamics step) momentum-equation inputs.
 
     All inputs at T points except uvel/vvel (U). Interpolations to U use
@@ -158,7 +158,9 @@ def dyn_prep(grid: Grid, cfg_dyn, dt: float, *,
     forcex = jnp.where(iceUmask, strairx + strtltx, 0.0)
     forcey = jnp.where(iceUmask, strairy + strtlty, 0.0)
 
-    Cw = jnp.full_like(aiU, cst.dragio)   # neutral drag (formdrag extends later)
+    # ice-ocean drag: constant dragio, or the Tsamados form-drag Cdn_ocn at
+    # U points when formdrag is on (columns/formdrag.py)
+    Cw = jnp.full_like(aiU, cst.dragio) if Cw_in is None else Cw_in
 
     # seabed stress factor (LKD; ice_dyn_shared.F90:1386)
     if cfg_dyn.seabed_stress:

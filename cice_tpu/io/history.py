@@ -368,11 +368,45 @@ def category_fields(ncat: int) -> List[HistoryField]:
     return out
 
 
+def drag_fields(cfg) -> List[HistoryField]:
+    """Form-drag decomposition history group (ice_history_drag.F90:
+    f_Cdn_atm/f_Cdn_ocn + per-obstacle components and ridge geometry)."""
+    from ..columns.formdrag import drag_from_state
+
+    def df(attr):
+        def fn(s, fl, g):
+            return getattr(drag_from_state(s, cfg), attr)
+        return fn
+
+    names = [
+        ("Cdn_atm", "1", "neutral atm drag coefficient"),
+        ("Cdn_ocn", "1", "neutral ocean drag coefficient"),
+        ("Cdn_atm_skin", "1", "atm drag, skin"),
+        ("Cdn_atm_rdg", "1", "atm drag, ridge sails"),
+        ("Cdn_atm_floe", "1", "atm drag, floe edges"),
+        ("Cdn_atm_pond", "1", "atm drag, pond edges"),
+        ("Cdn_ocn_skin", "1", "ocn drag, skin"),
+        ("Cdn_ocn_keel", "1", "ocn drag, ridge keels"),
+        ("Cdn_ocn_floe", "1", "ocn drag, floe edges"),
+        ("hfreebd", "m", "freeboard"),
+        ("hdraft", "m", "draft"),
+        ("hridge", "m", "sail height"),
+        ("distrdg", "m", "ridge spacing"),
+        ("hkeel", "m", "keel depth"),
+        ("dkeel", "m", "keel spacing"),
+        ("lfloe", "m", "floe length"),
+        ("dfloe", "m", "floe spacing"),
+    ]
+    return [_f(n, u, ln, df(n)) for n, u, ln in names]
+
+
 def build_fields(cfg) -> List[HistoryField]:
     """Full conditional registry (init_hist honoring the tracer flags —
     reference icefields_*_nml groups)."""
     fields = default_fields() + dyn_fields() + forcing_fields() \
         + flux_extra_fields() + category_fields(cfg.domain.ncat)
+    if cfg.forcing.formdrag:
+        fields += drag_fields(cfg)
     t = cfg.tracers
     if t.tr_iage and t.tr_FY:
         fields += age_fields()

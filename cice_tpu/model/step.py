@@ -122,9 +122,13 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     if cfg.forcing.atmbndy == "constant":
         co = atmo_boundary_const(Tsf, fc.uatm, fc.vatm, fc.wind, fc.rhoa, fc.Qa)
     else:
+        Cdn = None
+        if cfg.forcing.formdrag:
+            from ..columns.formdrag import drag_from_state
+            Cdn = drag_from_state(state, cfg).Cdn_atm
         co = atmo_boundary_layer(Tsf, fc.potT, fc.uatm, fc.vatm, fc.wind,
                                  fc.zlvl, fc.Qa, fc.rhoa,
-                                 natmiter=cfg.forcing.natmiter)
+                                 natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn)
 
     hin_solve = jnp.maximum(hin, cfg.thermo.hi_min)
     hilyr = hin_solve / nilyr
@@ -391,12 +395,18 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                            divu=divu, shear=shear, Delta=Delta,
                            strength=strength)
 
+    CwU = None
+    if cfg.forcing.formdrag:
+        from ..columns.formdrag import drag_from_state
+        dragc = drag_from_state(state, cfg)
+        CwU = grid_average_X2Y("S", dragc.Cdn_ocn, "T", "U", grid)
+        CwU = jnp.maximum(CwU, 1e-4)
     prep = dyn_prep(grid, d, dt, aice=state.aice, vice=state.vice,
                     vsno=state.vsno, aiceU_prev_mask=state.iceUmask,
                     uvel=state.uvel, vvel=state.vvel,
                     strairxT=strairx_T, strairyT=strairy_T,
                     uocn_T=fc.uocn, vocn_T=fc.vocn,
-                    ss_tltx_T=fc.ss_tltx, ss_tlty_T=fc.ss_tlty)
+                    ss_tltx_T=fc.ss_tltx, ss_tlty_T=fc.ss_tlty, Cw_in=CwU)
 
     uocnU = grid_average_X2Y("S", fc.uocn, "T", "U", grid)
     vocnU = grid_average_X2Y("S", fc.vocn, "T", "U", grid)
