@@ -41,7 +41,9 @@ class SetupConfig:
     restart: bool = False
     restart_dir: str = "./restart/"
     restart_file: str = "iced"
-    restart_format: str = "npz"     # 'npz' (root write) | 'pio' (shard-wise, io_pio2 analogue)
+    restart_format: str = "npz"     # 'npz' (root write) | 'pio' (shard-wise, io_pio2 analogue) | 'cdf1' (netCDF-3 classic)
+    io_async: bool = False          # background native writer for history/restart (io_pio2 latency-hiding analogue)
+    io_nthreads: int = 2            # worker threads for the async writer
     pointer_file: str = "./restart/ice.restart_file"
     dumpfreq: str = "y"
     dumpfreq_n: int = 1

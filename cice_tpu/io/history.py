@@ -443,11 +443,12 @@ class History:
     """Multi-stream accumulating history writer."""
 
     def __init__(self, cfg, grid, fields: Optional[List[HistoryField]] = None,
-                 directory: Optional[str] = None):
+                 directory: Optional[str] = None, writer=None):
         self.cfg = cfg
         self.grid = grid
         self.fields = fields if fields is not None else build_fields(cfg)
         self.dir = directory or cfg.setup.history_dir
+        self.writer = writer          # io.async_writer.AsyncWriter | None
         s = cfg.setup
         self.streams = [Stream(freq=f, freq_n=n, avg=s.hist_avg)
                         for f, n in zip(s.histfreq, s.histfreq_n) if f != "x"]
@@ -481,25 +482,31 @@ class History:
         return written
 
     def write_stream(self, st: Stream, calendar, fmt: str = "nc") -> str:
+        from .async_writer import SnapshotBytesIO, write_bytes
+
         os.makedirs(self.dir, exist_ok=True)
         data = np.asarray(st.acc) / max(st.nacc, 1)
         mask = np.asarray(self.grid.hm) > 0.5
         base = f"{self.cfg.setup.history_file}.{st.freq}.{calendar.timestamp()}"
+        buf = SnapshotBytesIO()
         if fmt == "npz":
             path = os.path.join(self.dir, base + ".npz")
-            np.savez(path, **{f.name: data[i]
-                              for i, f in enumerate(self.fields)})
-            return path
-        path = os.path.join(self.dir, base + ".nc")
-        self._write_netcdf(path, data, mask, calendar)
+            np.savez(buf, **{f.name: data[i]
+                             for i, f in enumerate(self.fields)})
+            payload = buf.getvalue()
+        else:
+            path = os.path.join(self.dir, base + ".nc")
+            self._write_netcdf(buf, data, mask, calendar)
+            payload = buf.value       # netcdf_file closed the buffer
+        write_bytes(path, payload, self.writer)
         return path
 
-    def _write_netcdf(self, path, data, mask, calendar):
+    def _write_netcdf(self, fileobj, data, mask, calendar):
         """NetCDF-3 classic via scipy (reference io_netcdf ice_history_write
         defines dims/coords then per-field variables; same layout here)."""
         from scipy.io import netcdf_file
         ny, nx = self.grid.shape
-        with netcdf_file(path, "w") as f:
+        with netcdf_file(fileobj, "w") as f:
             f.createDimension("time", 1)
             f.createDimension("nj", ny)
             f.createDimension("ni", nx)

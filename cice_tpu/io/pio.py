@@ -50,16 +50,25 @@ def _index_from_json(spec):
     return tuple(slice(a, b) for a, b in spec)
 
 
-def write_field_sharded(dirpath: str, name: str, arr) -> dict:
+def write_field_sharded(dirpath: str, name: str, arr, writer=None) -> dict:
     """Write one (possibly sharded) array without gathering: one .npy per
-    addressable shard + manifest. Returns the manifest dict."""
+    addressable shard + manifest. Returns the manifest dict.
+
+    With `writer` (io.async_writer.AsyncWriter) shard payloads are queued to
+    the native background pool (io_pio2-style off-critical-path writes)."""
+    import io as _io
+
+    from .async_writer import write_bytes
+
     os.makedirs(dirpath, exist_ok=True)
     arr = jax.numpy.asarray(arr)
     shards = []
     pid = jax.process_index()
     for k, sh in enumerate(arr.addressable_shards):
         fname = f"{name}.p{pid}s{k:03d}.npy"
-        np.save(os.path.join(dirpath, fname), np.asarray(sh.data))
+        buf = _io.BytesIO()
+        np.save(buf, np.asarray(sh.data))
+        write_bytes(os.path.join(dirpath, fname), buf.getvalue(), writer)
         shards.append({"file": fname,
                        "index": _index_to_json(sh.index, arr.ndim),
                        "device": str(sh.device)})
@@ -103,7 +112,8 @@ def read_field_sharded(dirpath: str, name: str,
 
 
 def write_restart_sharded(dirpath: str, state: State, calendar: Calendar,
-                          pointer_file: Optional[str] = None) -> str:
+                          pointer_file: Optional[str] = None,
+                          writer=None) -> str:
     """PIO-style restart dump: every leaf written shard-wise under
     `<dirpath>/iced.<timestamp>.pio/`. Pointer-file contract matches
     io/restart.py (ice.restart_file)."""
@@ -111,7 +121,7 @@ def write_restart_sharded(dirpath: str, state: State, calendar: Calendar,
     os.makedirs(ddir, exist_ok=True)
     leaves, _ = jax.tree.flatten(state)
     for i, leaf in enumerate(leaves):
-        write_field_sharded(ddir, f"leaf_{i}", leaf)
+        write_field_sharded(ddir, f"leaf_{i}", leaf, writer=writer)
     meta = dict(year=calendar.year, month=calendar.month, day=calendar.day,
                 sec=calendar.sec, istep=calendar.istep,
                 calendar_type=calendar.calendar_type,

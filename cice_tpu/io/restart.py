@@ -31,12 +31,74 @@ def _flatten_state(state: State):
     return leaves, treedef
 
 
+# netCDF-3 classic has no 64-bit-int/bool types (reference io_netcdf restart
+# stores logicals as reals, io_netcdf/ice_restart.F90): lossless i1/i4 casts,
+# original dtype recorded per variable for the exact round-trip.
+_NC3_CAST = {np.dtype(np.bool_): np.dtype(np.int8),
+             np.dtype(np.int64): np.dtype(np.int32),
+             np.dtype(np.uint8): np.dtype(np.int8),
+             np.dtype(np.uint32): np.dtype(np.int32)}
+
+
+def _write_restart_cdf1(fileobj, arrays: dict, meta: dict) -> None:
+    """NetCDF-3 classic restart body (reference io_netcdf/ice_restart.F90
+    define/write per field on root; restart_format='cdf1')."""
+    from scipy.io import netcdf_file
+
+    with netcdf_file(fileobj, "w") as f:
+        f.meta_json = json.dumps(meta).encode()
+        dims = {}
+        for name, arr in arrays.items():
+            scalar = arr.ndim == 0
+            if scalar:
+                arr = arr.reshape(1)
+            vdims = []
+            for size in arr.shape:
+                if size not in dims:
+                    dname = f"d{size}"
+                    f.createDimension(dname, size)
+                    dims[size] = dname
+                vdims.append(dims[size])
+            out = arr
+            if arr.dtype in _NC3_CAST:
+                out = arr.astype(_NC3_CAST[arr.dtype])
+            v = f.createVariable(name, out.dtype.str.lstrip("<>=|"),
+                                 tuple(vdims))
+            v[:] = out
+            v.orig_dtype = arr.dtype.str.encode()
+            v.orig_scalar = np.array([1 if scalar else 0], np.int32)
+
+
+def _read_restart_cdf1(path: str):
+    from scipy.io import netcdf_file
+
+    arrays = {}
+    with netcdf_file(path, "r", mmap=False) as f:
+        meta = json.loads(bytes(f.meta_json).decode())
+        for name, v in f.variables.items():
+            arr = np.asarray(v[:]).astype(np.dtype(v.orig_dtype.decode()))
+            if np.any(np.asarray(getattr(v, "orig_scalar", 0))):
+                arr = arr.reshape(())
+            arrays[name] = arr
+    return arrays, meta
+
+
 def write_restart(dirpath: str, state: State, calendar: Calendar,
                   pointer_file: str | None = None, *, prefix: str = "iced",
-                  extra: dict | None = None) -> str:
-    """Dump state to `<dirpath>/<prefix>.<timestamp>.npz`; update pointer."""
+                  extra: dict | None = None, fmt: str = "npz",
+                  writer=None) -> str:
+    """Dump state to `<dirpath>/<prefix>.<timestamp>.{npz,nc}`; update pointer.
+
+    fmt: 'npz' (default, exact bytes) or 'cdf1' (netCDF-3 classic, the
+    io_netcdf ice_restart analogue). With `writer` (io.async_writer
+    .AsyncWriter) the payload is queued to the native background pool and
+    this returns immediately; call writer.flush() before reading it back.
+    """
+    import io as _io
+
+    from .async_writer import SnapshotBytesIO, write_bytes
+
     os.makedirs(dirpath, exist_ok=True)
-    fname = os.path.join(dirpath, f"{prefix}.{calendar.timestamp()}.npz")
     leaves, _ = _flatten_state(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = dict(year=calendar.year, month=calendar.month, day=calendar.day,
@@ -45,9 +107,20 @@ def write_restart(dirpath: str, state: State, calendar: Calendar,
                 year_init=calendar.year_init)
     if extra:
         meta.update(extra)
-    arrays["_meta"] = np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(fname, **arrays)
+
+    if fmt == "cdf1":
+        fname = os.path.join(dirpath, f"{prefix}.{calendar.timestamp()}.nc")
+        buf = SnapshotBytesIO()
+        _write_restart_cdf1(buf, arrays, meta)
+        payload = buf.value           # netcdf_file closed the buffer
+    else:
+        fname = os.path.join(dirpath, f"{prefix}.{calendar.timestamp()}.npz")
+        arrays["_meta"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)
+        buf = _io.BytesIO()
+        np.savez(buf, **arrays)
+        payload = buf.getvalue()
+    write_bytes(fname, payload, writer)
     if pointer_file:
         os.makedirs(os.path.dirname(pointer_file) or ".", exist_ok=True)
         with open(pointer_file, "w") as f:
@@ -56,18 +129,25 @@ def write_restart(dirpath: str, state: State, calendar: Calendar,
 
 
 def read_restart(path_or_pointer: str, template: State) -> Tuple[State, Calendar]:
-    """Load a restart; `template` supplies the pytree structure/dtypes."""
+    """Load a restart (.npz or .nc); `template` supplies the pytree
+    structure/dtypes."""
     path = path_or_pointer
-    if not path.endswith(".npz"):
+    if not (path.endswith(".npz") or path.endswith(".nc")):
         with open(path_or_pointer) as f:
             path = f.read().strip()
-    with np.load(path) as z:
-        meta = json.loads(bytes(z["_meta"]).decode())
-        leaves, treedef = jax.tree.flatten(template)
-        new_leaves = []
+    leaves, treedef = jax.tree.flatten(template)
+    new_leaves = []
+    if path.endswith(".nc"):
+        arrays, meta = _read_restart_cdf1(path)
         for i, ref in enumerate(leaves):
-            arr = z[f"leaf_{i}"]
-            new_leaves.append(jax.numpy.asarray(arr, dtype=ref.dtype))
+            new_leaves.append(jax.numpy.asarray(arrays[f"leaf_{i}"],
+                                                dtype=ref.dtype))
+    else:
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["_meta"]).decode())
+            for i, ref in enumerate(leaves):
+                arr = z[f"leaf_{i}"]
+                new_leaves.append(jax.numpy.asarray(arr, dtype=ref.dtype))
     state = jax.tree.unflatten(treedef, new_leaves)
     cal = Calendar(calendar_type=meta["calendar_type"], year=meta["year"],
                    month=meta["month"], day=meta["day"], sec=meta["sec"],

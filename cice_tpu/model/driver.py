@@ -170,10 +170,14 @@ class Model:
         self._restore_target = None
         self._restore_zone = None
         self.flux = None
+        self.io_writer = None
+        if cfg.setup.io_async:
+            from ..io.async_writer import AsyncWriter
+            self.io_writer = AsyncWriter(cfg.setup.io_nthreads)
         self.history = None
         if enable_history:
             from ..io.history import History
-            self.history = History(cfg, self.grid)
+            self.history = History(cfg, self.grid, writer=self.io_writer)
         self.diag_log: list = []
 
     def step(self):
@@ -237,6 +241,7 @@ class Model:
                 w = check_state(self.state)
                 if bool(w["nonfinite"]):
                     self.write_restart()
+                    self.flush_io()
                     raise FloatingPointError(
                         f"non-finite state at step {self.calendar.istep} "
                         f"(early checkpoint written)")
@@ -289,11 +294,23 @@ class Model:
             from ..io.pio import write_restart_sharded
             return write_restart_sharded(self.cfg.setup.restart_dir,
                                          self.state, self.calendar,
-                                         self.cfg.setup.pointer_file)
+                                         self.cfg.setup.pointer_file,
+                                         writer=self.io_writer)
         from ..io.restart import write_restart
         return write_restart(self.cfg.setup.restart_dir, self.state,
                              self.calendar, self.cfg.setup.pointer_file,
-                             prefix=self.cfg.setup.restart_file)
+                             prefix=self.cfg.setup.restart_file,
+                             fmt=self.cfg.setup.restart_format,
+                             writer=self.io_writer)
+
+    def flush_io(self) -> int:
+        """Durability barrier for async IO (no-op when io_async is off)."""
+        if self.io_writer is None:
+            return 0
+        errs = self.io_writer.flush()
+        if errs:
+            raise IOError(f"{errs} async history/restart writes failed")
+        return errs
 
     def run(self, nsteps: Optional[int] = None):
         from ..calendar import npt_to_steps
@@ -304,4 +321,5 @@ class Model:
             self.step()
         if self.cfg.setup.dump_last:
             self.write_restart()
+        self.flush_io()
         return self.state

@@ -16,7 +16,7 @@ from functools import lru_cache
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
 _BUILD_DIR = os.path.join(_SRC_DIR, "_build")
-_SOURCES = ["memusage.c", "reprosum.c"]
+_SOURCES = ["memusage.c", "reprosum.c", "asyncwriter.c"]
 
 
 @lru_cache(maxsize=1)
@@ -29,7 +29,8 @@ def _lib():
         if not os.path.exists(so_path) or os.path.getmtime(so_path) < newest_src:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             cc = os.environ.get("CC", "cc")
-            cmd = [cc, "-O2", "-fPIC", "-shared", "-o", so_path, *srcs, "-lm"]
+            cmd = [cc, "-O2", "-fPIC", "-shared", "-o", so_path, *srcs,
+                   "-lm", "-lpthread"]
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(so_path)
         lib.cice_memusage_highwater.restype = ctypes.c_double
@@ -40,6 +41,17 @@ def _lib():
         lib.cice_compsum.restype = ctypes.c_double
         lib.cice_compsum.argtypes = [ctypes.POINTER(ctypes.c_double),
                                      ctypes.c_size_t]
+        lib.cice_aw_start.restype = ctypes.c_void_p
+        lib.cice_aw_start.argtypes = [ctypes.c_int]
+        lib.cice_aw_submit.restype = ctypes.c_int
+        lib.cice_aw_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_char_p, ctypes.c_size_t]
+        lib.cice_aw_flush.restype = ctypes.c_long
+        lib.cice_aw_flush.argtypes = [ctypes.c_void_p]
+        lib.cice_aw_pending.restype = ctypes.c_long
+        lib.cice_aw_pending.argtypes = [ctypes.c_void_p]
+        lib.cice_aw_stop.restype = None
+        lib.cice_aw_stop.argtypes = [ctypes.c_void_p]
         return lib
     except Exception:
         return None
