@@ -86,6 +86,197 @@ OPTION_SETS = {
     "fdrag": {"forcing.formdrag": True},
     "leap": {"setup.calendar_type": "gregorian"},
     "cal360": {"setup.calendar_type": "360day"},
+    # --- alternate-physics composites (reference set_nml.alt02..alt07) ----
+    "alt02": {"domain.ncat": 1, "grid.kcatbound": -1, "thermo.kitd": 0,
+              "domain.distribution_type": "sectrobin",
+              "tracers.tr_iage": True, "tracers.tr_FY": True,
+              "tracers.tr_lvl": True, "tracers.tr_pond_lvl": False,
+              "tracers.tr_pond_topo": False,
+              "dynamics.kdyn": 1, "dynamics.revised_evp": True,
+              "dynamics.kstrength": 0, "dynamics.krdg_partic": 0,
+              "dynamics.krdg_redist": 0,
+              "shortwave.shortwave": "ccsm3",
+              "shortwave.albedo_type": "ccsm3",
+              "forcing.calc_Tsfc": True},
+    "alt03": {"domain.ncat": 6, "grid.kcatbound": 2,
+              "domain.distribution_type": "sectcart",
+              "setup.conserv_check": True,
+              "tracers.tr_iage": False, "tracers.tr_FY": False,
+              "tracers.tr_lvl": False, "tracers.tr_pond_topo": True,
+              "tracers.tr_pond_lvl": False, "tracers.tr_aero": True,
+              "domain.n_aero": 3, "forcing.calc_Tsfc": False,
+              "dynamics.kdyn": 2, "thermo.ktherm": 1,
+              "thermo.sw_redist": True, "thermo.sw_frac": 0.9,
+              "thermo.sw_dtemp": 0.02, "thermo.tfrz_option": "linear_salt",
+              "dynamics.revised_evp": False, "dynamics.Ktens": 0.0,
+              "dynamics.e_yieldcurve": 2.0, "dynamics.seabed_stress": True,
+              "forcing.l_mpond_fresh": True},
+    "alt04": {"domain.distribution_type": "rake",
+              "domain.processor_shape": "slenderX2",
+              "domain.distribution_wght": "block",
+              "tracers.tr_iage": True, "tracers.tr_FY": True,
+              "tracers.tr_lvl": True, "tracers.tr_pond_lvl": True,
+              "tracers.tr_aero": True, "domain.n_aero": 3,
+              "thermo.kitd": 0, "thermo.hi_min": 0.1, "thermo.ktherm": 1,
+              "thermo.sw_redist": True, "thermo.sw_frac": 0.9,
+              "thermo.sw_dtemp": 0.02, "thermo.conduct": "MU71",
+              "dynamics.kdyn": 1, "dynamics.evp_algorithm": "fused_pallas",
+              "forcing.fbot_xfer_type": "Cdn_ocn",
+              "shortwave.shortwave": "dEdd", "forcing.formdrag": True,
+              "dynamics.advection": "upwind", "dynamics.kstrength": 0,
+              "dynamics.krdg_partic": 0, "dynamics.krdg_redist": 0,
+              "ponds.frzpnd": "ccsm", "forcing.natmiter": 20,
+              "thermo.tfrz_option": "linear_salt"},
+    "alt05": {"tracers.tr_iage": False, "tracers.tr_FY": False,
+              "tracers.tr_lvl": False, "tracers.tr_pond_lvl": False,
+              "tracers.tr_pond_topo": False,
+              "shortwave.shortwave": "dEdd"},
+    "alt06": {"domain.ncat": 7, "grid.kcatbound": 3, "domain.nslyr": 3,
+              "thermo.tfrz_option": "mushy"},
+    "alt07": {"dynamics.kdyn": 1, "dynamics.evp_algorithm": "standard_2d",
+              "dynamics.ndte": 300, "dynamics.capping_method": "sum",
+              "dynamics.visc_method": "avg_strength"},
+    # --- box / idealized-grid configurations -------------------------------
+    "boxadv": {"domain.nilyr": 1, "grid.kcatbound": 2,
+               "grid.ew_boundary_type": "cyclic",
+               "grid.ns_boundary_type": "cyclic",
+               "forcing.atm_data_type": "box2001",
+               "forcing.ocn_data_type": "box2001",
+               "tracers.tr_iage": True, "tracers.tr_FY": False,
+               "tracers.tr_lvl": True, "thermo.kitd": 1, "thermo.ktherm": 1,
+               "dynamics.kdyn": 2, "dynamics.kstrength": 0,
+               "dynamics.krdg_partic": 0, "dynamics.krdg_redist": 0,
+               "shortwave.shortwave": "ccsm3",
+               "shortwave.albedo_type": "constant",
+               "thermo.tfrz_option": "mushy"},
+    "boxnodyn": {"dynamics.kdyn": 0, "forcing.atm_data_type": "box2001",
+                 "forcing.ocn_data_type": "box2001",
+                 "grid.grid_format": "rect", "grid.kmt_type": "none"},
+    "boxslotcyl": {"domain.nilyr": 1, "setup.dt": 3600.0, "setup.npt": 288,
+                   "grid.grid_format": "rect", "grid.kmt_type": "none",
+                   "grid.dxrect": 10.e5, "grid.dyrect": 10.e5,
+                   "grid.kcatbound": 2,
+                   "grid.ew_boundary_type": "closed",
+                   "grid.ns_boundary_type": "closed",
+                   "tracers.tr_lvl": False, "tracers.tr_pond_lvl": False,
+                   "thermo.ktherm": -1, "dynamics.kdyn": -1,
+                   "dynamics.kridge": -1, "dynamics.ktransport": 1,
+                   "forcing.atm_data_type": "calm",
+                   "forcing.ocn_data_type": "box2001"},
+    "gbox12": {"grid.nx_global": 12, "grid.ny_global": 12,
+               "grid.grid_format": "rect", "grid.kmt_type": "none",
+               "forcing.atm_data_type": "box2001",
+               "forcing.ocn_data_type": "box2001"},
+    "gbox80": {"grid.nx_global": 80, "grid.ny_global": 80,
+               "grid.grid_format": "rect", "grid.kmt_type": "none",
+               "grid.dxrect": 5.e5, "grid.dyrect": 5.e5,
+               "forcing.atm_data_type": "box2001",
+               "forcing.ocn_data_type": "box2001"},
+    "gbox128": {"grid.nx_global": 128, "grid.ny_global": 128,
+                "grid.grid_format": "rect", "grid.kmt_type": "none",
+                "forcing.atm_data_type": "box2001",
+                "forcing.ocn_data_type": "box2001"},
+    "gbox180": {"grid.nx_global": 180, "grid.ny_global": 180,
+                "grid.grid_format": "rect", "grid.kmt_type": "none",
+                "forcing.atm_data_type": "box2001",
+                "forcing.ocn_data_type": "box2001"},
+    "kmtislands": {"grid.kmt_type": "boxislands"},
+    "boxclosed": {"grid.ew_boundary_type": "closed",
+                  "grid.ns_boundary_type": "closed"},
+    "boxopen": {"grid.ew_boundary_type": "open",
+                "grid.ns_boundary_type": "open"},
+    "bccyclic": {"grid.ew_boundary_type": "cyclic",
+                 "grid.ns_boundary_type": "cyclic"},
+    "bcclosed": {"grid.ew_boundary_type": "closed",
+                 "grid.ns_boundary_type": "closed"},
+    "bcopen": {"grid.ew_boundary_type": "open",
+               "grid.ns_boundary_type": "open"},
+    # --- grids -------------------------------------------------------------
+    "tx1": {"grid.nx_global": 360, "grid.ny_global": 240,
+            "grid.grid_type": "tripole", "grid.grid_format": "tripole_synth"},
+    "vargrid": {"grid.scale_dxdy": True, "grid.dxscale": 1.02,
+                "grid.dyscale": 1.02},
+    "gx3ncarbulk": {"forcing.atm_data_type": "ncar"},
+    "gx1apr": {"setup.year_init": 2005, "setup.month_init": 4,
+               "setup.day_init": 1, "setup.sec_init": 0},
+    "gx1prod": {"setup.year_init": 2005, "setup.npt_unit": "y",
+                "setup.npt": 1, "setup.dumpfreq": "m",
+                "forcing.fyear_init": 2005},
+    # --- timestep / run-length ---------------------------------------------
+    "dt1hr": {"setup.dt": 3600.0},
+    "dt30min": {"setup.dt": 1800.0},
+    "dt3456s": {"setup.dt": 3456.0},
+    "run1day": {"setup.npt_unit": "d", "setup.npt": 1},
+    "run2day": {"setup.npt_unit": "d", "setup.npt": 2},
+    "run3day": {"setup.npt_unit": "d", "setup.npt": 3},
+    "run5day": {"setup.npt_unit": "d", "setup.npt": 5},
+    "run60day": {"setup.npt_unit": "d", "setup.npt": 60},
+    "run90day": {"setup.npt_unit": "d", "setup.npt": 90},
+    "run8year": {"setup.npt_unit": "y", "setup.npt": 8},
+    "run10year": {"setup.npt_unit": "y", "setup.npt": 10},
+    # --- decomposition-analysis fragments (domain_nml; PARITY 2.2 Δ) -------
+    "droundrobin": {"domain.distribution_type": "roundrobin"},
+    "dsectcart": {"domain.distribution_type": "sectcart"},
+    "dsectrobin": {"domain.distribution_type": "sectrobin"},
+    "dspiralcenter": {"domain.distribution_type": "spiralcenter"},
+    "dspacecurve": {"domain.distribution_type": "spacecurve"},
+    "drake": {"domain.distribution_type": "rake"},
+    "dwblock": {"domain.distribution_wght": "block"},
+    "dwlat": {"domain.distribution_wght": "latitude"},
+    "dslenderX1": {"domain.processor_shape": "slenderX1"},
+    "dslenderX2": {"domain.processor_shape": "slenderX2"},
+    "dsquareice": {"domain.processor_shape": "square-ice"},
+    "dsquarepop": {"domain.processor_shape": "square-pop"},
+    # --- diagnostics / history ---------------------------------------------
+    "diag24": {"setup.diagfreq": 24},
+    "diagpt1": {"setup.print_points": True},
+    "bigdiag": {"setup.print_points": True, "setup.conserv_check": True,
+                "setup.debug_model": True},
+    "histhrly": {"setup.histfreq": ("h", "x", "x", "x", "x")},
+    "histmon": {"setup.histfreq": ("m", "x", "x", "x", "x")},
+    "timerstats": {},     # timers always collect min/max/mean (utils/timers)
+    # --- initial condition / forcing ---------------------------------------
+    "icdefault": {"setup.ice_ic": "default"},
+    "icnone": {"setup.ice_ic": "none"},
+    "jra55do": {"forcing.atm_data_type": "jra55"},
+    "atmbndyconstant": {"forcing.atmbndy": "constant"},
+    "atmbndymixed": {"forcing.atmbndy": "mixed"},
+    "restore5": {"forcing.restore_ice": True, "forcing.trestore": 3},
+    "bdyrestore": {"forcing.restore_ice": True, "forcing.restore_ocn": True},
+    "yi2008": {"setup.year_init": 2008, "forcing.fyear_init": 2008},
+    # --- dynamics / solver variants ----------------------------------------
+    "nonlin5000": {"dynamics.kdyn": 3, "dynamics.maxits_nonlin": 5000},
+    "seabedprob": {"dynamics.seabed_stress": True,
+                   "dynamics.seabed_stress_method": "probabilistic"},
+    # --- column-physics variants -------------------------------------------
+    "fsd1": {"tracers.tr_fsd": True, "domain.nfsd": 1},
+    "fsd12ww3": {"tracers.tr_fsd": True, "domain.nfsd": 12,
+                 "forcing.wave_spec_type": "constant"},
+    "snw30percent": {"tracers.tr_snow": True, "snow.snwredist": "bulk",
+                     "snow.snwlvlfac": 0.3, "domain.nslyr": 5},
+    "snwitdrdg": {"tracers.tr_snow": True, "snow.snwredist": "ITDrdg",
+                  "domain.nslyr": 5, "snow.rhosnew": 100.0,
+                  "snow.rhosmin": 100.0, "snow.rhosmax": 450.0,
+                  "snow.windmin": 10.0, "snow.drhosdwind": 27.3,
+                  "snow.snwlvlfac": 0.3},
+    "bgcsklclim": {"zbgc.skl_bgc": True, "zbgc.nit_data": "clim",
+                   "zbgc.sil_data": "clim"},
+    "bgczclim": {"zbgc.z_tracers": True, "zbgc.solve_zbgc": True,
+                 "tracers.tr_brine": True, "domain.nblyr": 7,
+                 "zbgc.nit_data": "clim", "zbgc.sil_data": "clim"},
+    # --- IO / precision -----------------------------------------------------
+    "iocdf1": {"setup.restart_format": "cdf1"},
+    "ionetcdf": {"setup.restart_format": "cdf1"},
+    "iopio2": {"setup.restart_format": "pio"},
+    "ioasync": {"setup.io_async": True},
+    "precision8": {"dtype": "float64"},
+    "cmip": {"setup.hist_cmip": True},
+    # --- QC (5-year daily-output statistical acceptance run, set_nml.qc) ---
+    "qc": {"setup.npt_unit": "y", "setup.npt": 5, "setup.year_init": 2005,
+           "setup.diagfreq": 24, "setup.dumpfreq": "m",
+           "setup.histfreq": ("d", "x", "x", "x", "x"),
+           "setup.hist_avg": False, "forcing.fyear_init": 2005,
+           "forcing.ycycle": 1},
 }
 
 

@@ -101,6 +101,12 @@ class DomainConfig:
     nfsd: int = 1
     n_aero: int = 0
     n_iso: int = 0
+    # domain_nml block-distribution analysis knobs (ice_domain.F90:108;
+    # consumed by parallel/decomp.py tooling — correctness never depends on
+    # them under SPMD, see PARITY 2.2)
+    distribution_type: str = "cartesian"
+    distribution_wght: str = "latitude"
+    processor_shape: str = "square-ice"
 
 
 @dataclass(frozen=True)

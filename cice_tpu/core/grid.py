@@ -291,6 +291,41 @@ def make_kmt_rect(nx: int, ny: int, kmt_type: str, bc: BC) -> np.ndarray:
         if nx > 5 and ny > 5:
             hm[0:jmid + 2, 0:imid + 2] = 1.0
             hm[max(jmid - 3, 0):ny, max(imid - 3, 0):nx] = 1.0
+    elif kmt_type == "boxislands":
+        # island/dock/bar obstacle course for advection & dynamics testing
+        # (reference grid_boxislands_kmt, ice_grid.F90:2935-3040): all ocean
+        # with a NE triangle, W docks, a tiny island, an X-shaped island
+        # group, and bar islands carved out. ~5%-of-grid building block.
+        nxb, nyb = nx // 20, ny // 20
+        if nxb < 1 or nyb < 1:
+            raise ValueError("kmt_type='boxislands' needs nx,ny >= 20")
+        hm[:, :] = 1.0
+        for k in range(3 * nyb + 1):                      # northeast triangle
+            hm[ny - 1 - k, max(nx - 1 - 3 * nxb + k, 0):] = 0.0
+        hm[ny - 1 - 3 * nyb:, 0] = 0.0                    # northwest docks
+        hm[ny - 1 - 3 * nyb:ny - nyb - 2, 1:2 * nxb] = 0.0
+        hm[ny - nyb - 1:ny - nyb + 1, 1:2 * nxb] = 0.0
+        hm[2 * nyb - 1:3 * nyb, 0] = 0.0                  # southwest docks
+        hm[:2 * nyb, 1:nxb] = 0.0
+        hm[:2 * nyb, 2 * nxb - 2:2 * nxb] = 0.0
+        hm[:2 * nyb, 2 * nxb + 1:4 * nxb] = 0.0
+        hm[14 * nyb - 1:14 * nyb + 1,
+           14 * nxb - 1:14 * nxb + 1] = 0.0               # tiny island
+        for k, i in enumerate(range(2 * nxb - 1, 4 * nxb),
+                              start=1):                   # X: left triangle
+            hm[10 * nyb - 1 + k:14 * nyb - k, i] = 0.0
+        for k, j in enumerate(range(14 * nyb - 1, 12 * nyb - 2, -1),
+                              start=1):                   # X: upper triangle
+            hm[j, 2 * nxb + 1 + k:6 * nxb - 2 - k] = 0.0
+        for k, j in enumerate(range(10 * nyb - 1, 14 * nyb),
+                              start=1):                   # X: diagonal
+            hm[j, 2 * nxb + 3 + k:2 * nxb + 6 + k] = 0.0
+        for k, j in enumerate(range(12 * nyb - 1, 10 * nyb - 2, -1),
+                              start=1):                   # X: lower-right tri
+            hm[j, 5 * nxb - 1 + k:8 * nxb] = 0.0
+        hm[4 * nyb - 1:5 * nyb, 10 * nxb - 1:16 * nxb] = 0.0   # bar islands
+        hm[6 * nyb + 1:8 * nyb, 10 * nxb - 1:16 * nxb] = 0.0
+        hm[8 * nyb + 1:8 * nyb + 3, 10 * nxb - 1:16 * nxb] = 0.0
     else:
         raise ValueError(f"unknown kmt_type {kmt_type}")
     if bc.ew == "closed":
