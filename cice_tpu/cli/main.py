@@ -49,6 +49,13 @@ OPTION_SETS = {
     "fsd12": {"tracers.tr_fsd": True, "domain.nfsd": 12,
               "forcing.wave_spec_type": "profile"},
     "pondtopo": {"tracers.tr_pond_lvl": False, "tracers.tr_pond_topo": True},
+    "pondsealvl": {"tracers.tr_pond_lvl": False,
+                   "tracers.tr_pond_topo": False,
+                   "tracers.tr_pond_sealvl": True,
+                   "ponds.apnd_sl": 0.27, "ponds.rfracmin": 1.0,
+                   "ponds.rfracmax": 1.0, "ponds.tscale_pnd_drain": 0.5},
+    "saltflux": {"thermo.ktherm": 2, "thermo.saltflux_option": "prognostic"},
+    "congel": {"thermo.congel_freeze": "one-step"},
     "pondlvl": {"tracers.tr_pond_lvl": True, "tracers.tr_pond_topo": False},
     "bgcskl": {"zbgc.skl_bgc": True},
     # vertically-resolved z-tracer BGC on the brine column (set_nml.bgcz)

@@ -136,6 +136,87 @@ def compute_ponds_lvl(cfg_ponds, dt, *, aicen, vicen, vsnon, alvl, apnd, hpnd,
                    dpnd_flush=jnp.where(mask, flush, 0.0))
 
 
+def compute_ponds_sealvl(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
+                         ipnd, Tsf, meltt, melts, frain, aice):
+    """Sea-level ponds (tr_pond_sealvl; namelist `apnd_sl`,
+    `tscale_pnd_drain` — ug_case_settings.rst:490,626, set_nml.pondsealvl).
+
+    Ponds are hydrostatically connected to the ocean: the pond surface
+    relaxes to sea level. Meltwater collects at the equilibrium pond
+    fraction `apnd_sl` of the category area; water standing above sea
+    level drains exponentially on the macroscopic timescale
+    `tscale_pnd_drain` (days); water that would push the ice surface
+    below sea level (negative freeboard) drains immediately; a refrozen
+    lid grows per `frzpnd`. Diagnostics mirror the reference history
+    fields dpnd_initial/dpnd_expon/dpnd_freebd/dpnd_flush/dpnd_dlid.
+    """
+    mask = aicen > cst.puny
+    hi = jnp.where(mask, vicen / jnp.maximum(aicen, cst.puny), 0.0)
+    hs = jnp.where(mask, vsnon / jnp.maximum(aicen, cst.puny), 0.0)
+
+    volp = apnd * hpnd                          # m of water per category area
+
+    # --- meltwater collection (rfrac of surface melt + rain on ponds) ---
+    rfrac = cfg_ponds.rfracmin + (cfg_ponds.rfracmax - cfg_ponds.rfracmin) * \
+        jnp.clip(aice, 0.0, 1.0)
+    dvol_in = rfrac * (cst.rhoi * meltt + cst.rhos * melts +
+                       frain * dt * apnd) / cst.rhofresh
+    dvol_in = jnp.where(mask, dvol_in, 0.0)
+    volp = volp + dvol_in
+
+    # --- refrozen lid (displaces pond water) -----------------------------
+    if cfg_ponds.frzpnd == "cesm":
+        cold = Tsf < TP_FRZ
+        shrink = jnp.exp(0.01 * (Tsf - TP_FRZ) * dt / cst.secday)
+        volp = jnp.where(cold, volp * jnp.clip(shrink, 0.0, 1.0), volp)
+        ipnd_new = jnp.zeros_like(ipnd)
+        dlid = jnp.zeros_like(ipnd)
+    else:
+        ipnd_new = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
+        dlid = jnp.maximum(ipnd_new - ipnd, 0.0)
+        volp = jnp.maximum(volp - dlid * cst.rhoi / cst.rhofresh, 0.0)
+
+    # --- equilibrium geometry: pond fraction relaxes to apnd_sl ----------
+    a_sl = cfg_ponds.apnd_sl
+    apnd_new = jnp.where(volp > cst.puny, a_sl, 0.0)
+    hpnd_new = jnp.where(volp > cst.puny,
+                         volp / jnp.maximum(apnd_new, cst.puny), 0.0)
+
+    # --- sea-level drainage ----------------------------------------------
+    # ice freeboard below the pond-free surface (snow load included)
+    freebd = jnp.maximum(hi * (cst.rhow - cst.rhoi) / cst.rhow -
+                         hs * cst.rhos / cst.rhow, 0.0)
+    # (a) water above sea level: exponential drain, timescale tscale (days)
+    tau = jnp.maximum(cfg_ponds.tscale_pnd_drain, 1e-3) * cst.secday
+    above = jnp.maximum(hpnd_new - freebd, 0.0) * apnd_new
+    dpnd_expon = above * (1.0 - jnp.exp(-dt / tau))
+    volp = jnp.maximum(volp - dpnd_expon, 0.0)
+    # (b) hydrostatic flooding guard: pond mass may not push the surface
+    # below sea level — excess drains immediately
+    vol_max = jnp.maximum(
+        (cst.rhow * hi - cst.rhoi * hi - cst.rhos * hs) / cst.rhofresh, 0.0)
+    dpnd_freebd = jnp.maximum(volp - vol_max, 0.0)
+    volp = volp - dpnd_freebd
+
+    hpnd_new = jnp.where(apnd_new > cst.puny,
+                         volp / jnp.maximum(apnd_new, cst.puny), 0.0)
+    flush = dpnd_expon + dpnd_freebd
+
+    apnd_new = jnp.where(mask, apnd_new, 0.0)
+    hpnd_new = jnp.where(mask, hpnd_new, 0.0)
+    ipnd_new = jnp.where(mask, ipnd_new, 0.0)
+
+    # --- radiative exposure (same snow/lid masking as the other schemes) -
+    snow_hide = jnp.clip(1.0 - hs / jnp.maximum(cfg_ponds.hs1, cst.puny),
+                         0.0, 1.0)
+    lid_hide = jnp.clip(1.0 - ipnd_new / jnp.maximum(10.0 * cfg_ponds.hp1,
+                                                     cst.puny), 0.0, 1.0)
+    apeff = apnd_new * snow_hide * lid_hide
+
+    return PondOut(apnd=apnd_new, hpnd=hpnd_new, ipnd=ipnd_new, apeff=apeff,
+                   dpnd_flush=jnp.where(mask, flush, 0.0))
+
+
 def compute_ponds_topo(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
                        ipnd, Tsf, meltt, melts, frain, aice):
     """Topographic ponds (Flocco & Feltham 2007) in bucket-limit form
@@ -194,6 +275,8 @@ def step_ponds(cfg, dt, *, aicen, vicen, vsnon, trcrn, Tsf, meltt, melts,
                   Tsf=Tsf, meltt=meltt, melts=melts, frain=frain, aice=aice)
     if t.tr_pond_lvl and "alvl" in trcrn:
         out = compute_ponds_lvl(cfg.ponds, dt, alvl=trcrn["alvl"], **common)
+    elif t.tr_pond_sealvl:
+        out = compute_ponds_sealvl(cfg.ponds, dt, **common)
     else:
         out = compute_ponds_topo(cfg.ponds, dt, **common)
     trcrn["apnd"] = out.apnd

@@ -35,7 +35,7 @@ class Therm2Out(NamedTuple):
 
 
 def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
-                nilyr, registry, sss=None):
+                nilyr, registry, sss=None, sal_ref=None):
     """Frazil ice formation in open water (icepack add_new_ice semantics).
 
     frzmlt > 0 (W/m^2) freezes new ice of thickness >= hfrazilmin in the
@@ -99,13 +99,14 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
 
     frazil = vnew
     # salt removed from the ocean by freezing (negative fsalt)
-    fsaltn = -cst.rhoi * vnew * float(salin.mean()) * 1e-3 / dt
+    S_frz = float(salin.mean()) if sal_ref is None else sal_ref
+    fsaltn = -cst.rhoi * vnew * S_frz * 1e-3 / dt
     freshn = -cst.rhoi * vnew / dt
     return aicen, vicen, trcrn, frazil, freshn, fsaltn
 
 
 def lateral_melt(aicen, vicen, vsnon, trcrn, *, frzmlt, Tbot, sst, Tf, dt,
-                 registry, floediam=300.0, alpha=0.66):
+                 registry, floediam=300.0, alpha=0.66, sal_ref=None):
     """Lateral melt of floe edges (icepack lateral_melt, Steele 1992).
 
     melt rate wlat = m1 * (sst - Tf)^m2 (Maykut & Perovich 1987),
@@ -132,7 +133,8 @@ def lateral_melt(aicen, vicen, vsnon, trcrn, *, frzmlt, Tbot, sst, Tf, dt,
     fhocn = (eice + esno) * dt_i                 # heat flux used for melting (<0)
     freshn = (cst.rhoi * vice_rm + cst.rhos * vsno_rm) * dt_i
     salin = bl99_salinity(nilyr)
-    fsaltn = cst.rhoi * vice_rm * float(salin.mean()) * 1e-3 * dt_i
+    S_lat = float(salin.mean()) if sal_ref is None else sal_ref
+    fsaltn = cst.rhoi * vice_rm * S_lat * 1e-3 * dt_i
 
     factor = 1.0 - rside
     aicen = aicen * factor[None]
@@ -156,13 +158,17 @@ def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
     aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
                                        registry)
 
+    # salt fluxes at ice_ref_salinity under saltflux_option='constant'
+    # (the default; 'prognostic' uses the bl99/mushy salinity profile)
+    sal_ref = (cfg.thermo.ice_ref_salinity
+               if cfg.thermo.saltflux_option == "constant" else None)
     aicen, vicen, vsnon, meltl, fhocn_l, fresh_l, fsalt_l = lateral_melt(
         aicen, vicen, vsnon, trcrn, frzmlt=frzmlt, Tbot=Tf, sst=sst, Tf=Tf,
-        dt=dt, registry=registry)
+        dt=dt, registry=registry, sal_ref=sal_ref)
 
     aicen, vicen, trcrn, frazil, fresh_f, fsalt_f = add_new_ice(
         aicen, vicen, vsnon, trcrn, frzmlt=frzmlt, Tf=Tf, dt=dt,
-        hin_max=hin_max, nilyr=nilyr, registry=registry)
+        hin_max=hin_max, nilyr=nilyr, registry=registry, sal_ref=sal_ref)
 
     aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
                                        registry)

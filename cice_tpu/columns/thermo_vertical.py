@@ -338,7 +338,8 @@ class ThicknessOut(NamedTuple):
 
 def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
                       Tbot, fbot, fsurf, fcondtop, fcondbot, flat, sss,
-                      qbot_new=None):
+                      qbot_new=None, saltflux_option="constant",
+                      ice_ref_salinity=4.0):
     """Growth & melt from the flux imbalances (BL99 bookkeeping).
 
     fbot: ocean->ice heat flux at the bottom (W/m^2, negative = melting
@@ -443,14 +444,20 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
     hs_new = sum_list(dzs)
 
     # --- fresh & salt fluxes -------------------------------------------------
-    # ice melt -> fresh water with ice salinity; salt flux from melted ice
+    # ice melt -> fresh water; salt budget per saltflux_option (reference
+    # icepack_therm_vertical / thermo_nml, ug_case_settings.rst:782):
+    #   'constant'    melt releases / growth removes salt at ice_ref_salinity
+    #   'prognostic'  at the actual bulk salinity (mushy sice layers):
+    #                 melted layers' mean S, congelation at the bottom-layer S
     dhi_total = meltt + meltb  # ice thickness melted
     freshn = (cst.rhoi * dhi_total + cst.rhos * melts) / dt \
         - dhin * (cst.rhow - cst.rhoi) / dt  # water consumed by snow-ice flooding
-    sbar = float(np.mean(bl99_salinity(nilyr)))
-    fsaltn = cst.rhoi * dhi_total * sbar * 1e-3 / dt - \
-        cst.rhoi * congel * sbar * 1e-3 / dt * 0.0   # growth removes salt from ocean; keep melt-only for now
-    fsaltn = fsaltn + 0.0
+    if saltflux_option == "prognostic":
+        S_melt = sum_list(list(salin)) / len(salin)
+        S_grow = salin[-1]
+    else:
+        S_melt = S_grow = ice_ref_salinity
+    fsaltn = cst.rhoi * 1e-3 / dt * (S_melt * dhi_total - S_grow * congel)
 
     return ThicknessOut(hin=hi_new, hsn=hs_new, qice=qi, qsno=qs,
                         meltt=meltt, meltb=meltb, melts=melts, congel=congel,

@@ -139,6 +139,9 @@ class ThermoConfig:
     dSdt_slow_mode: float = -5.0e-8
     phi_c_slow_mode: float = 0.05
     phi_i_mushy: float = 0.85
+    congel_freeze: str = "two-step"  # 'two-step' (mushy congelation) | 'one-step' (freeze solid immediately; ug_case_settings.rst:709)
+    saltflux_option: str = "constant"  # 'constant' (ice_ref_salinity) | 'prognostic' (bulk sice, needs ktherm=2; ug_case_settings.rst:782)
+    ice_ref_salinity: float = 4.0    # ppt, for saltflux_option='constant'
     hi_min: float = 0.01
     sw_redist: bool = False
     sw_frac: float = 0.9
@@ -229,6 +232,8 @@ class PondConfig:
     rfracmin: float = 0.15
     rfracmax: float = 1.0
     pndaspect: float = 0.8
+    apnd_sl: float = 0.27           # equilibrium pond fraction, sealvl ponds (ug_case_settings.rst:626)
+    tscale_pnd_drain: float = 10.0  # macroscopic drainage timescale, days (ug_case_settings.rst:490)
 
 
 @dataclass(frozen=True)

@@ -142,8 +142,13 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                  for k in range(nilyr)]
         Tm_lay = [mush.liquidus_temperature(S) for S in S_lay]
         salin_arg, Tm_arg = S_lay, Tm_lay
+        # congel_freeze='one-step' freezes congelation ice solid at once
+        # (phi_init -> 1), 'two-step' forms mush at phi_i_mushy
+        # (ug_case_settings.rst:709)
+        phi_new = (1.0 if cfg.thermo.congel_freeze == "one-step"
+                   else cfg.thermo.phi_i_mushy)
         qbot_new, S_bot_new = mush.new_ice_enthalpy_salinity(
-            Tbot, fc.sss, cfg.thermo.phi_i_mushy)
+            Tbot, fc.sss, phi_new)
     else:
         salin_arg = [float(s) for s in salin]
         Tm_arg = [float(t) for t in Tmlt]
@@ -164,7 +169,9 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         Tm=Tm_arg, salin=salin_arg,
         Tbot=Tbot, fbot=fbot, fsurf=ts.fsurf, fcondtop=ts.fcondtop,
         fcondbot=ts.fcondbot, flat=ts.flat, sss=fc.sss,
-        qbot_new=qbot_new)
+        qbot_new=qbot_new,
+        saltflux_option=(cfg.thermo.saltflux_option if mushy else "constant"),
+        ice_ref_salinity=cfg.thermo.ice_ref_salinity)
 
     # snowfall accumulation (step_therm1 snow addition)
     dhs_snow = jnp.where(mask, fc.fsnow * dt / cst.rhos, 0.0)
