@@ -352,6 +352,149 @@ def flux_extra_fields() -> List[HistoryField]:
     ]
 
 
+def grid_fields() -> List[HistoryField]:
+    """Static grid/metric fields (reference f_ANGLE/f_HTN/f_dxt/f_tarea/...;
+    written with every file like the reference's gridded history extras)."""
+    deg = cst.rad_to_deg
+
+    def gf(name, units, long_name, attr, scale=1.0, mask=False):
+        return HistoryField(name, units, long_name,
+                            lambda s, fl, g: getattr(g, attr) * scale,
+                            cell_mask=mask)
+
+    return [
+        gf("ULAT", "degrees_north", "U-point latitude", "ULAT", deg),
+        gf("ULON", "degrees_east", "U-point longitude", "ULON", deg),
+        gf("ANGLE", "radians", "grid rotation angle at U", "ANGLE"),
+        gf("ANGLET", "radians", "grid rotation angle at T", "ANGLET"),
+        gf("HTN", "m", "northern T-cell edge length", "HTN"),
+        gf("HTE", "m", "eastern T-cell edge length", "HTE"),
+        gf("dxt", "m", "T-cell width", "dxT"),
+        gf("dyt", "m", "T-cell height", "dyT"),
+        gf("dxu", "m", "U-cell width", "dxU"),
+        gf("dyu", "m", "U-cell height", "dyU"),
+        gf("tarea", "m^2", "T-cell area", "tarea"),
+        gf("uarea", "m^2", "U-cell area", "uarea"),
+        gf("tmask", "1", "ocean mask at T points", "hm"),
+        gf("umask", "1", "ocean mask at U points", "uvm"),
+    ]
+
+
+def vector_diag_fields() -> List[HistoryField]:
+    """Speed/direction diagnostics (f_atmspd/f_atmdir/f_ocnspd/f_ocndir/
+    f_icespd/f_icedir; direction in degrees, meteorological convention)."""
+    def _dir(u, v):
+        return jnp.mod(jnp.degrees(jnp.arctan2(-u, -v)), 360.0)
+
+    return [
+        _ff("atmspd", "m/s", "wind speed",
+            lambda s, fl, g, fc: jnp.hypot(fc.uatm, fc.vatm)),
+        _ff("atmdir", "deg", "wind direction (from)",
+            lambda s, fl, g, fc: _dir(fc.uatm, fc.vatm)),
+        _ff("ocnspd", "m/s", "ocean current speed",
+            lambda s, fl, g, fc: jnp.hypot(fc.uocn, fc.vocn)),
+        _ff("ocndir", "deg", "ocean current direction (to)",
+            lambda s, fl, g, fc: jnp.mod(jnp.degrees(
+                jnp.arctan2(fc.uocn, fc.vocn)), 360.0)),
+        _f("icespd", "m/s", "ice drift speed",
+           lambda s, fl, g: jnp.hypot(s.uvel, s.vvel)),
+        _f("icedir", "deg", "ice drift direction (to)",
+           lambda s, fl, g: jnp.mod(jnp.degrees(
+               jnp.arctan2(s.uvel, s.vvel)), 360.0)),
+        _f("vort", "1/s", "ice vorticity (dv/dx - du/dy)",
+           lambda s, fl, g: _vorticity(s, g)),
+    ]
+
+
+def _vorticity(s, g):
+    from ..core.halo import shift
+    dvdx = (s.vvel - shift(s.vvel, 0, 1, bc=g.bc)) / \
+        jnp.maximum(g.dxU, cst.puny)
+    dudy = (s.uvel - shift(s.uvel, 1, 0, bc=g.bc)) / \
+        jnp.maximum(g.dyU, cst.puny)
+    return dvdx - dudy
+
+
+def ai_flux_fields() -> List[HistoryField]:
+    """Grid-cell-mean (*_ai) flux variants: the reference reports most
+    coupler fluxes both per unit ice area and per grid-cell area
+    (f_evap_ai/f_fresh_ai/... ice_history.F90)."""
+    def ai(name, units, long_name, get):
+        return _f(name + "_ai", units, long_name + " (cell mean)",
+                  lambda s, fl, g, _get=get: _get(s, fl) * s.aice)
+
+    return [
+        ai("evap", "kg/m^2/s", "evaporation", lambda s, fl: fl.evap),
+        ai("fresh", "kg/m^2/s", "freshwater flux to ocean",
+           lambda s, fl: fl.fresh),
+        ai("fsalt", "kg/m^2/s", "salt flux to ocean", lambda s, fl: fl.fsalt),
+        ai("fhocn", "W/m^2", "heat flux to ocean", lambda s, fl: fl.fhocn),
+        ai("fswthru", "W/m^2", "SW through ice to ocean",
+           lambda s, fl: fl.fswthru),
+        ai("fswabs", "W/m^2", "SW absorbed", lambda s, fl: fl.fswabs),
+        ai("flat", "W/m^2", "latent heat flux", lambda s, fl: fl.flat),
+        ai("fsens", "W/m^2", "sensible heat flux", lambda s, fl: fl.fsens),
+        ai("flwup", "W/m^2", "upward longwave", lambda s, fl: fl.flwout),
+        ai("alvdr", "1", "visible direct albedo", lambda s, fl: fl.alvdr),
+        ai("alvdf", "1", "visible diffuse albedo", lambda s, fl: fl.alvdf),
+        ai("alidr", "1", "near-IR direct albedo", lambda s, fl: fl.alidr),
+        ai("alidf", "1", "near-IR diffuse albedo", lambda s, fl: fl.alidf),
+    ]
+
+
+def profile_fields(cfg) -> List[HistoryField]:
+    """Vertical interior profiles (f_Tinz/f_Sinz/f_Tsnz, 3Dz/4Di fields):
+    category-aggregated per-layer ice temperature/salinity and snow
+    temperature, inverted from the enthalpy/salinity tracers."""
+    nilyr = cfg.domain.nilyr
+    nslyr = cfg.domain.nslyr
+    mushy = cfg.thermo.ktherm == 2
+    out = []
+
+    def _wmean(per_cat, aicen, aice):
+        return jnp.sum(per_cat * aicen, axis=0) / jnp.maximum(aice, cst.puny)
+
+    def tin(k):
+        def fn(s, fl, g):
+            q = s.trcrn["qice"][:, k]
+            if mushy and "sice" in s.trcrn:
+                from ..columns.mushy import temperature_mush
+                T = temperature_mush(q, s.trcrn["sice"][:, k])
+            else:
+                from ..columns.thermo_vertical import (bl99_salinity,
+                                                       melting_temps,
+                                                       temp_from_enthalpy_ice)
+                Tm = float(melting_temps(bl99_salinity(nilyr))[k])
+                T = temp_from_enthalpy_ice(q, Tm)
+            return _wmean(T, s.aicen, s.aice)
+        return fn
+
+    def sin_(k):
+        def fn(s, fl, g):
+            if "sice" in s.trcrn:
+                return _wmean(s.trcrn["sice"][:, k], s.aicen, s.aice)
+            from ..columns.thermo_vertical import bl99_salinity
+            return jnp.full_like(s.aice, float(bl99_salinity(nilyr)[k]))
+        return fn
+
+    def tsn(k):
+        def fn(s, fl, g):
+            from ..columns.thermo_vertical import temp_from_enthalpy_snow
+            T = temp_from_enthalpy_snow(s.trcrn["qsno"][:, k])
+            return _wmean(T, s.aicen, s.aice)
+        return fn
+
+    for k in range(nilyr):
+        out.append(_f(f"Tinz{k + 1:03d}", "C",
+                      f"ice interior temperature, layer {k + 1}", tin(k)))
+        out.append(_f(f"Sinz{k + 1:03d}", "ppt",
+                      f"ice bulk salinity, layer {k + 1}", sin_(k)))
+    for k in range(nslyr):
+        out.append(_f(f"Tsnz{k + 1:03d}", "C",
+                      f"snow temperature, layer {k + 1}", tsn(k)))
+    return out
+
+
 def category_fields(ncat: int) -> List[HistoryField]:
     """Per-category planes (the reference's 3Dc axis fields aicen/vicen/
     Tsfcn etc. written as one 2-D variable per category, aicen001-style)."""
@@ -404,7 +547,9 @@ def build_fields(cfg) -> List[HistoryField]:
     """Full conditional registry (init_hist honoring the tracer flags —
     reference icefields_*_nml groups)."""
     fields = default_fields() + dyn_fields() + forcing_fields() \
-        + flux_extra_fields() + category_fields(cfg.domain.ncat)
+        + flux_extra_fields() + category_fields(cfg.domain.ncat) \
+        + grid_fields() + vector_diag_fields() + ai_flux_fields() \
+        + profile_fields(cfg)
     if cfg.forcing.formdrag:
         fields += drag_fields(cfg)
     t = cfg.tracers
