@@ -55,6 +55,8 @@ OPTION_SETS = {
                    "ponds.apnd_sl": 0.27, "ponds.rfracmin": 1.0,
                    "ponds.rfracmax": 1.0, "ponds.tscale_pnd_drain": 0.5},
     "saltflux": {"thermo.ktherm": 2, "thermo.saltflux_option": "prognostic"},
+    "modal": {"shortwave.shortwave": "dEdd", "tracers.tr_aero": True,
+              "domain.n_aero": 3, "shortwave.modal_aero": True},
     "congel": {"thermo.congel_freeze": "one-step"},
     "pondlvl": {"tracers.tr_pond_lvl": True, "tracers.tr_pond_topo": False},
     "bgcskl": {"zbgc.skl_bgc": True},

@@ -27,6 +27,10 @@ class AtmoCoeffs(NamedTuple):
     lhcoef: jnp.ndarray   # latent-heat transfer coefficient (W m-2 / (kg/kg))
     strx: jnp.ndarray     # wind stress on ice, x (N/m^2)
     stry: jnp.ndarray     # wind stress on ice, y (N/m^2)
+    # reference-height diagnostics (f_Tref/f_Qref history fields):
+    Tref: jnp.ndarray = None   # 2 m air temperature (K)
+    Qref: jnp.ndarray = None   # 2 m specific humidity (kg/kg)
+    Uref: jnp.ndarray = None   # 10 m wind speed (m/s)
 
 
 def saturated_specific_humidity_ice(TsfK, rhoa):
@@ -122,7 +126,20 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
     stry = tau * vatm
     shcoef = rhoa * ustar * cp * rh
     lhcoef = rhoa * ustar * lheat * re
-    return AtmoCoeffs(shcoef=shcoef, lhcoef=lhcoef, strx=strx, stry=stry)
+
+    # reference-height diagnostics: similarity profile evaluated at 2 m
+    # (temperature/humidity) and 10 m (wind) — reference icepack_atmo
+    # Tref/Qref/Uref outputs consumed by f_Tref/f_Qref history fields
+    zTrf = 2.0
+    hol2 = hol * zTrf / zlvl
+    xd2 = jnp.sqrt(jnp.maximum(jnp.sqrt(jnp.abs(1.0 - 16.0 * hol2)), 1.0))
+    psix2 = -5.0 * hol2 * stable + (1.0 - stable) * _psixu(xd2)
+    prof = jnp.log(zlvl / zTrf) - psixh + psix2
+    Tref = potT - delt * (rh / cst.vonkar) * prof - 0.01 * zTrf
+    Qref = Qa - delq * (re / cst.vonkar) * prof
+    Uref = vmag * rd / jnp.maximum(rdn, 1e-8)
+    return AtmoCoeffs(shcoef=shcoef, lhcoef=lhcoef, strx=strx, stry=stry,
+                      Tref=Tref, Qref=Qref, Uref=Uref)
 
 
 def atmo_boundary_const(Tsf, uatm, vatm, wind, rhoa, Qa,

@@ -165,23 +165,70 @@ def _ice_layer_iops(hi, nilyr, band_iops):
     return out
 
 
-def _snow_iops(hs, nslyr, rsnw_m, band: str):
-    """Snow layer IOPs via geometric optics: tau = 3 h rho_s / (2 rho_i r)."""
+# Aerosol-in-snow optics per species class, [vis, nir] per property —
+# magnitudes follow the SNICAR coefficients the reference's column physics
+# documents (Icepack kaer_tab/waer_tab/gaer_tab; species order bc1, bc2,
+# dust1..dust4; nir here is the average of Icepack's two nir sub-bands).
+AER_OPTICS = [
+    # (ext m2/kg (vis, nir), ssa (vis, nir), g (vis, nir))
+    ((11580.0, 3687.0), (0.291, 0.174), (0.353, 0.287)),   # bc1 (fresh BC)
+    ((25799.0, 8587.0), (0.744, 0.474), (0.598, 0.494)),   # bc2 (aged BC)
+    ((196.5, 209.3), (0.972, 0.949), (0.673, 0.697)),      # dust1
+    ((2665.9, 1538.5), (0.943, 0.897), (0.684, 0.668)),    # dust2
+    ((840.8, 596.1), (0.946, 0.903), (0.716, 0.687)),      # dust3
+    ((387.5, 276.0), (0.947, 0.906), (0.757, 0.712)),      # dust4
+]
+MODAL_BC_ENHANCE = 1.5   # internal-mixing absorption enhancement (modal_aero;
+#                          Flanner et al. 2012 sulfate-coated BC factor)
+
+
+def _mix_aerosol(tau, w0, g, aero_mass, band: str, modal: bool):
+    """Blend aerosol extinction into a (tau, w0, g) layer. aero_mass is a
+    list over species of kg/m^2 loadings in this layer."""
+    bi = 0 if band == "vis" else 1
+    tau_t, sw_t, gsw_t = tau, w0 * tau, g * w0 * tau
+    for s, mass in enumerate(aero_mass):
+        ext, ssa, ga = AER_OPTICS[s % len(AER_OPTICS)]
+        ext_b, ssa_b, g_b = ext[bi], ssa[bi], ga[bi]
+        if modal and s % len(AER_OPTICS) in (0, 1):   # BC species
+            # enhancement acts on absorption: scale ext, renormalize ssa
+            abs_b = ext_b * (1.0 - ssa_b) * MODAL_BC_ENHANCE
+            sca_b = ext_b * ssa_b
+            ext_b = abs_b + sca_b
+            ssa_b = sca_b / ext_b
+        ta = ext_b * jnp.maximum(mass, 0.0)
+        tau_t = tau_t + ta
+        sw_t = sw_t + ssa_b * ta
+        gsw_t = gsw_t + g_b * ssa_b * ta
+    w0_t = sw_t / jnp.maximum(tau_t, 1e-12)
+    g_t = gsw_t / jnp.maximum(sw_t, 1e-12)
+    return tau_t, jnp.clip(w0_t, 0.0, 1.0), jnp.clip(g_t, 0.0, 1.0)
+
+
+def _snow_iops(hs, nslyr, rsnw_m, band: str, aero_snow=None,
+               modal: bool = False):
+    """Snow layer IOPs via geometric optics: tau = 3 h rho_s / (2 rho_i r);
+    aerosol loadings darken the top (surface-scavenged) snow layer."""
     w0 = W0_SNOW_VIS if band == "vis" else W0_SNOW_NIR
     hl = hs / nslyr
     tau = 1.5 * hl * cst.rhos / (cst.rhoi * jnp.maximum(rsnw_m, 1e-5))
-    return [(tau, jnp.full_like(hs, w0), jnp.full_like(hs, G_SNOW))
-            for _ in range(nslyr)]
+    out = [[tau, jnp.full_like(hs, w0), jnp.full_like(hs, G_SNOW)]
+           for _ in range(nslyr)]
+    if aero_snow is not None and len(aero_snow):
+        out[0] = list(_mix_aerosol(out[0][0], out[0][1], out[0][2],
+                                   aero_snow, band, modal))
+    return [tuple(layer) for layer in out]
 
 
-def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind):
+def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
+            aero_snow=None, modal=False):
     """Albedos/absorption for one sub-column type ('snow'|'bare'|'pond')."""
     ice_iops = IOPS_ICE_VIS if band == "vis" else IOPS_ICE_NIR
     pond_iop = IOP_POND_VIS if band == "vis" else IOP_POND_NIR
     layers = []
     nsl = 0
     if kind == "snow":
-        layers += _snow_iops(hs, nslyr, rsnw_m, band)
+        layers += _snow_iops(hs, nslyr, rsnw_m, band, aero_snow, modal)
         nsl = nslyr
     elif kind == "pond":
         sig, kab, g = pond_iop
@@ -202,12 +249,15 @@ def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind):
 
 
 def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
-                   coszen, cfg_sw, nilyr: int, nslyr: int = 1) -> ShortwaveOut:
+                   coszen, cfg_sw, nilyr: int, nslyr: int = 1,
+                   aero_snow=None, modal_aero: bool = False) -> ShortwaveOut:
     """Delta-Eddington shortwave for all categories at once.
 
     Tsf/hi/hs/hpnd/apeff: (ncat, ny, nx); sw* and coszen (ny, nx).
     Sub-column area weights per category: ponded = apeff, snow-covered
     = (1-apeff)*fsnow_patch, bare = remainder (Briegleb & Light §4).
+    aero_snow: optional list over species of (ncat, ny, nx) kg/m^2 snow
+    aerosol loadings (tr_aero; modal_aero per ug_case_settings thermo_nml).
     """
     mu0 = jnp.maximum(coszen, MU0_MIN) * jnp.ones_like(Tsf)
     hi_s = jnp.maximum(hi, 0.0)
@@ -225,7 +275,8 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
     w_bare = jnp.maximum(1.0 - w_pnd - w_snw, 0.0)
 
     common = dict(hs=hs_s, hi=jnp.maximum(hi_s, 0.001), hpnd=hpnd,
-                  nslyr=nslyr, nilyr=nilyr, rsnw_m=rsnw_m)
+                  nslyr=nslyr, nilyr=nilyr, rsnw_m=rsnw_m,
+                  aero_snow=aero_snow, modal=modal_aero)
 
     out = {}
     for band in ("vis", "nir"):

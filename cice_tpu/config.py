@@ -219,6 +219,7 @@ class ShortwaveConfig:
     dT_mlt: float = 1.5
     rsnw_mlt: float = 1500.0
     kalg: float = 0.6
+    modal_aero: bool = False        # modal (internally-mixed) BC-in-snow optics (set_nml.modal)
 
 
 @dataclass(frozen=True)

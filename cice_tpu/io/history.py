@@ -403,6 +403,12 @@ def vector_diag_fields() -> List[HistoryField]:
                jnp.arctan2(s.uvel, s.vvel)), 360.0)),
         _f("vort", "1/s", "ice vorticity (dv/dx - du/dy)",
            lambda s, fl, g: _vorticity(s, g)),
+        _f("Tref", "C", "2 m reference temperature",
+           lambda s, fl, g: fl.Tref - 273.15),
+        _f("Qref", "kg/kg", "2 m reference specific humidity",
+           lambda s, fl, g: fl.Qref),
+        _f("Uref", "m/s", "10 m reference wind speed",
+           lambda s, fl, g: fl.Uref),
     ]
 
 

@@ -125,6 +125,10 @@ class FluxOut:
     dvidtt: jnp.ndarray    # volume tendency, thermodynamics (m/s)
     daidtd: jnp.ndarray    # area tendency, dynamics (1/s)
     dvidtd: jnp.ndarray    # volume tendency, dynamics (m/s)
+    # reference-height diagnostics (f_Tref/f_Qref/f_Uref)
+    Tref: jnp.ndarray      # 2 m air temperature (K)
+    Qref: jnp.ndarray      # 2 m specific humidity (kg/kg)
+    Uref: jnp.ndarray      # 10 m wind speed (m/s)
 
     def replace(self, **kw) -> "FluxOut":
         return dataclasses.replace(self, **kw)

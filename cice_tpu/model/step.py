@@ -111,9 +111,18 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         from ..columns.ponds import pond_exposure
         apeff_rad = pond_exposure(cfg, aicen=an, vsnon=vsn, trcrn=trcrn)
         hpnd_rad = trcrn.get("hpnd", jnp.zeros_like(an))
+        aero_snow = None
+        if cfg.tracers.tr_aero and "aerosno" in trcrn:
+            # per-species snow loadings (SSL + interior strata) darken the
+            # top snow layer in dEdd (kaer_tab optics; modal_aero variant)
+            asn = trcrn["aerosno"]
+            aero_snow = [asn[:, 2 * s] + asn[:, 2 * s + 1]
+                         for s in range(cfg.domain.n_aero)]
         sw = shortwave_dEdd(Tsf, hin, hsn, hpnd_rad, apeff_rad,
                             fc.swvdr, fc.swvdf, fc.swidr, fc.swidf,
-                            fc.coszen, cfg.shortwave, nilyr, nslyr)
+                            fc.coszen, cfg.shortwave, nilyr, nslyr,
+                            aero_snow=aero_snow,
+                            modal_aero=cfg.shortwave.modal_aero)
     else:
         sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
                              fc.swidf, cfg.shortwave, nilyr)
@@ -319,6 +328,17 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         alidf=ws(sw.alidf), fsurf=ws(ts.fsurf), fcondtop=ws(ts.fcondtop),
         apond=ws(apeff), fpond=ws(pond_flush) * cst.rhofresh / dt,
     )
+    # 2m/10m reference diagnostics: ice-area-weighted over categories with
+    # the open-water fraction taking the free-air values (f_Tref/f_Qref)
+    ow = jnp.clip(1.0 - aice, 0.0, 1.0)
+    if co.Tref is not None:
+        agg["Tref"] = ws(co.Tref) + ow * fc.potT
+        agg["Qref"] = ws(co.Qref) + ow * fc.Qa
+        agg["Uref"] = ws(co.Uref) + ow * fc.wind
+    else:
+        agg["Tref"] = fc.potT
+        agg["Qref"] = fc.Qa
+        agg["Uref"] = fc.wind
     # ocean heat consumed at the ice bottom (per unit cell area); it is
     # drawn from the mixed layer inside ocean_mixed_layer's budget
     agg["fbot_used"] = jnp.where(aice > cst.puny, fbot * aice, 0.0)
@@ -590,6 +610,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         dvirdgdt=dyn.get("dvirdgdt", zf), opening=dyn.get("opening", zf),
         daidtt=daidtt, dvidtt=dvidtt,
         daidtd=(state.aice - aice_posttherm) / dt,
-        dvidtd=(state.vice - vice_posttherm) / dt)
+        dvidtd=(state.vice - vice_posttherm) / dt,
+        Tref=agg["Tref"], Qref=agg["Qref"], Uref=agg["Uref"])
 
     return state, flux
