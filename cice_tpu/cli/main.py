@@ -472,8 +472,13 @@ def _test_restart(cfg) -> bool:
         m2 = Model(cfg)
         m2.run(3)
         path = m2.write_restart()
+        m2.flush_io()                 # durability barrier (io_async)
         m3 = Model(cfg)
-        m3.state, m3.calendar = read_restart(path, m3.state)
+        if cfg.setup.restart_format == "pio":
+            from ..io.pio import read_restart_sharded
+            m3.state, m3.calendar = read_restart_sharded(path, m3.state)
+        else:
+            m3.state, m3.calendar = read_restart(path, m3.state)
         m3.run(3)
         for a, b in zip(jax.tree.leaves(m1.state), jax.tree.leaves(m3.state)):
             if not np.array_equal(np.asarray(a), np.asarray(b)):
@@ -538,6 +543,19 @@ SUITES = {
              ("restart", "upwind"), ("smoke", "seasonal")],
     "decomp": [("decomp", ""), ("decomp", "upwind")],
     "reprosum": [("smoke", "", ""), ("smoke", "ndte120")],
+    # alternate-physics sweep (base_suite.ts alt* rows)
+    "alt": [("smoke", "alt01"), ("smoke", "alt02"), ("smoke", "alt03"),
+            ("smoke", "alt05"), ("smoke", "alt06"), ("smoke", "alt07")],
+    # IO backends x restart exactness (io_suite.ts)
+    "io": [("restart", ""), ("restart", "iocdf1"), ("restart", "iopio"),
+           ("restart", "ioasync"), ("smoke", "histdaily"),
+           ("smoke", "histinst")],
+    # column-physics option sweep
+    "column": [("smoke", "mushy"), ("smoke", "bl99"), ("smoke", "dedd"),
+               ("smoke", "pondlvl"), ("smoke", "pondtopo"),
+               ("smoke", "pondsealvl"), ("smoke", "snwgrain"),
+               ("smoke", "fsd12"), ("smoke", "saltflux"),
+               ("smoke", "congel")],
 }
 
 
@@ -564,7 +582,11 @@ def cmd_suite(args):
             series_cache[opts] = series
         else:
             ns = argparse.Namespace(opts=opts, set=args.set, type=ttype)
-            ok = cmd_test(ns) == 0
+            try:
+                ok = cmd_test(ns) == 0
+            except Exception as e:     # a crashed row fails, suite goes on
+                print(f"  ERROR {ttype} {opts}: {type(e).__name__}: {e}")
+                ok = False
         results.append((ttype, opts, ok))
     npass = sum(1 for *_, ok in results if ok)
     for ttype, opts, ok in results:

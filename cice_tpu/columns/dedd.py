@@ -146,9 +146,11 @@ def _adding(layers, mu0, alb_ocn):
     return albdir, albdif, absdir, absdif, fdir_net[n], fdif_net[n]
 
 
-def _ice_layer_iops(hi, nilyr, band_iops):
+def _ice_layer_iops(hi, nilyr, band_iops, tau_alg=None):
     """IOPs for the nilyr uniform ice layers: each layer takes SSL/DL/INT
-    properties by the depth of its midpoint (dense blend, no branches)."""
+    properties by the depth of its midpoint (dense blend, no branches).
+    tau_alg: optional absorption optical depth added to the bottom layer
+    (dEdd_algae: ice-algal chlorophyll shading, zbgc_nml)."""
     (s_ssl, a_ssl, g_i), (s_dl, a_dl, _), (s_int, a_int, _) = band_iops
     hl = hi / nilyr
     out = []
@@ -161,6 +163,10 @@ def _ice_layer_iops(hi, nilyr, band_iops):
         kab = in_ssl * a_ssl + in_dl * a_dl + in_int * a_int
         tau = (sig + kab) * hl
         w0 = sig / jnp.maximum(sig + kab, 1e-12)
+        if tau_alg is not None and k == nilyr - 1:
+            t2 = tau + jnp.maximum(tau_alg, 0.0)
+            w0 = w0 * tau / jnp.maximum(t2, 1e-12)
+            tau = t2
         out.append((tau, w0, jnp.full_like(hi, g_i)))
     return out
 
@@ -221,7 +227,7 @@ def _snow_iops(hs, nslyr, rsnw_m, band: str, aero_snow=None,
 
 
 def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
-            aero_snow=None, modal=False):
+            aero_snow=None, modal=False, tau_alg=None):
     """Albedos/absorption for one sub-column type ('snow'|'bare'|'pond')."""
     ice_iops = IOPS_ICE_VIS if band == "vis" else IOPS_ICE_NIR
     pond_iop = IOP_POND_VIS if band == "vis" else IOP_POND_NIR
@@ -236,7 +242,8 @@ def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
         layers.append((tau, jnp.full_like(hpnd, sig / max(sig + kab, 1e-12)),
                        jnp.full_like(hpnd, g)))
         nsl = 1
-    layers += _ice_layer_iops(hi, nilyr, ice_iops)
+    layers += _ice_layer_iops(hi, nilyr, ice_iops,
+                              tau_alg if band == "vis" else None)
     albdir, albdif, absdir, absdif, trdir, trdif = _adding(
         layers, mu0, ALB_OCEAN)
     # split absorbed: layers above the ice count as surface absorption
@@ -250,7 +257,8 @@ def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
 
 def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
                    coszen, cfg_sw, nilyr: int, nslyr: int = 1,
-                   aero_snow=None, modal_aero: bool = False) -> ShortwaveOut:
+                   aero_snow=None, modal_aero: bool = False,
+                   tau_alg=None) -> ShortwaveOut:
     """Delta-Eddington shortwave for all categories at once.
 
     Tsf/hi/hs/hpnd/apeff: (ncat, ny, nx); sw* and coszen (ny, nx).
@@ -276,7 +284,7 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
 
     common = dict(hs=hs_s, hi=jnp.maximum(hi_s, 0.001), hpnd=hpnd,
                   nslyr=nslyr, nilyr=nilyr, rsnw_m=rsnw_m,
-                  aero_snow=aero_snow, modal=modal_aero)
+                  aero_snow=aero_snow, modal=modal_aero, tau_alg=tau_alg)
 
     out = {}
     for band in ("vis", "nir"):

@@ -63,6 +63,15 @@ def category_bounds(ncat: int, kcatbound: int = 1, nilyr: int = 7,
         if ncat not in wmo:
             raise ValueError("WMO bounds require ncat in (5,6,7)")
         return np.array(wmo[ncat])
+    if kcatbound == 3:
+        # asymptotic scheme (ug_case_settings.rst:336): fine resolution for
+        # thin ice, boundaries growing without bound toward the thick end:
+        # H_n = n / (ncat + 1 - n). Behavioral stand-in for the Icepack
+        # formula (source external to the reference repo); e.g. ncat=7 ->
+        # 0.14, 0.33, 0.60, 1.0, 1.67, 3.0 m.
+        bounds = [0.0] + [n / (ncat + 1.0 - n) for n in range(1, ncat)]
+        bounds.append(999.9)
+        return np.array(bounds)
     raise ValueError(f"unknown kcatbound {kcatbound}")
 
 

@@ -51,7 +51,7 @@ class SetupConfig:
     diagfreq: int = 24
     histfreq: Tuple[str, ...] = ("m", "x", "x", "x", "x")
     histfreq_n: Tuple[int, ...] = (1, 1, 1, 1, 1)
-    hist_avg: bool = True
+    hist_avg: bool | Tuple[bool, ...] = True  # one value or per-stream tuple (reference: max_nstrm logicals)
     history_dir: str = "./history/"
     hist_cmip: bool = False         # add CMIP si* alias fields (f_CMIP)
     history_file: str = "iceh"

@@ -409,6 +409,14 @@ def vector_diag_fields() -> List[HistoryField]:
            lambda s, fl, g: fl.Qref),
         _f("Uref", "m/s", "10 m reference wind speed",
            lambda s, fl, g: fl.Uref),
+        _f("mlt_onset", "day", "day of year of first surface melt",
+           lambda s, fl, g: s.mlt_onset),
+        _f("frz_onset", "day", "day of year of first frazil formation",
+           lambda s, fl, g: s.frz_onset),
+        _f("uvelE", "m/s", "C-grid east-face ice velocity (x)",
+           lambda s, fl, g: s.uvelE),
+        _f("vvelN", "m/s", "C-grid north-face ice velocity (y)",
+           lambda s, fl, g: s.vvelN),
     ]
 
 
@@ -601,8 +609,14 @@ class History:
         self.dir = directory or cfg.setup.history_dir
         self.writer = writer          # io.async_writer.AsyncWriter | None
         s = cfg.setup
-        self.streams = [Stream(freq=f, freq_n=n, avg=s.hist_avg)
-                        for f, n in zip(s.histfreq, s.histfreq_n) if f != "x"]
+        # hist_avg: one bool for all streams, or a per-stream tuple
+        # (reference hist_avg is max_nstrm logicals, ice_in setup_nml)
+        avg = s.hist_avg
+        if not isinstance(avg, (tuple, list)):
+            avg = (avg,) * len(s.histfreq)
+        self.streams = [Stream(freq=f, freq_n=n, avg=bool(a))
+                        for f, n, a in zip(s.histfreq, s.histfreq_n, avg)
+                        if f != "x"]
 
     # -- per-step accumulation (accum_hist, ice_history.F90:2201) ----------
     def accum(self, state, flux, forcing=None):

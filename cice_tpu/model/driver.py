@@ -217,7 +217,14 @@ class Model:
                     self.state = restore_sst(self.cfg, self.state,
                                              fc.sst_data, self.cfg.setup.dt)
             jax.block_until_ready(self.state.aicen)
+        prev_year = self.calendar.year
         self.calendar = self.calendar.advance(self.cfg.setup.dt)
+        if self.calendar.year != prev_year:
+            # yearly reset of melt/freeze onset diagnostics (reference
+            # resets mlt_onset/frz_onset with the annual history cycle)
+            import jax.numpy as jnp
+            z = jnp.zeros_like(self.state.mlt_onset)
+            self.state = self.state.replace(mlt_onset=z, frz_onset=z)
 
         # analysis / IO phases (reference ice_step tail, CICE_RunMod:375-420)
         self.timers.start("History")

@@ -52,6 +52,7 @@ class Forcing:
     hmix: jnp.ndarray      # mixed layer depth (m)
     ss_tltx: jnp.ndarray   # sea surface slope (m/m)
     ss_tlty: jnp.ndarray
+    yday: jnp.ndarray      # day of year (scalar array; onset diagnostics)
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)
@@ -67,6 +68,7 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         wave_hs=z(), wave_Tp=z(8.0),
         uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
         Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
+        yday=jnp.zeros((), dtype),
     )
 
 

@@ -292,4 +292,4 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
         Tp = jnp.maximum(0.729 * fc.wind, 2.0)
         fc = fc.replace(wave_hs=hs.astype(fc.wind.dtype),
                         wave_Tp=Tp.astype(fc.wind.dtype))
-    return fc
+    return fc.replace(yday=jnp.asarray(yday, fc.wind.dtype))

@@ -142,6 +142,10 @@ class State:
     frzmlt: jnp.ndarray        # freezing/melting potential (W/m^2)
     # dynamics mask memory (iceUmask persistence, ice_dyn_shared dyn_prep1)
     iceUmask: jnp.ndarray
+    # melt/freeze onset day-of-year (0 = not yet this year; f_mlt_onset /
+    # f_frz_onset history, reset at new year by the driver)
+    mlt_onset: jnp.ndarray
+    frz_onset: jnp.ndarray
 
     # -- aggregates ----------------------------------------------------------
     @property
@@ -183,4 +187,5 @@ def zeros_state(cfg, grid) -> State:
         stress12=jnp.zeros((4, ny, nx), dt),
         a11=jnp.full((4, ny, nx), 0.5, dt), a12=jnp.zeros((4, ny, nx), dt),
         sst=z2(), frzmlt=z2(), iceUmask=jnp.zeros((ny, nx), jnp.bool_),
+        mlt_onset=z2(), frz_onset=z2(),
     )

@@ -118,11 +118,18 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             asn = trcrn["aerosno"]
             aero_snow = [asn[:, 2 * s] + asn[:, 2 * s + 1]
                          for s in range(cfg.domain.n_aero)]
+        tau_alg = None
+        if cfg.zbgc.dEdd_algae and "bgc_N" in trcrn:
+            # ice-algal chlorophyll shades the bottom ice layer
+            # (zbgc_nml dEdd_algae; chl = N * ratio_chl2N, tau = kalg*chl)
+            chla = trcrn["bgc_N"] * cfg.zbgc.ratio_chl2N_diatoms
+            tau_alg = cfg.shortwave.kalg * jnp.maximum(chla, 0.0)
         sw = shortwave_dEdd(Tsf, hin, hsn, hpnd_rad, apeff_rad,
                             fc.swvdr, fc.swvdf, fc.swidr, fc.swidf,
                             fc.coszen, cfg.shortwave, nilyr, nslyr,
                             aero_snow=aero_snow,
-                            modal_aero=cfg.shortwave.modal_aero)
+                            modal_aero=cfg.shortwave.modal_aero,
+                            tau_alg=tau_alg)
     else:
         sw = shortwave_ccsm3(Tsf, hin, hsn, fc.swvdr, fc.swvdf, fc.swidr,
                              fc.swidf, cfg.shortwave, nilyr)
@@ -586,7 +593,15 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         swidr=fc.swidr, swidf=fc.swidf, potT=fc.potT, Qa=fc.Qa,
         rhoa=fc.rhoa, wind=fc.wind, uatm=fc.uatm, vatm=fc.vatm,
         zlvl=fc.zlvl)
-    state = state.replace(sst=sst_new, frzmlt=frzmlt)
+    # melt/freeze onset day-of-year (f_mlt_onset/f_frz_onset: stamp the
+    # first day surface melt / frazil formation occurs; yearly reset is
+    # host-side in the driver)
+    mlt_onset = jnp.where((state.mlt_onset <= 0.0) & (agg["meltt"] > 0.0),
+                          fc.yday, state.mlt_onset)
+    frz_onset = jnp.where((state.frz_onset <= 0.0) & (t2.frazil > 0.0),
+                          fc.yday, state.frz_onset)
+    state = state.replace(sst=sst_new, frzmlt=frzmlt,
+                          mlt_onset=mlt_onset, frz_onset=frz_onset)
 
     zf = jnp.zeros(grid.shape, state.aicen.dtype)
     flux = zeros_fluxout(grid.shape, state.aicen.dtype).replace(

@@ -77,3 +77,17 @@ def test_tref_between_surface_and_air():
     Qref = np.asarray(co.Qref)
     assert (Qref > 0).all() and (Qref < 1e-2).all()
     assert np.isfinite(np.asarray(co.Uref)).all()
+
+
+def test_dedd_algae_shading():
+    """dEdd_algae: chlorophyll absorption darkens the column (vis band)
+    and moves absorbed energy into the bottom ice layer."""
+    cfg = Config()
+    a = _sw_args()
+    a["hs"] = jnp.zeros_like(a["hs"])          # bare ice column
+    clean = shortwave_dEdd(**a, cfg_sw=cfg.shortwave, nilyr=4, nslyr=1)
+    algal = shortwave_dEdd(**a, cfg_sw=cfg.shortwave, nilyr=4, nslyr=1,
+                           tau_alg=jnp.full((1, 4, 4), 2.0))
+    assert _albedo(algal) <= _albedo(clean) + 1e-9
+    # less light reaches the ocean through the shaded bottom layer
+    assert float(algal.fswthru.mean()) < float(clean.fswthru.mean())
