@@ -94,7 +94,7 @@ OPTION_SETS = {
     "ktherm1": {"thermo.ktherm": 1},
     "fdrag": {"forcing.formdrag": True},
     "leap": {"setup.calendar_type": "gregorian"},
-    "cal360": {"setup.calendar_type": "360day"},
+    "cal360": {"setup.calendar_type": "360day", "setup.days_per_year": 360},
     # --- alternate-physics composites (reference set_nml.alt02..alt07) ----
     "alt02": {"domain.ncat": 1, "grid.kcatbound": -1, "thermo.kitd": 0,
               "domain.distribution_type": "sectrobin",

@@ -60,7 +60,8 @@ def _psixu(xd):
 def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
                         *, natmiter: int = 5, over: str = "ice",
                         iceruf: float = cst.iceruf,
-                        Cdn_atm=None) -> AtmoCoeffs:
+                        Cdn_atm=None, atmiter_conv: float = 0.0
+                        ) -> AtmoCoeffs:
     """Monin-Obukhov similarity transfer coefficients over ice or ocean.
 
     Tsf in degC; potT (K) potential temperature at zlvl; Qa specific humidity;
@@ -104,7 +105,11 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
     rd = rdn
     rh = rhn
     re = ren
+    # atmiter_conv: freeze converged points (|d ustar| below threshold)
+    # instead of exiting — loop count stays static under jit
+    active = jnp.ones_like(vmag, dtype=bool)
     for _ in range(natmiter):
+        ustar_prev = ustar
         hol = (cst.vonkar * cst.gravit * zlvl *
                (tstar / thva + qstar / (1.0 / cst.zvir + Qa)) /
                jnp.maximum(ustar * ustar, 1e-12))
@@ -114,12 +119,17 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
         xqq = jnp.sqrt(xqq)
         psimh = -5.0 * hol * stable + (1.0 - stable) * _psimu(xqq)
         psixh = -5.0 * hol * stable + (1.0 - stable) * _psixu(xqq)
-        rd = rdn / (1.0 + rdn / cst.vonkar * (alz - psimh))
-        rh = rhn / (1.0 + rhn / cst.vonkar * (alz - psixh))
-        re = ren / (1.0 + ren / cst.vonkar * (alz - psixh))
+        rd_n = rdn / (1.0 + rdn / cst.vonkar * (alz - psimh))
+        rh_n = rhn / (1.0 + rhn / cst.vonkar * (alz - psixh))
+        re_n = ren / (1.0 + ren / cst.vonkar * (alz - psixh))
+        rd = jnp.where(active, rd_n, rd)
+        rh = jnp.where(active, rh_n, rh)
+        re = jnp.where(active, re_n, re)
         ustar = rd * vmag
         tstar = rh * delt
         qstar = re * delq
+        if atmiter_conv > 0.0:
+            active = active & (jnp.abs(ustar - ustar_prev) > atmiter_conv)
 
     tau = rhoa * ustar * rd * vmag   # |stress| / vmag factor folded below
     strx = tau * uatm

@@ -227,10 +227,22 @@ def _snow_iops(hs, nslyr, rsnw_m, band: str, aero_snow=None,
 
 
 def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
-            aero_snow=None, modal=False, tau_alg=None):
-    """Albedos/absorption for one sub-column type ('snow'|'bare'|'pond')."""
+            aero_snow=None, modal=False, tau_alg=None,
+            R_ice=0.0, R_pnd=0.0):
+    """Albedos/absorption for one sub-column type ('snow'|'bare'|'pond').
+
+    R_ice/R_pnd: standard-deviation tuning of the bare-ice / pond SSL
+    scattering (shortwave_nml; reference dEdd R_ice, R_pnd)."""
     ice_iops = IOPS_ICE_VIS if band == "vis" else IOPS_ICE_NIR
     pond_iop = IOP_POND_VIS if band == "vis" else IOP_POND_NIR
+    if R_ice:
+        # one sigma ~ 15% scattering change in the surface layers
+        fac = max(1.0 + 0.15 * R_ice, 0.05)
+        (s1, a1, g1), (s2, a2, g2), l3 = ice_iops
+        ice_iops = ((s1 * fac, a1, g1), (s2 * fac, a2, g2), l3)
+    if R_pnd and kind == "pond":
+        sigp, kabp, gp = pond_iop
+        pond_iop = (sigp, max(kabp * (1.0 - 0.15 * R_pnd), 1e-3), gp)
     layers = []
     nsl = 0
     if kind == "snow":
@@ -271,10 +283,11 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
     hi_s = jnp.maximum(hi, 0.0)
     hs_s = jnp.maximum(hs, 0.0)
 
-    # snow grain radius (m): ramp from cold fine grains to melting coarse
-    # grains over dT_mlt (R_snw shifts the melting-onset radius)
+    # snow grain radius (m): ramp from cold fine grains to the melting
+    # radius rsnw_mlt over dT_mlt (R_snw shifts the melting-onset radius)
     dTs = jnp.clip((cst.Timelt - Tsf) / cfg_sw.dT_mlt, 0.0, 1.0)
-    rsnw_um = 1500.0 - (1500.0 - 180.0) * dTs - 30.0 * cfg_sw.R_snw
+    rsnw_um = cfg_sw.rsnw_mlt - (cfg_sw.rsnw_mlt - 180.0) * dTs \
+        - 30.0 * cfg_sw.R_snw
     rsnw_m = jnp.clip(rsnw_um, 50.0, 2000.0) * 1e-6
 
     fsnow_patch = hs_s / (hs_s + cst.snowpatch)
@@ -284,7 +297,8 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
 
     common = dict(hs=hs_s, hi=jnp.maximum(hi_s, 0.001), hpnd=hpnd,
                   nslyr=nslyr, nilyr=nilyr, rsnw_m=rsnw_m,
-                  aero_snow=aero_snow, modal=modal_aero, tau_alg=tau_alg)
+                  aero_snow=aero_snow, modal=modal_aero, tau_alg=tau_alg,
+                  R_ice=cfg_sw.R_ice, R_pnd=cfg_sw.R_pnd)
 
     out = {}
     for band in ("vis", "nir"):

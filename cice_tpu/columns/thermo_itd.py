@@ -28,6 +28,8 @@ class Therm2Out(NamedTuple):
     trcrn: dict
     frazil: jnp.ndarray     # new frazil ice thickness formed (m)
     frz_onset: jnp.ndarray
+    freshn_frazil: jnp.ndarray   # frazil part of freshn (update_ocn_f gating)
+    fsaltn_frazil: jnp.ndarray
     fhocn: jnp.ndarray      # additional heat to ocean (W/m^2)
     freshn: jnp.ndarray     # additional fresh water (kg/m^2/s)
     fsaltn: jnp.ndarray     # additional salt (kg/m^2/s)
@@ -179,4 +181,5 @@ def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
     return Therm2Out(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
                      frazil=frazil, frz_onset=frz_onset,
                      fhocn=fhocn_l, freshn=fresh_l + fresh_f,
-                     fsaltn=fsalt_l + fsalt_f, meltl=meltl)
+                     fsaltn=fsalt_l + fsalt_f, meltl=meltl,
+                     freshn_frazil=fresh_f, fsaltn_frazil=fsalt_f)

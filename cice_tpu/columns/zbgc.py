@@ -34,6 +34,20 @@ class BgcOut(NamedTuple):
     grow_net: jnp.ndarray       # net specific growth (1/s) diagnostic
 
 
+def _piston_velocity(cfg_bgc, congel, meltb, dt):
+    """Skeletal-layer exchange velocity (zbgc_nml bgc_flux_type).
+
+    'constant': pv0/secday. 'Jin2006': boundary-layer exchange enhanced by
+    the ice bottom growth/melt rate (Jin et al. 2006 form, behaviorally:
+    faster interface motion -> stronger exchange; stand-in magnitudes,
+    Icepack source external to the reference repo)."""
+    pv0 = cfg_bgc.pv0 / cst.secday
+    if cfg_bgc.bgc_flux_type != "Jin2006":
+        return pv0
+    wb = (jnp.abs(congel) + jnp.abs(meltb)) / dt           # m/s interface rate
+    return pv0 * (0.5 + jnp.clip(wb / 8.0e-7, 0.0, 9.5))
+
+
 def step_bgc_skl(cfg_bgc, dt, *, aicen, vicen, bgc_N, bgc_Nit, fswthru,
                  Tbot, meltb, congel, nit_ocn):
     """One skeletal-layer BGC step, dense over (ncat, ny, nx).
@@ -71,7 +85,7 @@ def step_bgc_skl(cfg_bgc, dt, *, aicen, vicen, bgc_N, bgc_Nit, fswthru,
     N_new = N_new - released
 
     # --- ice-ocean nutrient exchange (molecular sublayer piston) --------
-    pv = cfg_bgc.pv0 / cst.secday                         # m/s
+    pv = _piston_velocity(cfg_bgc, congel, meltb, dt)     # m/s
     dNit = pv * (nit_ocn - Nit_new) * dt / SK_L
     Nit_new = Nit_new + dNit
 
@@ -120,7 +134,7 @@ def step_bgc_skl_net(cfg_bgc, dt, *, aicen, trc, fswthru, Tbot, meltb,
     secday = cst.secday
     Tfac = jnp.exp(0.0633 * jnp.minimum(Tbot, 0.0))
     frel = jnp.clip(meltb / SK_L, 0.0, 1.0)        # bottom-melt release frac
-    pv = cfg_bgc.pv0 / secday                      # piston velocity (m/s)
+    pv = _piston_velocity(cfg_bgc, congel, meltb, dt)  # m/s
     fluxes = {}
 
     # total algal biomass for self-shading

@@ -168,14 +168,15 @@ def porosity_profile(qice, sice, nblyr):
     return jnp.clip(phi_b, 0.0, 1.0)
 
 
-def par_profile(fswthru_top, chl_tot, hbr, nblyr, zcfg):
+def par_profile(fswthru_top, chl_abs, hbr, nblyr, zcfg):
     """PAR at bio-layer midpoints from SW entering the ice interior,
     attenuated by ice + self-shading chlorophyll (dEdd_algae-style coupling
-    when enabled; plain Beer's law otherwise)."""
+    when enabled; plain Beer's law otherwise). chl_abs is the per-class
+    absorption-weighted chlorophyll sum (chlabs_diatoms/sp/phaeo)."""
     dz = jnp.maximum(hbr, cst.puny)[:, None] / nblyr     # (ncat,1,ny,nx)
     z_mid = (jnp.arange(nblyr, dtype=fswthru_top.dtype)[None, :, None, None]
              + 0.5) * dz
-    kappa = KAPPA_ICE + zcfg.chlabs_diatoms * chl_tot
+    kappa = KAPPA_ICE + chl_abs
     return FRAC_PAR * jnp.maximum(fswthru_top, 0.0)[:, None] * jnp.exp(
         -kappa * z_mid)
 
@@ -417,12 +418,16 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
 
     # --- light & reactions ----------------------------------------------
     chl_tot = 0.0
+    chl_abs = 0.0     # absorption-weighted (per-class chlabs_* coefficients)
     for ia, aname in enumerate(ALGAE):
         if aname in trc:
             r = (zcfg.ratio_chl2N_diatoms, zcfg.ratio_chl2N_sp,
                  zcfg.ratio_chl2N_phaeo)[ia]
-            chl_tot = chl_tot + r * jnp.maximum(trc[aname], 0.0)
-    PAR = par_profile(fswthru, chl_tot, hbr, nb, zcfg)
+            ka = (zcfg.chlabs_diatoms, zcfg.chlabs_sp, zcfg.chlabs_phaeo)[ia]
+            chl_c = r * jnp.maximum(trc[aname], 0.0)
+            chl_tot = chl_tot + chl_c
+            chl_abs = chl_abs + ka * chl_c
+    PAR = par_profile(fswthru, chl_abs, hbr, nb, zcfg)
     if zcfg.solve_zbgc:
         trc, grow_net_l = algal_network(zcfg, dt, trc, PAR, T_layer)
         grow_net = jnp.sum(

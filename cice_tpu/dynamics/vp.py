@@ -101,19 +101,29 @@ def _scale(a, s):
 
 
 def fgmres(matvec, b, x0, M, dim: int, restarts: int = 1,
-           ortho: str = "mgs"):
+           ortho: str = "mgs", reltol: float = 0.0):
     """Right-preconditioned flexible GMRES (reference fgmres:2737).
 
     Fixed Krylov dimension `dim` per cycle and a fixed number of restart
     cycles — no data-dependent control flow, so the whole solve traces
     into one XLA computation. The preconditioner M may itself be an
     iterative solve (flexible: the preconditioned vectors Z_j are stored).
+    reltol (dynamics_nml reltol_fgmres): restart cycles whose entry
+    residual is already below reltol*|r_0| leave x unchanged — the static
+    equivalent of the reference's tolerance exit.
     """
     eps = 1e-30
     x = x0
+    beta0 = None
+    active = None
     for _ in range(restarts):
         r = _add(b, matvec(x), -1.0)
         beta = jnp.sqrt(_dot(r, r))
+        if beta0 is None:
+            beta0 = beta
+            active = jnp.asarray(True)
+        elif reltol > 0.0:
+            active = active & (beta > reltol * beta0)
         V = [_scale(r, 1.0 / jnp.maximum(beta, eps))]
         Z = []
         Hcols = []
@@ -143,19 +153,21 @@ def fgmres(matvec, b, x0, M, dim: int, restarts: int = 1,
         e1 = jnp.zeros((dim + 1,), b[0].dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
         for j in range(dim):
-            x = _add(x, Z[j], y[j])
+            x = _add(x, Z[j], jnp.where(active, y[j], 0.0))
     return x
 
 
-def _pgmres_preconditioner(matvec, diag, dim: int, ortho: str):
+def _pgmres_preconditioner(matvec, diag, dim: int, ortho: str,
+                           reltol: float = 0.0):
     """The reference's 'pgmres' preconditioner (pgmres:3139): an inner
     GMRES of small fixed dimension on the same operator, itself diagonally
-    preconditioned."""
+    preconditioned (reltol = dynamics_nml reltol_pgmres)."""
     Md = lambda t: (t[0] / diag, t[1] / diag)
 
     def M(v):
         zero = (jnp.zeros_like(v[0]), jnp.zeros_like(v[1]))
-        return fgmres(matvec, v, zero, Md, dim=dim, restarts=1, ortho=ortho)
+        return fgmres(matvec, v, zero, Md, dim=dim, restarts=1, ortho=ortho,
+                      reltol=reltol)
     return M
 
 
@@ -208,6 +220,8 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
     anderson = cfg_dyn.algo_nonlin == "anderson"
     x_hist = [(u, v)]
     f_hist = []
+    vrel_prev = None
+    active = None   # scalar: nonlinear iteration still above reltol_nonlin
 
     def drag_coeffs(u, v):
         vrel = prep.aiU * cst.rhow * prep.Cw * jnp.sqrt((uocn - u) ** 2 +
@@ -220,6 +234,12 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
 
     for _ in range(cfg_dyn.maxits_nonlin):
         vrel, Cb = drag_coeffs(u, v)
+        if cfg_dyn.use_mean_vrel and not anderson and vrel_prev is not None:
+            # average the linearized drag between iterates (dynamics_nml
+            # use_mean_vrel; damps the Picard fixed point). Not under
+            # Anderson: the mixing needs a stationary map g(u).
+            vrel = 0.5 * (vrel + vrel_prev)
+        vrel_prev = vrel
         visc = calc_viscosities(grid, p, strength, DminTarea, u, v)
 
         cca = prep.umassdti + vrel * cst.cosw + Cb
@@ -242,8 +262,10 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
 
         if cfg_dyn.precond == "pgmres":
             M = _pgmres_preconditioner(matvec, cca_safe,
-                                       max(2, cfg_dyn.dim_pgmres),
-                                       cfg_dyn.ortho_type)
+                                       max(2, min(cfg_dyn.dim_pgmres,
+                                                  cfg_dyn.maxits_pgmres)),
+                                       cfg_dyn.ortho_type,
+                                       reltol=cfg_dyn.reltol_pgmres)
         elif cfg_dyn.precond == "diag":
             M = lambda x: (x[0] / cca_safe, x[1] / cca_safe)
         else:
@@ -254,10 +276,20 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         au, av = matvec((u, v))
         res = jnp.sqrt(jnp.sum((au - b[0]) ** 2 + (av - b[1]) ** 2))
         res_hist.append(res)
+        if cfg_dyn.monitor_nonlin:
+            jax.debug.print("vp nonlin it {k}: res {r:.3e}",
+                            k=len(res_hist) - 1, r=res)
+        # reltol_nonlin without data-dependent control flow: the loop count
+        # stays static, but iterates freeze once the residual drops below
+        # reltol_nonlin * |F(u_0)| (result identical to early exit)
+        done = res <= cfg_dyn.reltol_nonlin * res_hist[0]
+        active = ~done if active is None else (active & ~done)
 
         x = fgmres(matvec, b, (u, v), M, dim=dim, restarts=restarts,
-                   ortho=cfg_dyn.ortho_type)
-        g = (jnp.where(mask, x[0], 0.0), jnp.where(mask, x[1], 0.0))
+                   ortho=cfg_dyn.ortho_type, reltol=cfg_dyn.reltol_fgmres)
+        g = (jnp.where(mask & active, x[0], u),
+             jnp.where(mask & active, x[1], v))
+        g = (jnp.where(mask, g[0], 0.0), jnp.where(mask, g[1], 0.0))
 
         if anderson:
             it = len(res_hist) - 1

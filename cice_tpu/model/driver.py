@@ -143,11 +143,26 @@ class Model:
         self.cfg = cfg
         self.grid = grid if grid is not None else make_grid(cfg)
         self.static = ModelStatic.build(cfg)
+        # use_leap_years / days_per_year resolve to the calendar type
+        # (reference ice_calendar init_calendar consistency checks)
+        cal_type = cfg.setup.calendar_type
+        if cfg.setup.use_leap_years and cal_type == "noleap":
+            cal_type = "gregorian"
+        expected = {"noleap": 365, "gregorian": 365, "360day": 360}[cal_type]
+        if cfg.setup.days_per_year != expected:
+            raise ValueError(
+                f"days_per_year={cfg.setup.days_per_year} inconsistent with "
+                f"calendar_type='{cal_type}' (expected {expected})")
         self.calendar = Calendar(
-            calendar_type=cfg.setup.calendar_type, year=cfg.setup.year_init,
+            calendar_type=cal_type, year=cfg.setup.year_init,
             month=cfg.setup.month_init, day=cfg.setup.day_init,
             sec=cfg.setup.sec_init, year_init=cfg.setup.year_init)
         self.forcing = zeros_forcing(self.grid.shape, cfg.np_dtype)
+        if cfg.forcing.default_season == "summer":
+            # pre-first-read air state (forcing_nml default_season)
+            import jax.numpy as jnp
+            warm = jnp.full(self.grid.shape, 273.15 + 2.0, cfg.np_dtype)
+            self.forcing = self.forcing.replace(Tair=warm, potT=warm)
         from .forcing import default_ocn
         self.forcing = default_ocn(self.grid, cfg, self.forcing)
         self.state = zeros_state(cfg, self.grid)

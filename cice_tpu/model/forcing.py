@@ -176,8 +176,17 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
     flw = get("flw", None)
     if flw is None:
         flw = longwave_rosati_miyakoda(TairK, TairK, Qa, cldf)
-    # precipitation: total rate split by air temperature
+    # precipitation: units per forcing_nml precip_units (reference
+    # prepare_forcing: mks = kg/m^2/s; mm_per_day/month divide by period),
+    # then the total rate splits to snow/rain by air temperature
     prec = get("fsnow", jnp.zeros(grid.shape, dt))
+    pu = cfg.forcing.precip_units
+    if pu in ("mm_per_day",):
+        prec = prec / cst.secday
+    elif pu in ("mm_per_month",):
+        prec = prec / (30.0 * cst.secday)
+    elif pu not in ("mks", "mm_per_sec"):
+        raise ValueError(f"unknown precip_units '{pu}'")
     fsnow = jnp.where(TairK < cst.Tffresh, prec, 0.0)
     frain = jnp.where(TairK >= cst.Tffresh, prec, 0.0)
     coszen, _ = default_coszen(grid, yday)

@@ -142,9 +142,18 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         if cfg.forcing.formdrag:
             from ..columns.formdrag import drag_from_state
             Cdn = drag_from_state(state, cfg).Cdn_atm
-        co = atmo_boundary_layer(Tsf, fc.potT, fc.uatm, fc.vatm, fc.wind,
+        ua, va, wnd = fc.uatm, fc.vatm, fc.wind
+        if cfg.forcing.highfreq:
+            # high-frequency coupling: boundary layer sees the wind RELATIVE
+            # to the moving ice (forcing_nml highfreq)
+            uT = grid_average_X2Y("S", state.uvel, "U", "T", grid)
+            vT = grid_average_X2Y("S", state.vvel, "U", "T", grid)
+            ua, va = ua - uT, va - vT
+            wnd = jnp.sqrt(ua * ua + va * va)
+        co = atmo_boundary_layer(Tsf, fc.potT, ua, va, wnd,
                                  fc.zlvl, fc.Qa, fc.rhoa,
-                                 natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn)
+                                 natmiter=cfg.forcing.natmiter, Cdn_atm=Cdn,
+                                 atmiter_conv=cfg.forcing.atmiter_conv)
 
     hin_solve = jnp.maximum(hin, cfg.thermo.hi_min)
     hilyr = hin_solve / nilyr
@@ -585,14 +594,22 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # --- ocean mixed layer / frzmlt -------------------------------------
     fbot_used = agg.pop("fbot_used")
     fhocn_ice = agg["fhocn"] + t2.fhocn + fbot_used
-    sst_new, frzmlt = ocean_mixed_layer(
-        dt, sst=state.sst, Tf=fc.Tf, hmix=fc.hmix, qdp=fc.qdp,
-        frzmlt_old=state.frzmlt, aice=state.aice,
-        fhocn_ice=fhocn_ice, fswthru_ice=agg["fswthru"],
-        fresh_unused=0.0, flw=fc.flw, swvdr=fc.swvdr, swvdf=fc.swvdf,
-        swidr=fc.swidr, swidf=fc.swidf, potT=fc.potT, Qa=fc.Qa,
-        rhoa=fc.rhoa, wind=fc.wind, uatm=fc.uatm, vatm=fc.vatm,
-        zlvl=fc.zlvl)
+    if cfg.forcing.oceanmixed_ice:
+        sst_new, frzmlt = ocean_mixed_layer(
+            dt, sst=state.sst, Tf=fc.Tf, hmix=fc.hmix, qdp=fc.qdp,
+            frzmlt_old=state.frzmlt, aice=state.aice,
+            fhocn_ice=fhocn_ice, fswthru_ice=agg["fswthru"],
+            fresh_unused=0.0, flw=fc.flw, swvdr=fc.swvdr, swvdf=fc.swvdf,
+            swidr=fc.swidr, swidf=fc.swidf, potT=fc.potT, Qa=fc.Qa,
+            rhoa=fc.rhoa, wind=fc.wind, uatm=fc.uatm, vatm=fc.vatm,
+            zlvl=fc.zlvl)
+    else:
+        # oceanmixed_ice=False: SST comes from data/coupler; the freezing/
+        # melting potential is diagnosed from it (reference standalone vs
+        # coupled frzmlt handling)
+        sst_new = fc.sst_data
+        frzmlt = jnp.clip(cst.cprho * (fc.Tf - sst_new) * fc.hmix / dt,
+                          -1000.0, 1000.0)
     # melt/freeze onset day-of-year (f_mlt_onset/f_frz_onset: stamp the
     # first day surface melt / frazil formation occurs; yearly reset is
     # host-side in the driver)
@@ -608,8 +625,14 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         fsens=agg["fsens"], flat=agg["flat"], flwout=agg["flwout"],
         evap=agg["evap"], fswabs=agg["fswabs"],
         strairx=strairx_T, strairy=strairy_T,
-        fhocn=fhocn_ice, fresh=agg["fresh"] + t2.freshn,
-        fsalt=agg["fsalt"] + t2.fsaltn + agg["fsalt_drain"],
+        fhocn=fhocn_ice,
+        # update_ocn_f=False: frazil mass fluxes stay out of the coupler
+        # fresh/salt budget (forcing_nml update_ocn_f)
+        fresh=agg["fresh"] + (t2.freshn if cfg.forcing.update_ocn_f
+                              else t2.freshn - t2.freshn_frazil),
+        fsalt=agg["fsalt"] + agg["fsalt_drain"] +
+              (t2.fsaltn if cfg.forcing.update_ocn_f
+               else t2.fsaltn - t2.fsaltn_frazil),
         fswthru=agg["fswthru"],
         strocnx=dyn["strocnx"], strocny=dyn["strocny"],
         meltt=agg["meltt"], meltb=agg["meltb"], melts=agg["melts"],

@@ -71,7 +71,10 @@ def test_anderson_accelerates_picard():
     the same number of nonlinear iterations (reference algo_nonlin)."""
     cfg, grid, prep, strength = _setup()
     z = jnp.zeros(grid.shape)
-    few = {"dynamics.maxits_nonlin": 8, "dynamics.dim_fgmres": 8}
+    # compare on the same stationary fixed-point map: use_mean_vrel averages
+    # the drag between iterates, which (correctly) only applies to Picard
+    few = {"dynamics.maxits_nonlin": 8, "dynamics.dim_fgmres": 8,
+           "dynamics.use_mean_vrel": False}
     cfg_p = cfg.with_overrides(**few)
     cfg_a = cfg.with_overrides(**few, **{"dynamics.algo_nonlin": "anderson",
                                          "dynamics.dim_andacc": 4})
