@@ -557,26 +557,481 @@ def drag_fields(cfg) -> List[HistoryField]:
     return [_f(n, u, ln, df(n)) for n, u, ln in names]
 
 
+def cmip_si_fields(cfg) -> List[HistoryField]:
+    """The full CMIP/SIMIP si* diagnostic set (reference f_si* registrations,
+    ice_history.F90 icefields_nml; 76 flags). Implemented from the prognostic
+    state + FluxOut sources; per-step melt/growth accumulators convert to
+    mass-flux rates with the model dt. Temperatures follow the CMIP kelvin
+    convention. Omitted for lack of a source (documented deltas):
+    sisndmasssubl (no snow/ice sublimation split)."""
+    dt = float(cfg.setup.dt)
+    rhoi, rhos = cst.rhoi, cst.rhos
+    grid_ice = cfg.grid.grid_ice
+
+    def _m(x, a):  # per-ice-area mean from a cell mean
+        return x / jnp.maximum(a, cst.puny)
+
+    def _fb(s, fl, g):
+        hi = _m(s.vice, s.aice)
+        hs = _m(s.vsno, s.aice)
+        return jnp.maximum(hi - (rhoi * hi + rhos * hs) / cst.rhow, 0.0)
+
+    def _hc(s, fl, g):      # ice heat content (J/m^2, negative)
+        return jnp.sum(s.trcrn["qice"].mean(axis=1) * s.vicen, axis=0)
+
+    def _snhc(s, fl, g):
+        return jnp.sum(s.trcrn["qsno"].mean(axis=1) * s.vsnon, axis=0)
+
+    def _tempbot(s, fl, g):
+        from ..columns.mushy import temperature_mush
+        q = s.trcrn["qice"][:, -1]
+        if cfg.thermo.ktherm == 2 and "sice" in s.trcrn:
+            T = temperature_mush(q, s.trcrn["sice"][:, -1])
+        else:
+            from ..columns.thermo_vertical import (bl99_salinity,
+                                                   melting_temps,
+                                                   temp_from_enthalpy_ice)
+            Tm = float(melting_temps(bl99_salinity(
+                cfg.domain.nilyr))[cfg.domain.nilyr - 1])
+            T = temp_from_enthalpy_ice(q, Tm)
+        return _agg(T, s.aicen, s.aice) + cst.Tffresh
+
+    def _tempsnic(s, fl, g):
+        # snow-ice interface temperature ~ top ice layer temperature
+        # (delta: the reference diagnoses the conductive interface value)
+        from ..columns.mushy import temperature_mush
+        q = s.trcrn["qice"][:, 0]
+        if cfg.thermo.ktherm == 2 and "sice" in s.trcrn:
+            T = temperature_mush(q, s.trcrn["sice"][:, 0])
+        else:
+            from ..columns.thermo_vertical import (bl99_salinity,
+                                                   melting_temps,
+                                                   temp_from_enthalpy_ice)
+            Tm = float(melting_temps(bl99_salinity(cfg.domain.nilyr))[0])
+            T = temp_from_enthalpy_ice(q, Tm)
+        return _agg(T, s.aicen, s.aice) + cst.Tffresh
+
+    def _mass(s):
+        return rhoi * s.vice + rhos * s.vsno
+
+    def _fcor(g):
+        return 2.0 * cst.omega * jnp.sin(g.ULAT)
+
+    def _masstran(s, fl, g, which):
+        # x/y sea-ice mass transport through the E/N cell face (kg/s):
+        # rhoi * vice averaged to the face * face-normal velocity * face
+        # length (reference sidmasstranx accum, ice_history.F90)
+        from ..core.grid import grid_average_X2Y
+        if which == "x":
+            mE = grid_average_X2Y("S", rhoi * s.vice, "T", "E", g)
+            u = (s.uvelE if grid_ice in ("C", "CD")
+                 else grid_average_X2Y("S", s.uvel, "U", "E", g))
+            return mE * u * g.dyE
+        mN = grid_average_X2Y("S", rhoi * s.vice, "T", "N", g)
+        v = (s.vvelN if grid_ice in ("C", "CD")
+             else grid_average_X2Y("S", s.vvel, "U", "N", g))
+        return mN * v * g.dxN
+
+    def _shearmax(s, fl, g):
+        sm = s.stressm.mean(0)
+        s12 = s.stress12.mean(0)
+        return jnp.sqrt((0.5 * sm) ** 2 + s12 ** 2)
+
+    rate = 1.0 / dt
+    F = [
+        _f("sivol", "m", "sea-ice volume per area", lambda s, fl, g: s.vice),
+        _f("sisnconc", "1", "snow area fraction",
+           lambda s, fl, g: jnp.sum(
+               s.aicen * (s.vsnon > cst.puny), axis=0)),
+        _f("sidir", "deg", "ice drift direction (to)",
+           lambda s, fl, g: jnp.mod(jnp.degrees(
+               jnp.arctan2(s.uvel, s.vvel)), 360.0)),
+        _f("sidivvel", "1/s", "ice velocity divergence",
+           lambda s, fl, g: fl.divu),
+        _f("sishearvel", "1/s", "ice shear deformation",
+           lambda s, fl, g: fl.shear),
+        _f("sidconcth", "1/s", "area tendency, thermo",
+           lambda s, fl, g: fl.daidtt),
+        _f("sidconcdyn", "1/s", "area tendency, dynamics",
+           lambda s, fl, g: fl.daidtd),
+        _f("sidmassth", "kg/m^2/s", "ice mass tendency, thermo",
+           lambda s, fl, g: rhoi * fl.dvidtt),
+        _f("sidmassdyn", "kg/m^2/s", "ice mass tendency, dynamics",
+           lambda s, fl, g: rhoi * fl.dvidtd),
+        _f("sidmassgrowthwat", "kg/m^2/s", "frazil ice growth",
+           lambda s, fl, g: rhoi * fl.frazil * rate),
+        _f("sidmassgrowthbot", "kg/m^2/s", "congelation ice growth",
+           lambda s, fl, g: rhoi * fl.congel * rate),
+        _f("sidmassgrowthsi", "kg/m^2/s", "snow-ice formation",
+           lambda s, fl, g: rhoi * fl.snoice * rate),
+        _f("sidmassmelttop", "kg/m^2/s", "top ice melt",
+           lambda s, fl, g: rhoi * fl.meltt * rate),
+        _f("sidmassmeltbot", "kg/m^2/s", "bottom ice melt",
+           lambda s, fl, g: rhoi * fl.meltb * rate),
+        _f("sidmassmeltlat", "kg/m^2/s", "lateral ice melt",
+           lambda s, fl, g: rhoi * fl.meltl * rate),
+        _f("sidmassevapsubl", "kg/m^2/s", "evaporation/sublimation mass flux",
+           lambda s, fl, g: fl.evap),
+        _f("sidmasstranx", "kg/s", "x ice mass transport (E face)",
+           lambda s, fl, g: _masstran(s, fl, g, "x")),
+        _f("sidmasstrany", "kg/s", "y ice mass transport (N face)",
+           lambda s, fl, g: _masstran(s, fl, g, "y")),
+        _f("sifb", "m", "ice freeboard above sea level", _fb),
+        _f("sihc", "J/m^2", "ice heat content", _hc),
+        _f("sisnhc", "J/m^2", "snow heat content", _snhc),
+        _f("sicompstren", "N/m", "compressive ice strength",
+           lambda s, fl, g: fl.strength),
+        _f("sisali", "psu", "bulk sea-ice salinity",
+           lambda s, fl, g: (s.trcrn["sice"].mean(axis=1) *
+                             s.vicen).sum(0) / jnp.maximum(s.vice, cst.puny)
+           if "sice" in s.trcrn else jnp.zeros_like(s.aice)),
+        _f("sisaltmass", "kg/m^2", "mass of salt in sea ice",
+           lambda s, fl, g: rhoi * (s.trcrn["sice"].mean(axis=1) *
+                                    s.vicen).sum(0) * 1e-3
+           if "sice" in s.trcrn else jnp.zeros_like(s.aice)),
+        _f("sitempbot", "K", "ice bottom temperature", _tempbot),
+        _f("sitempsnic", "K", "snow-ice interface temperature", _tempsnic),
+        _f("sistressave", "N/m", "average normal stress",
+           lambda s, fl, g: 0.125 * s.stressp.sum(0)),
+        _f("sistressmax", "N/m", "maximum shear stress", _shearmax),
+        _f("sistrxdtop", "N/m^2", "x atm stress on ice",
+           lambda s, fl, g: fl.strairx),
+        _f("sistrydtop", "N/m^2", "y atm stress on ice",
+           lambda s, fl, g: fl.strairy),
+        _f("sistrxubot", "N/m^2", "x ocean stress on ice",
+           lambda s, fl, g: fl.strocnx),
+        _f("sistryubot", "N/m^2", "y ocean stress on ice",
+           lambda s, fl, g: fl.strocny),
+        _f("siforceintstrx", "N/m^2", "internal stress divergence x",
+           lambda s, fl, g: fl.strintx),
+        _f("siforceintstry", "N/m^2", "internal stress divergence y",
+           lambda s, fl, g: fl.strinty),
+        _f("siforcecoriolx", "N/m^2", "Coriolis force term x",
+           lambda s, fl, g: _mass(s) * _fcor(g) * s.vvel),
+        _f("siforcecorioly", "N/m^2", "Coriolis force term y",
+           lambda s, fl, g: -_mass(s) * _fcor(g) * s.uvel),
+        # surface/bottom energy fluxes over ice
+        _f("siflsenstop", "W/m^2", "sensible heat flux over ice",
+           lambda s, fl, g: fl.fsens),
+        _f("sifllattop", "W/m^2", "latent heat flux over ice",
+           lambda s, fl, g: fl.flat),
+        _f("sifllwutop", "W/m^2", "upward longwave over ice",
+           lambda s, fl, g: fl.flwout),
+        _f("siflcondtop", "W/m^2", "conductive flux at ice top",
+           lambda s, fl, g: fl.fcondtop),
+        _f("siflswdbot", "W/m^2", "shortwave through ice to ocean",
+           lambda s, fl, g: fl.fswthru),
+        _f("siflfwbot", "kg/m^2/s", "freshwater flux to ocean",
+           lambda s, fl, g: fl.fresh),
+        _f("siflsaltbot", "kg/m^2/s", "salt flux to ocean",
+           lambda s, fl, g: fl.fsalt),
+        # forcing-sourced fluxes over the ice fraction
+        _ff("sifllwdtop", "W/m^2", "downward longwave over ice",
+            lambda s, fl, g, fc: fc.flw * s.aice),
+        _ff("siflswdtop", "W/m^2", "downward shortwave over ice",
+            lambda s, fl, g, fc: (fc.swvdr + fc.swvdf + fc.swidr +
+                                  fc.swidf) * s.aice),
+        _ff("siflswutop", "W/m^2", "upward shortwave over ice",
+            lambda s, fl, g, fc: (fc.swvdr * fl.alvdr + fc.swvdf * fl.alvdf +
+                                  fc.swidr * fl.alidr + fc.swidf * fl.alidf)),
+        _ff("sipr", "kg/m^2/s", "rainfall over ice",
+            lambda s, fl, g, fc: fc.frain * s.aice),
+        _ff("siforcetiltx", "N/m^2", "sea-surface tilt force x",
+            lambda s, fl, g, fc: -_mass(s) * cst.gravit * fc.ss_tltx),
+        _ff("siforcetilty", "N/m^2", "sea-surface tilt force y",
+            lambda s, fl, g, fc: -_mass(s) * cst.gravit * fc.ss_tlty),
+        _ff("sisndmasssnf", "kg/m^2/s", "snowfall onto ice",
+            lambda s, fl, g, fc: fc.fsnow * s.aice),
+        _f("sisndmassmelt", "kg/m^2/s", "snow mass loss, melt",
+           lambda s, fl, g: -rhos * fl.melts * rate),
+        _f("sisndmasssi", "kg/m^2/s", "snow mass loss, snow-ice conversion",
+           lambda s, fl, g: -rhoi * fl.snoice * rate),
+    ]
+    # per-category SIMIP planes (3Dc in the reference; one 2-D var each here)
+    for n in range(cfg.domain.ncat):
+        F += [
+            _f(f"siitdconc{n+1:03d}", "1", f"ITD area fraction, cat {n+1}",
+               lambda s, fl, g, n=n: s.aicen[n]),
+            _f(f"siitdthick{n+1:03d}", "m", f"ITD ice thickness, cat {n+1}",
+               lambda s, fl, g, n=n: s.vicen[n] /
+               jnp.maximum(s.aicen[n], cst.puny)),
+            _f(f"siitdsnconc{n+1:03d}", "1", f"ITD snow cover, cat {n+1}",
+               lambda s, fl, g, n=n: s.aicen[n] *
+               (s.vsnon[n] > cst.puny)),
+            _f(f"siitdsnthick{n+1:03d}", "m", f"ITD snow depth, cat {n+1}",
+               lambda s, fl, g, n=n: s.vsnon[n] /
+               jnp.maximum(s.aicen[n], cst.puny)),
+        ]
+    if cfg.forcing.formdrag:
+        from ..columns.formdrag import drag_from_state
+        F += [
+            _f("sidragtop", "1", "atm drag coefficient over ice",
+               lambda s, fl, g: drag_from_state(s, cfg).Cdn_atm),
+            _f("sidragbot", "1", "ocean drag coefficient under ice",
+               lambda s, fl, g: drag_from_state(s, cfg).Cdn_ocn),
+        ]
+    return F
+
+
+def tensor_fields(cfg) -> List[HistoryField]:
+    """Stress & strain tensor components (reference f_e11/f_e12/f_e22,
+    f_s11/f_s12/f_s22, f_yieldstress*; EAP adds f_a11/f_a12).
+    Stress components come from the corner-mean prognostic tensor
+    (sp = s11+s22, sm = s11-s22); strain rates from centered B-grid
+    velocity differences at T points."""
+    from ..core.halo import shift
+
+    def _edges(s, g):
+        # U(i,j) = NE corner of T(i,j); T-cell edge means of u, v
+        bc = g.bc
+        u, v = s.uvel, s.vvel
+        uS = shift(u, -1, 0, bc=bc)      # U(i,j-1): SE corner
+        uW = shift(u, 0, -1, bc=bc)      # NW corner
+        uSW = shift(u, -1, -1, bc=bc)
+        vS = shift(v, -1, 0, bc=bc)
+        vW = shift(v, 0, -1, bc=bc)
+        vSW = shift(v, -1, -1, bc=bc)
+        return u, uS, uW, uSW, v, vS, vW, vSW
+
+    def e11(s, fl, g):
+        u, uS, uW, uSW, *_ = _edges(s, g)
+        return (0.5 * (u + uS) - 0.5 * (uW + uSW)) / g.dxT
+
+    def e22(s, fl, g):
+        u, uS, uW, uSW, v, vS, vW, vSW = _edges(s, g)
+        return (0.5 * (v + vW) - 0.5 * (vS + vSW)) / g.dyT
+
+    def e12(s, fl, g):
+        u, uS, uW, uSW, v, vS, vW, vSW = _edges(s, g)
+        dudy = (0.5 * (u + uW) - 0.5 * (uS + uSW)) / g.dyT
+        dvdx = (0.5 * (v + vS) - 0.5 * (vW + vSW)) / g.dxT
+        return 0.5 * (dudy + dvdx)
+
+    F = [
+        _f("e11", "1/s", "strain rate e11 at T", e11),
+        _f("e22", "1/s", "strain rate e22 at T", e22),
+        _f("e12", "1/s", "strain rate e12 at T", e12),
+        _f("s11", "N/m", "stress tensor s11",
+           lambda s, fl, g: 0.5 * (s.stressp.mean(0) + s.stressm.mean(0))),
+        _f("s22", "N/m", "stress tensor s22",
+           lambda s, fl, g: 0.5 * (s.stressp.mean(0) - s.stressm.mean(0))),
+        _f("s12", "N/m", "stress tensor s12",
+           lambda s, fl, g: s.stress12.mean(0)),
+    ]
+    if cfg.dynamics.kdyn == 2:
+        F += [
+            _f("a11", "1", "EAP structure tensor a11",
+               lambda s, fl, g: s.a11.mean(0)),
+            _f("a12", "1", "EAP structure tensor a12",
+               lambda s, fl, g: s.a12.mean(0)),
+        ]
+    return F
+
+
+def grid_extra_fields() -> List[HistoryField]:
+    """N/E-grid static planes (reference f_dxn/f_dxe/f_dyn/f_dye/f_narea/
+    f_earea/f_nmask/f_emask + derived NLAT/NLON/ELAT/ELON coordinates)."""
+    from ..core.halo import shift
+    deg = cst.rad_to_deg
+
+    def gf(name, units, long_name, attr, scale=1.0):
+        return HistoryField(name, units, long_name,
+                            lambda s, fl, g: getattr(g, attr) * scale,
+                            cell_mask=False)
+
+    def _avg(attr, dy, dx, scale):
+        def fn(s, fl, g):
+            a = getattr(g, attr)
+            return 0.5 * (a + shift(a, dy, dx, bc=g.bc)) * scale
+        return fn
+
+    return [
+        gf("dxn", "m", "N-face cell width", "dxN"),
+        gf("dyn", "m", "N-face cell height", "dyN"),
+        gf("dxe", "m", "E-face cell width", "dxE"),
+        gf("dye", "m", "E-face cell height", "dyE"),
+        gf("narea", "m^2", "N-face area", "narea"),
+        gf("earea", "m^2", "E-face area", "earea"),
+        gf("nmask", "1", "ocean mask at N points", "npm"),
+        gf("emask", "1", "ocean mask at E points", "epm"),
+        HistoryField("NLAT", "degrees_north", "N-face latitude",
+                     _avg("TLAT", 1, 0, deg), cell_mask=False),
+        HistoryField("NLON", "degrees_east", "N-face longitude",
+                     _avg("TLON", 1, 0, deg), cell_mask=False),
+        HistoryField("ELAT", "degrees_north", "E-face latitude",
+                     _avg("TLAT", 0, 1, deg), cell_mask=False),
+        HistoryField("ELON", "degrees_east", "E-face longitude",
+                     _avg("TLON", 0, 1, deg), cell_mask=False),
+    ]
+
+
+def aero_iso_fields(cfg) -> List[HistoryField]:
+    """Aerosol & isotope burden planes (reference f_aero -> aerosnossl/
+    aerosnoint/aeroicessl/aeroiceint per species, ice_history_bgc.F90;
+    f_iso -> isosno/isoice per species)."""
+    F = []
+    if cfg.tracers.tr_aero and cfg.domain.n_aero:
+        for sp in range(cfg.domain.n_aero):
+            for li, lname in ((0, "ssl"), (1, "int")):
+                F.append(_f(
+                    f"aerosno{lname}{sp+1:03d}", "kg/m^2",
+                    f"snow aerosol {lname} layer, species {sp+1}",
+                    lambda s, fl, g, sp=sp, li=li: jnp.sum(
+                        s.trcrn["aerosno"][:, 2 * sp + li] * s.vsnon,
+                        axis=0)))
+                F.append(_f(
+                    f"aeroice{lname}{sp+1:03d}", "kg/m^2",
+                    f"ice aerosol {lname} layer, species {sp+1}",
+                    lambda s, fl, g, sp=sp, li=li: jnp.sum(
+                        s.trcrn["aeroice"][:, 2 * sp + li] * s.vicen,
+                        axis=0)))
+    if cfg.tracers.tr_iso and cfg.domain.n_iso:
+        for sp in range(cfg.domain.n_iso):
+            F.append(_f(f"isosno{sp+1:03d}", "kg/m^2",
+                        f"snow isotope burden, species {sp+1}",
+                        lambda s, fl, g, sp=sp: jnp.sum(
+                            s.trcrn["isosno"][:, sp] * s.vsnon, axis=0)))
+            F.append(_f(f"isoice{sp+1:03d}", "kg/m^2",
+                        f"ice isotope burden, species {sp+1}",
+                        lambda s, fl, g, sp=sp: jnp.sum(
+                            s.trcrn["isoice"][:, sp] * s.vicen, axis=0)))
+    return F
+
+
+def fsd_extra_fields(cfg) -> List[HistoryField]:
+    """FSD distribution planes + perimeter (reference f_afsd (3Df),
+    f_fsdperim, f_wave_sig_ht in ice_history_fsd.F90)."""
+    from ..columns.fsd import fsd_bounds
+    _, _, mid = fsd_bounds(cfg.domain.nfsd)
+    F = []
+    for k in range(cfg.domain.nfsd):
+        F.append(_f(f"afsd{k+1:03d}", "1/m",
+                    f"floe size distribution, bin {k+1}",
+                    lambda s, fl, g, k=k: jnp.sum(
+                        s.trcrn["fsd"][:, k] * s.aicen, axis=0)))
+
+    def fsdperim(s, fl, g):
+        # total floe perimeter per unit grid area: circular floes of radius
+        # r contribute (2/r) per unit floe area (ice_history_fsd.F90 f_fsdperim)
+        inv_r = jnp.asarray([2.0 / m for m in mid])
+        return jnp.sum(jnp.sum(
+            s.trcrn["fsd"] * inv_r[None, :, None, None], axis=1) * s.aicen,
+            axis=0)
+
+    F.append(_f("fsdperim", "1/m", "floe perimeter per unit area", fsdperim))
+    F.append(_ff("wave_sig_ht", "m", "significant wave height",
+                 lambda s, fl, g, fc: fc.wave_hs))
+    return F
+
+
+def precip_extra_fields() -> List[HistoryField]:
+    """rain/snow cell-mean deposition (reference f_rain_ai/f_snow_ai) and
+    upward shortwave over ice (f_fswup)."""
+    return [
+        _ff("rain_ai", "kg/m^2/s", "rainfall over ice (cell mean)",
+            lambda s, fl, g, fc: fc.frain * s.aice),
+        _ff("snow_ai", "kg/m^2/s", "snowfall over ice (cell mean)",
+            lambda s, fl, g, fc: fc.fsnow * s.aice),
+        _ff("fswup", "W/m^2", "upward shortwave over ice",
+            lambda s, fl, g, fc: (fc.swvdr * fl.alvdr + fc.swvdf * fl.alvdf +
+                                  fc.swidr * fl.alidr + fc.swidf * fl.alidf)),
+    ]
+
+
+def pond_extra_fields(cfg) -> List[HistoryField]:
+    """Per-category pond planes (reference f_apondn/f_hpondn/f_ipondn)."""
+    F = []
+    for n in range(cfg.domain.ncat):
+        F += [
+            _f(f"apondn{n+1:03d}", "1", f"pond area fraction, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["apnd"][n] * s.aicen[n]),
+            _f(f"hpondn{n+1:03d}", "m", f"pond depth, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["hpnd"][n]),
+            _f(f"ipondn{n+1:03d}", "m", f"pond lid thickness, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["ipnd"][n]),
+        ]
+    F += [
+        _f("simpconc", "1", "meltpond area fraction of ice (SIMIP)",
+           lambda s, fl, g: _agg(s.trcrn["apnd"], s.aicen, s.aice)),
+        _f("simpthick", "m", "meltpond depth (SIMIP)",
+           lambda s, fl, g: _agg(s.trcrn["hpnd"], s.aicen, s.aice)),
+        _f("simprefrozen", "m", "refrozen pond lid thickness (SIMIP)",
+           lambda s, fl, g: _agg(s.trcrn["ipnd"], s.aicen, s.aice)),
+    ]
+    return F
+
+
+def mechred_extra_fields(cfg) -> List[HistoryField]:
+    """Per-category ridged planes + SIMIP ridge aliases (reference
+    f_ardgn/f_vrdgn, f_sirdgconc/f_sirdgthick)."""
+    F = []
+    for n in range(cfg.domain.ncat):
+        F += [
+            _f(f"ardgn{n+1:03d}", "1", f"ridged ice area, cat {n+1}",
+               lambda s, fl, g, n=n: (1.0 - jnp.clip(
+                   s.trcrn["alvl"][n], 0, 1)) * s.aicen[n]),
+            _f(f"vrdgn{n+1:03d}", "m", f"ridged ice volume, cat {n+1}",
+               lambda s, fl, g, n=n: (1.0 - jnp.clip(
+                   s.trcrn["vlvl"][n], 0, 1)) * s.vicen[n]),
+        ]
+    def _ardg(s):
+        return jnp.sum((1.0 - jnp.clip(s.trcrn["alvl"], 0, 1)) * s.aicen,
+                       axis=0)
+    F += [
+        _f("sirdgconc", "1", "ridged ice area fraction (SIMIP)",
+           lambda s, fl, g: _ardg(s)),
+        _f("sirdgthick", "m", "ridged ice thickness (SIMIP)",
+           lambda s, fl, g: jnp.sum(
+               (1.0 - jnp.clip(s.trcrn["vlvl"], 0, 1)) * s.vicen, axis=0) /
+           jnp.maximum(_ardg(s), cst.puny)),
+    ]
+    return F
+
+
+def snow_extra_fields(cfg) -> List[HistoryField]:
+    """Per-category snow tracer planes (reference f_rsnwn/f_smassicen/
+    f_smassliqn/f_rhos_cmpn in ice_history_snow.F90)."""
+    F = []
+    for n in range(cfg.domain.ncat):
+        F += [
+            _f(f"rsnwn{n+1:03d}", "10^-6 m",
+               f"snow grain radius, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["rsnw"][n].mean(0)),
+            _f(f"smassicen{n+1:03d}", "kg/m^2",
+               f"snow ice mass content, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["smice"][n].sum(0)),
+            _f(f"smassliqn{n+1:03d}", "kg/m^2",
+               f"snow liquid content, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["smliq"][n].sum(0)),
+            _f(f"rhos_cmpn{n+1:03d}", "kg/m^3",
+               f"compacted snow density, cat {n+1}",
+               lambda s, fl, g, n=n: s.trcrn["rhos_cmp"][n].mean(0)),
+        ]
+    return F
+
+
 def build_fields(cfg) -> List[HistoryField]:
     """Full conditional registry (init_hist honoring the tracer flags —
     reference icefields_*_nml groups)."""
     fields = default_fields() + dyn_fields() + forcing_fields() \
         + flux_extra_fields() + category_fields(cfg.domain.ncat) \
-        + grid_fields() + vector_diag_fields() + ai_flux_fields() \
-        + profile_fields(cfg)
+        + grid_fields() + grid_extra_fields() + vector_diag_fields() \
+        + ai_flux_fields() + profile_fields(cfg) + tensor_fields(cfg) \
+        + precip_extra_fields()
     if cfg.forcing.formdrag:
         fields += drag_fields(cfg)
     t = cfg.tracers
     if t.tr_iage and t.tr_FY:
         fields += age_fields()
     if t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl:
-        fields += pond_fields()
+        fields += pond_fields() + pond_extra_fields(cfg)
     if t.tr_snow:
-        fields += snow_fields()
+        fields += snow_fields() + snow_extra_fields(cfg)
     if t.tr_fsd:
-        fields += fsd_fields(cfg)
+        fields += fsd_fields(cfg) + fsd_extra_fields(cfg)
     if t.tr_lvl:
-        fields += mechred_fields()
+        fields += mechred_fields() + mechred_extra_fields(cfg)
+    fields += aero_iso_fields(cfg)
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
         fields += bgc_fields(cfg)
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.z_tracers:
@@ -584,7 +1039,7 @@ def build_fields(cfg) -> List[HistoryField]:
     if t.tr_brine:
         fields += hbrine_fields()
     if getattr(cfg.setup, "hist_cmip", False):
-        fields += cmip_fields()
+        fields += cmip_fields() + cmip_si_fields(cfg)
     return fields
 
 

@@ -97,3 +97,45 @@ def test_point_diagnostics():
     dump = debug_ice(m.grid, m.state, 8, 8, stage="init")
     assert len(dump["aicen"]) == cfg.domain.ncat
     assert "qice" in dump and np.isfinite(dump["uvel"])
+
+
+def test_cmip_si_and_tensor_fields(tmp_path):
+    """The expanded registry (CMIP si* set, stress/strain tensor components,
+    grid N/E planes, aero/iso burdens, FSD planes) registers and every
+    extractor evaluates on a live state (shape/attr errors surface here)."""
+    from cice_tpu.io.history import build_fields
+    from cice_tpu.model.flux import zeros_forcing
+
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": 16, "grid.ny_global": 16,
+        "setup.histfreq": ("1",), "setup.histfreq_n": (1,),
+        "setup.history_dir": str(tmp_path), "setup.hist_cmip": True,
+        "tracers.tr_snow": True, "tracers.tr_fsd": True, "domain.nfsd": 12,
+        "tracers.tr_aero": True, "domain.n_aero": 2,
+        "tracers.tr_iso": True, "domain.n_iso": 2,
+    })
+    grid = rectgrid(16, 16, kmt_type="none")
+    state = zeros_state(cfg, grid)
+    state = state.replace(aicen=state.aicen.at[0].set(0.5),
+                          vicen=state.vicen.at[0].set(1.0))
+    flux = zeros_fluxout(grid.shape)
+    fields = build_fields(cfg)
+    names = {f.name for f in fields}
+    # CMIP/SIMIP group
+    assert {"sivol", "sifb", "sihc", "sidmassmelttop", "sidmasstranx",
+            "siitdconc001", "siflswdtop", "siforcecoriolx",
+            "sisndmasssnf"} <= names
+    # tensor + grid extras + aero/iso + fsd extras + per-cat groups
+    assert {"e11", "e22", "e12", "s11", "s22", "s12"} <= names
+    assert {"dxn", "earea", "nmask", "NLAT", "ELON"} <= names
+    assert {"aerosnossl001", "aeroiceint002", "isosno001",
+            "isoice002"} <= names
+    assert {"afsd001", "fsdperim", "wave_sig_ht"} <= names
+    assert {"apondn001", "simpconc", "ardgn001", "sirdgconc",
+            "rsnwn001", "rain_ai", "fswup"} <= names
+    assert len(names) == len(fields), "duplicate history field names"
+    # every extractor runs (accum evaluates the full stack)
+    h = History(cfg, grid, fields=fields)
+    h.accum(state, flux, forcing=zeros_forcing(grid.shape))
+    assert h.streams[0].nacc == 1
+    assert bool(jnp.isfinite(h.streams[0].acc).all())
