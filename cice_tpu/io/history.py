@@ -1010,6 +1010,60 @@ def snow_extra_fields(cfg) -> List[HistoryField]:
     return F
 
 
+def flux_diag_fields(cfg) -> List[HistoryField]:
+    """Extended flux diagnostics riding the FluxOut additions (reference
+    f_fbot/f_fswint_ai/f_albsno/f_albpnd/f_albice/f_apeff/f_meltsliq/
+    f_snowfrac/f_fpond + SIMIP siflsensbot/siflcondbot/siflfwdrain/
+    sisndmassdyn and the per-category 3Dc *_ai planes)."""
+    F = [
+        _f("fbot", "W/m^2", "ocean heat used at the ice bottom",
+           lambda s, fl, g: fl.fbot),
+        _f("fswint_ai", "W/m^2", "SW absorbed in ice interior (cell mean)",
+           lambda s, fl, g: fl.fswint),
+        _f("fpond", "kg/m^2/s", "pond drainage freshwater flux",
+           lambda s, fl, g: fl.fpond),
+        _f("apeff", "1", "radiatively-effective pond fraction (cell mean)",
+           lambda s, fl, g: fl.apeff),
+        _f("meltsliq", "kg/m^2", "snow liquid runoff per step",
+           lambda s, fl, g: fl.meltsliq),
+        _f("snowfrac", "1", "snow-covered fraction",
+           lambda s, fl, g: fl.snowfrac),
+        _f("albice", "1", "broadband albedo, bare ice surface",
+           lambda s, fl, g: fl.albice),
+        _f("albsno", "1", "broadband albedo, snow surface",
+           lambda s, fl, g: fl.albsno),
+        _f("albpnd", "1", "broadband albedo, ponded surface",
+           lambda s, fl, g: fl.albpnd),
+        _f("siflsensbot", "W/m^2", "sensible heat at ice bottom (SIMIP)",
+           lambda s, fl, g: fl.fbot),
+        _f("siflcondbot", "W/m^2", "conductive flux at ice bottom (SIMIP)",
+           lambda s, fl, g: fl.fcondbot),
+        _f("siflfwdrain", "kg/m^2/s", "pond drainage to ocean (SIMIP)",
+           lambda s, fl, g: fl.fpond),
+        _f("simpeffconc", "1", "effective pond fraction of ice (SIMIP)",
+           lambda s, fl, g: fl.apeff / jnp.maximum(s.aice, cst.puny)),
+        _f("sisndmassdyn", "kg/m^2/s", "snow mass tendency, dynamics (SIMIP)",
+           lambda s, fl, g: cst.rhos * fl.dvsdtd),
+    ]
+    def _cat(key, n):
+        def fn(s, fl, g):
+            planes = fl.ncat_fluxes.get(key)
+            if planes is None:
+                return jnp.zeros_like(s.aice)
+            return planes[n]
+        return fn
+    for key, units, long in (("fsurfn", "W/m^2", "net surface flux"),
+                             ("fcondtopn", "W/m^2", "top conductive flux"),
+                             ("flatn", "W/m^2", "latent heat flux"),
+                             ("fsensn", "W/m^2", "sensible heat flux"),
+                             ("melttn", "m/step", "top ice melt")):
+        for n in range(cfg.domain.ncat):
+            F.append(_f(f"{key}_ai{n+1:03d}", units,
+                        f"{long} (cell mean), category {n+1}",
+                        _cat(key, n)))
+    return F
+
+
 def build_fields(cfg) -> List[HistoryField]:
     """Full conditional registry (init_hist honoring the tracer flags —
     reference icefields_*_nml groups)."""
@@ -1017,7 +1071,7 @@ def build_fields(cfg) -> List[HistoryField]:
         + flux_extra_fields() + category_fields(cfg.domain.ncat) \
         + grid_fields() + grid_extra_fields() + vector_diag_fields() \
         + ai_flux_fields() + profile_fields(cfg) + tensor_fields(cfg) \
-        + precip_extra_fields()
+        + precip_extra_fields() + flux_diag_fields(cfg)
     if cfg.forcing.formdrag:
         fields += drag_fields(cfg)
     t = cfg.tracers

@@ -131,6 +131,23 @@ class FluxOut:
     Tref: jnp.ndarray      # 2 m air temperature (K)
     Qref: jnp.ndarray      # 2 m specific humidity (kg/kg)
     Uref: jnp.ndarray      # 10 m wind speed (m/s)
+    # extended diagnostics (history sources; reference f_fbot/f_fswint_ai/
+    # f_albsno/f_albpnd/f_apeff/f_meltsliq/f_snowfrac, SIMIP siflcondbot/
+    # siflsensbot/siflfwdrain/sisndmassdyn)
+    fbot: jnp.ndarray      # ocean heat used at the ice bottom (W/m^2, cell)
+    fcondbot: jnp.ndarray  # conductive flux at the ice bottom (W/m^2)
+    fswint: jnp.ndarray    # SW absorbed in the ice interior (W/m^2)
+    fpond: jnp.ndarray     # pond drainage freshwater flux (kg/m^2/s)
+    apeff: jnp.ndarray     # radiatively-effective pond fraction (cell mean)
+    meltsliq: jnp.ndarray  # snow liquid runoff (kg/m^2, per step)
+    snowfrac: jnp.ndarray  # snow-covered fraction of the cell
+    albsno: jnp.ndarray    # broadband albedo contribution, snow surface
+    albpnd: jnp.ndarray    # broadband albedo contribution, ponds
+    dvsdtd: jnp.ndarray    # snow volume tendency, dynamics (m/s)
+    # per-category cell-mean flux planes (ncat, ny, nx): the reference's
+    # fsurfn_ai/fcondtopn_ai/flatn_ai/fsensn_ai/fmelttn_ai 3Dc history
+    # sources, stored pre-weighted by the category area at flux time
+    ncat_fluxes: dict
 
     def replace(self, **kw) -> "FluxOut":
         return dataclasses.replace(self, **kw)
@@ -138,5 +155,6 @@ class FluxOut:
 
 def zeros_fluxout(shape, dtype=jnp.float32) -> FluxOut:
     z = lambda: jnp.zeros(shape, dtype)
-    names = [f.name for f in dataclasses.fields(FluxOut)]
-    return FluxOut(**{n: z() for n in names})
+    names = [f.name for f in dataclasses.fields(FluxOut)
+             if f.name != "ncat_fluxes"]
+    return FluxOut(ncat_fluxes={}, **{n: z() for n in names})

@@ -343,7 +343,29 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         alvdr=ws(sw.alvdr), alvdf=ws(sw.alvdf), alidr=ws(sw.alidr),
         alidf=ws(sw.alidf), fsurf=ws(ts.fsurf), fcondtop=ws(ts.fcondtop),
         apond=ws(apeff), fpond=ws(pond_flush) * cst.rhofresh / dt,
+        fcondbot=ws(ts.fcondbot), fswint=ws(sw.fswint),
+        meltsliq=(ws(meltsliq) if cfg.tracers.tr_snow
+                  else jnp.zeros(grid.shape, an.dtype)),
     )
+    # snow-covered fraction + broadband albedo partition by surface type
+    # (reference albice/albsno/albpnd diagnostics from icepack shortwave;
+    # delta: partition weights are the CCSM3-style snow patchiness fraction
+    # and the radiatively-effective pond fraction rather than dEdd's
+    # internal sub-column areas)
+    asnow = hsn_f / (hsn_f + cst.snowpatch)
+    alb_bb = (cst.awtvdr * sw.alvdr + cst.awtidr * sw.alidr +
+              cst.awtvdf * sw.alvdf + cst.awtidf * sw.alidf)
+    fr_pond = jnp.clip(apeff, 0.0, 1.0)
+    fr_snow = jnp.clip(asnow, 0.0, 1.0 - fr_pond)
+    fr_bare = jnp.clip(1.0 - fr_snow - fr_pond, 0.0, 1.0)
+    agg["snowfrac"] = ws(asnow)
+    agg["albsno"] = ws(alb_bb * fr_snow)
+    agg["albpnd"] = ws(alb_bb * fr_pond)
+    agg["albice"] = ws(alb_bb * fr_bare)
+    # per-category cell-mean flux planes (reference 3Dc *_ai history fields)
+    agg["ncat_fluxes"] = dict(
+        fsurfn=w * ts.fsurf, fcondtopn=w * ts.fcondtop, flatn=w * ts.flat,
+        fsensn=w * ts.fsens, melttn=w * th.meltt)
     # 2m/10m reference diagnostics: ice-area-weighted over categories with
     # the open-water fraction taking the free-air values (f_Tref/f_Qref)
     ow = jnp.clip(1.0 - aice, 0.0, 1.0)
@@ -561,6 +583,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     daidtt = (state.aice - aice_init) / dt
     dvidtt = (state.vice - vice_init) / dt
     aice_posttherm, vice_posttherm = state.aice, state.vice
+    vsno_posttherm = state.vsno
 
     # --- dynamics + transport + ridging ---------------------------------
     # ndtd supercycling: the dynamics/transport/ridge sequence runs ndtd
@@ -639,8 +662,13 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         meltl=t2.meltl, congel=agg["congel"], frazil=t2.frazil,
         snoice=agg["snoice"], alvdr=agg["alvdr"], alvdf=agg["alvdf"],
         alidr=agg["alidr"], alidf=agg["alidf"],
-        albice=jnp.zeros(grid.shape, state.aicen.dtype),
+        albice=agg["albice"],
         fsurf=agg["fsurf"], fcondtop=agg["fcondtop"],
+        fbot=fbot_used, fcondbot=agg["fcondbot"], fswint=agg["fswint"],
+        fpond=agg["fpond"], apeff=agg["apond"], meltsliq=agg["meltsliq"],
+        snowfrac=agg["snowfrac"], albsno=agg["albsno"],
+        albpnd=agg["albpnd"], dvsdtd=(state.vsno - vsno_posttherm) / dt,
+        ncat_fluxes=agg["ncat_fluxes"],
         divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
         strintx=dyn["strintx"], strinty=dyn["strinty"],
         taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],

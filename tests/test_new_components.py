@@ -159,9 +159,12 @@ def test_cmip_history_fields():
     names = {f.name for f in fields}
     for want in ("siconc", "sithick", "siu", "sispeed", "simass"):
         assert want in names, want
+    from cice_tpu.model.flux import zeros_forcing
+    fc = zeros_forcing(grid.shape)
     for f in fields:
         if f.name.startswith("si"):
-            arr = np.asarray(f.extract(st, fl, grid))
+            args = (st, fl, grid, fc) if f.needs_forcing else (st, fl, grid)
+            arr = np.asarray(f.extract(*args))
             assert arr.shape == (8, 8)
             assert np.all(np.isfinite(arr)), f.name
 
