@@ -54,6 +54,10 @@ class SetupConfig:
     hist_avg: bool | Tuple[bool, ...] = True  # one value or per-stream tuple (reference: max_nstrm logicals)
     history_dir: str = "./history/"
     hist_cmip: bool = False         # add CMIP si* alias fields (f_CMIP)
+    # per-field stream assignment (reference icefields_nml f_* chars):
+    # (("aice", "md"), ("sidir", "x"), ...); 'x' disables a field, chars
+    # name the histfreq streams it joins; unlisted fields join every stream
+    hist_field_freq: Tuple[Tuple[str, str], ...] = ()
     history_file: str = "iceh"
     calendar_type: str = "noleap"   # 'noleap' | 'gregorian' | '360day'
     conserv_check: bool = False

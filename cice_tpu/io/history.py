@@ -35,6 +35,13 @@ class HistoryField:
     extract: Callable          # (state, flux, grid[, forcing]) -> (ny, nx)
     cell_mask: bool = True     # apply ocean mask on write
     needs_forcing: bool = False  # extract takes a 4th `forcing` argument
+    # stream-frequency chars this field belongs to (reference icefields_nml
+    # per-field flags, f_aice='md'): None = every configured stream; 'x' =
+    # disabled; otherwise e.g. 'm', 'd1'. Set from cfg.setup.hist_field_freq.
+    freq: Optional[str] = None
+    # write the last value instead of the stream average even on averaging
+    # streams (reference f_aisnap/f_hisnap snapshot fields)
+    snapshot: bool = False
 
 
 def _f(name, units, long_name, fn):
@@ -80,6 +87,12 @@ def default_fields() -> List[HistoryField]:
         _f("albsni", "1", "snow/ice broadband albedo",
            lambda s, fl, g: (fl.alvdr * cst.awtvdr + fl.alidr * cst.awtidr +
                              fl.alvdf * cst.awtvdf + fl.alidf * cst.awtidf)),
+        # snapshot fields: last value written even on averaging streams
+        # (reference f_aisnap/f_hisnap, ice_history.F90)
+        HistoryField("aisnap", "1", "ice area snapshot",
+                     lambda s, fl, g: s.aice, snapshot=True),
+        HistoryField("hisnap", "m", "ice volume snapshot",
+                     lambda s, fl, g: s.vice, snapshot=True),
     ]
 
 
@@ -1105,6 +1118,11 @@ class Stream:
     suffix: str = "h"
     nacc: int = 0
     acc: Optional[jnp.ndarray] = None   # (nfields, ny, nx) running sum
+    # per-stream field subset (icefields_nml per-field frequency chars)
+    fields: Optional[List[HistoryField]] = None
+    rows: Optional[np.ndarray] = None        # positions into the snap stack
+    snap_idx: Optional[np.ndarray] = None    # rows written as snapshots
+    last: Optional[jnp.ndarray] = None       # last snap (snapshot fields)
 
 
 class History:
@@ -1112,12 +1130,21 @@ class History:
 
     def __init__(self, cfg, grid, fields: Optional[List[HistoryField]] = None,
                  directory: Optional[str] = None, writer=None):
+        import dataclasses as _dc
         self.cfg = cfg
         self.grid = grid
         self.fields = fields if fields is not None else build_fields(cfg)
         self.dir = directory or cfg.setup.history_dir
         self.writer = writer          # io.async_writer.AsyncWriter | None
         s = cfg.setup
+        # per-field frequency overrides (reference icefields_nml f_* chars:
+        # 'x' disables a field, 'md' puts it on the m and d streams,
+        # None/'*' keeps it on every configured stream)
+        fmap = dict(getattr(s, "hist_field_freq", ()) or ())
+        if fmap:
+            self.fields = [
+                _dc.replace(f, freq=fmap.get(f.name, f.freq))
+                for f in self.fields]
         # hist_avg: one bool for all streams, or a per-stream tuple
         # (reference hist_avg is max_nstrm logicals, ice_in setup_nml)
         avg = s.hist_avg
@@ -1126,6 +1153,30 @@ class History:
         self.streams = [Stream(freq=f, freq_n=n, avg=bool(a))
                         for f, n, a in zip(s.histfreq, s.histfreq_n, avg)
                         if f != "x"]
+        # resolve the per-stream membership and the union of fields that
+        # actually need extracting each step
+        self._snap_fields: List[HistoryField] = []
+        stream_rows = [[] for _ in self.streams]
+        for f in self.fields:
+            if f.freq is not None and ("x" in f.freq or not f.freq):
+                continue
+            members = [j for j, st in enumerate(self.streams)
+                       if f.freq is None or "*" in f.freq
+                       or st.freq in f.freq]
+            if not members:
+                continue
+            pos = len(self._snap_fields)
+            self._snap_fields.append(f)
+            for j in members:
+                stream_rows[j].append(pos)
+        full = len(self._snap_fields)
+        for st, rows in zip(self.streams, stream_rows):
+            st.fields = [self._snap_fields[p] for p in rows]
+            st.rows = (None if len(rows) == full
+                       else np.asarray(rows, np.int32))
+            st.snap_idx = np.asarray(
+                [k for k, p in enumerate(rows)
+                 if self._snap_fields[p].snapshot], np.int32)
 
     # -- per-step accumulation (accum_hist, ice_history.F90:2201) ----------
     def accum(self, state, flux, forcing=None):
@@ -1135,14 +1186,17 @@ class History:
                     return jnp.zeros(self.grid.shape, state.aicen.dtype)
                 return f.extract(state, flux, self.grid, forcing)
             return f.extract(state, flux, self.grid)
-        snap = jnp.stack([_x(f) for f in self.fields])
+        snap = jnp.stack([_x(f) for f in self._snap_fields])
         for st in self.streams:
+            sub = snap if st.rows is None else jnp.take(snap, st.rows, axis=0)
             if st.avg:
-                st.acc = snap if st.acc is None else st.acc + snap
+                st.acc = sub if st.acc is None else st.acc + sub
                 st.nacc += 1
             else:
-                st.acc = snap
+                st.acc = sub
                 st.nacc = 1
+            if st.snap_idx.size:
+                st.last = sub
 
     # -- write when calendar says so ---------------------------------------
     def maybe_write(self, calendar, fmt: str = "nc"):
@@ -1160,22 +1214,27 @@ class History:
 
         os.makedirs(self.dir, exist_ok=True)
         data = np.asarray(st.acc) / max(st.nacc, 1)
+        if st.snap_idx.size and st.last is not None:
+            # snapshot fields (f_aisnap/f_hisnap) write the last value even
+            # on averaging streams
+            last = np.asarray(st.last)
+            data[st.snap_idx] = last[st.snap_idx]
         mask = np.asarray(self.grid.hm) > 0.5
         base = f"{self.cfg.setup.history_file}.{st.freq}.{calendar.timestamp()}"
         buf = SnapshotBytesIO()
         if fmt == "npz":
             path = os.path.join(self.dir, base + ".npz")
             np.savez(buf, **{f.name: data[i]
-                             for i, f in enumerate(self.fields)})
+                             for i, f in enumerate(st.fields)})
             payload = buf.getvalue()
         else:
             path = os.path.join(self.dir, base + ".nc")
-            self._write_netcdf(buf, data, mask, calendar)
+            self._write_netcdf(buf, data, mask, calendar, st.fields)
             payload = buf.value       # netcdf_file closed the buffer
         write_bytes(path, payload, self.writer)
         return path
 
-    def _write_netcdf(self, fileobj, data, mask, calendar):
+    def _write_netcdf(self, fileobj, data, mask, calendar, fields):
         """NetCDF-3 classic via scipy (reference io_netcdf ice_history_write
         defines dims/coords then per-field variables; same layout here)."""
         from scipy.io import netcdf_file
@@ -1191,7 +1250,7 @@ class History:
                 v = f.createVariable(nm, "f4", ("nj", "ni"))
                 v[:] = np.asarray(arr) * cst.rad_to_deg
                 v.units = b"degrees"
-            for i, fld in enumerate(self.fields):
+            for i, fld in enumerate(fields):
                 v = f.createVariable(fld.name, "f4", ("time", "nj", "ni"))
                 out = data[i]
                 if fld.cell_mask:
@@ -1208,6 +1267,8 @@ class History:
             out[f"hist_nacc_{i}"] = np.asarray(st.nacc)
             if st.acc is not None:
                 out[f"hist_acc_{i}"] = np.asarray(st.acc)
+            if st.last is not None:
+                out[f"hist_last_{i}"] = np.asarray(st.last)
         return out
 
     def set_restart_payload(self, payload: dict):
@@ -1216,3 +1277,5 @@ class History:
             if key in payload:
                 st.acc = jnp.asarray(payload[key])
                 st.nacc = int(payload[f"hist_nacc_{i}"])
+            if f"hist_last_{i}" in payload:
+                st.last = jnp.asarray(payload[f"hist_last_{i}"])

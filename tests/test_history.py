@@ -139,3 +139,39 @@ def test_cmip_si_and_tensor_fields(tmp_path):
     h.accum(state, flux, forcing=zeros_forcing(grid.shape))
     assert h.streams[0].nacc == 1
     assert bool(jnp.isfinite(h.streams[0].acc).all())
+
+
+def test_per_field_stream_assignment(tmp_path):
+    """icefields_nml analogue: hist_field_freq routes fields to specific
+    streams ('x' disables); snapshot fields write the last value even on
+    averaging streams (f_aisnap)."""
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": 16, "grid.ny_global": 16,
+        "setup.histfreq": ("1", "d"), "setup.histfreq_n": (2, 1),
+        "setup.history_dir": str(tmp_path),
+        "setup.hist_field_freq": (("hi", "d"), ("hs", "x"),
+                                  ("uvel", "1")),
+    })
+    grid = rectgrid(16, 16, kmt_type="none")
+    state = zeros_state(cfg, grid)
+    state = state.replace(aicen=state.aicen.at[0].set(0.5))
+    flux = zeros_fluxout(grid.shape)
+    h = History(cfg, grid)
+    names1 = {f.name for f in h.streams[0].fields}
+    namesd = {f.name for f in h.streams[1].fields}
+    assert "hi" not in names1 and "hi" in namesd      # routed to 'd' only
+    assert "hs" not in names1 and "hs" not in namesd  # disabled
+    assert "uvel" in names1 and "uvel" not in namesd  # routed to '1' only
+    assert "aice" in names1 and "aice" in namesd      # default: everywhere
+    # snapshot semantics: aisnap on an averaging stream = LAST value
+    cal = Calendar()
+    h.accum(state, flux)
+    state2 = state.replace(aicen=state.aicen.at[0].set(1.0))
+    h.accum(state2, flux)
+    cal = cal.advance(3600).advance(3600)
+    files = h.maybe_write(cal, fmt="npz")
+    assert len(files) == 1
+    z = np.load(files[0])
+    np.testing.assert_allclose(z["aice"], 0.75, rtol=1e-6)    # averaged
+    np.testing.assert_allclose(z["aisnap"], 1.0, rtol=1e-6)   # snapshot
+    assert "hi" not in z.files and "hs" not in z.files
