@@ -629,6 +629,27 @@ def main(argv=None):
     p_suite.add_argument("--set", action="append", metavar="KEY=VAL")
     p_suite.set_defaults(fn=cmd_suite)
 
+    def _perf(a):
+        from .perf import run_perf
+        sizes = tuple(tuple(int(v) for v in s.split("x"))
+                      for s in a.sizes.split(","))
+        run_perf(sizes=sizes, ndte=a.ndte,
+                 mesh_devices=tuple(int(v) for v in a.mesh.split(",")),
+                 weak_tile=tuple(int(v) for v in a.weak_tile.split("x")))
+        return 0
+
+    p_perf = sub.add_parser(
+        "perf", help="EVP performance suite: grid-size sweep + strong/weak "
+        "mesh scaling (perf_suite.ts analogue)")
+    p_perf.add_argument("--sizes", default="192x160,384x320,768x640",
+                        help="comma list of NYxNX grid sizes")
+    p_perf.add_argument("--ndte", type=int, default=120)
+    p_perf.add_argument("--mesh", default="1,2,4,8",
+                        help="device counts for the scaling sweeps")
+    p_perf.add_argument("--weak-tile", default="192x160",
+                        help="per-device tile for the weak-scaling sweep")
+    p_perf.set_defaults(fn=_perf)
+
     p_qc = sub.add_parser(
         "qc", help="two-stage statistical QC comparison of two runs")
     p_qc.add_argument("dir_a")

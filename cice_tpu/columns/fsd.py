@@ -156,24 +156,57 @@ def fsd_wave_fracture(cfg, dt, fsd, aicen, vicen, hs_wave, Tp_wave,
     return res
 
 
-def step_dyn_wave(cfg, dt, *, fsd, aicen, vicen, hs_wave, Tp_wave):
+def _fsd_agg(fsd, aicen):
+    """Cell aggregate of the joint distribution: (nfsd, ny, nx) area per
+    floe-size bin (source of the f_afsd/f_dafsd_* history fields)."""
+    return jnp.sum(fsd * aicen[:, None], axis=0)
+
+
+def step_dyn_wave(cfg, dt, *, fsd, aicen, vicen, hs_wave, Tp_wave,
+                  return_tend: bool = False):
     """Wave-fracture phase (reference step_dyn_wave ice_step_mod.F90:897).
-    Returns the updated (cleaned) fsd tracer."""
+    Returns the updated (cleaned) fsd tracer; with return_tend=True also a
+    dict with the dafsd_wave tendency (1/s per bin, reference
+    ice_history_fsd.F90 f_dafsd_wave)."""
     nfsd = cfg.domain.nfsd
     if not cfg.tracers.tr_fsd or nfsd <= 1:
-        return fsd
+        return (fsd, {}) if return_tend else fsd
     out = fsd_wave_fracture(cfg, dt, fsd, aicen, vicen, hs_wave, Tp_wave,
                             nfsd)
-    return fsd_cleanup(out, aicen)
+    out = fsd_cleanup(out, aicen)
+    if return_tend:
+        tend = {"dafsd_wave": (_fsd_agg(out, aicen) -
+                               _fsd_agg(fsd, aicen)) / dt}
+        return out, tend
+    return out
 
 
-def step_fsd_thermo(cfg, dt, *, fsd, aicen, da_new, G_rad, frzmlt):
+def step_fsd_thermo(cfg, dt, *, fsd, aicen, da_new, G_rad, frzmlt,
+                    return_tend: bool = False):
     """Thermodynamic FSD evolution: new ice + lateral growth/melt +
-    welding (the FSD side-channel of icepack_step_therm2)."""
+    welding (the FSD side-channel of icepack_step_therm2). With
+    return_tend=True also returns the per-process aggregate tendencies
+    (reference f_dafsd_newi/latg/latm/weld, 1/s per bin); lateral
+    growth/melt split by the sign of the growth rate."""
     nfsd = cfg.domain.nfsd
     if not cfg.tracers.tr_fsd or nfsd <= 1:
-        return fsd
-    out = fsd_new_ice(fsd, aicen, da_new, nfsd)
-    out = fsd_lateral_growth(cfg, dt, out, G_rad, nfsd)
-    out = fsd_weld(dt, out, aicen, frzmlt, nfsd)
-    return fsd_cleanup(out, aicen)
+        return (fsd, {}) if return_tend else fsd
+    f1 = fsd_new_ice(fsd, aicen, da_new, nfsd)
+    f2 = fsd_lateral_growth(cfg, dt, f1, G_rad, nfsd)
+    f3 = fsd_weld(dt, f2, aicen, frzmlt, nfsd)
+    out = fsd_cleanup(f3, aicen)
+    if not return_tend:
+        return out
+    a0 = _fsd_agg(fsd, aicen)
+    a1 = _fsd_agg(f1, aicen)
+    a2 = _fsd_agg(f2, aicen)
+    a3 = _fsd_agg(f3, aicen)
+    dlat = (a2 - a1) / dt
+    growing = jnp.any(G_rad > 0.0, axis=0)        # cell-level growth flag
+    tend = {
+        "dafsd_newi": (a1 - a0) / dt,
+        "dafsd_latg": jnp.where(growing[None], dlat, 0.0),
+        "dafsd_latm": jnp.where(growing[None], 0.0, dlat),
+        "dafsd_weld": (a3 - a2) / dt,
+    }
+    return out, tend

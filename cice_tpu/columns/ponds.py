@@ -40,6 +40,12 @@ class PondOut(NamedTuple):
     # diagnostics (per category)
     apeff: jnp.ndarray      # pond fraction exposed to radiation (category area)
     dpnd_flush: jnp.ndarray  # freshwater flushed to ocean this step (m)
+    # pond water budget terms (reference f_dpnd_* history fields; m of water
+    # per category area per step). None where a scheme has no such term.
+    dpnd_initial: jnp.ndarray | None = None  # meltwater collected
+    dpnd_expon: jnp.ndarray | None = None    # exponential above-sea-level drain
+    dpnd_freebd: jnp.ndarray | None = None   # immediate negative-freeboard drain
+    dpnd_dlid: jnp.ndarray | None = None     # water frozen into the lid
 
 
 def _lid_growth(frzpnd: str, ipnd, Tsf, dt):
@@ -92,6 +98,7 @@ def compute_ponds_lvl(cfg_ponds, dt, *, aicen, vicen, vsnon, alvl, apnd, hpnd,
         shrink = jnp.exp(0.01 * (Tsf - TP_FRZ) * dt / cst.secday)
         volp = jnp.where(cold, volp * jnp.clip(shrink, 0.0, 1.0), volp)
         ipnd_new = jnp.zeros_like(ipnd)
+        dlid = jnp.zeros_like(ipnd)
     else:  # 'hlid' Stefan lid; lid ice displaces pond water
         ipnd_new = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
         dlid = jnp.maximum(ipnd_new - ipnd, 0.0)
@@ -133,7 +140,10 @@ def compute_ponds_lvl(cfg_ponds, dt, *, aicen, vicen, vsnon, alvl, apnd, hpnd,
     apeff = apnd_new * alvl_frac * snow_hide * lid_hide
 
     return PondOut(apnd=apnd_new, hpnd=hpnd_new, ipnd=ipnd_new, apeff=apeff,
-                   dpnd_flush=jnp.where(mask, flush, 0.0))
+                   dpnd_flush=jnp.where(mask, flush, 0.0),
+                   dpnd_initial=jnp.where(mask, dvol, 0.0),
+                   dpnd_dlid=jnp.where(mask,
+                                       dlid * cst.rhoi / cst.rhofresh, 0.0))
 
 
 def compute_ponds_sealvl(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
@@ -214,7 +224,12 @@ def compute_ponds_sealvl(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
     apeff = apnd_new * snow_hide * lid_hide
 
     return PondOut(apnd=apnd_new, hpnd=hpnd_new, ipnd=ipnd_new, apeff=apeff,
-                   dpnd_flush=jnp.where(mask, flush, 0.0))
+                   dpnd_flush=jnp.where(mask, flush, 0.0),
+                   dpnd_initial=jnp.where(mask, dvol_in, 0.0),
+                   dpnd_expon=jnp.where(mask, dpnd_expon, 0.0),
+                   dpnd_freebd=jnp.where(mask, dpnd_freebd, 0.0),
+                   dpnd_dlid=jnp.where(mask,
+                                       dlid * cst.rhoi / cst.rhofresh, 0.0))
 
 
 def compute_ponds_topo(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
@@ -257,17 +272,30 @@ def compute_ponds_topo(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
     hs_hide = jnp.clip(1.0 - hs / jnp.maximum(cfg_ponds.hs1, cst.puny), 0.0, 1.0)
     return PondOut(apnd=apnd_new, hpnd=hpnd_new, ipnd=ipnd_new,
                    apeff=apnd_new * hs_hide,
-                   dpnd_flush=jnp.where(mask, flush, 0.0))
+                   dpnd_flush=jnp.where(mask, flush, 0.0),
+                   dpnd_initial=jnp.where(mask, dvol, 0.0),
+                   dpnd_freebd=jnp.where(mask, flush, 0.0),
+                   dpnd_dlid=jnp.where(
+                       mask, jnp.maximum(ipnd_new - ipnd, 0.0) *
+                       cst.rhoi / cst.rhofresh, 0.0))
 
 
 def step_ponds(cfg, dt, *, aicen, vicen, vsnon, trcrn, Tsf, meltt, melts,
-               frain, aice):
+               frain, aice, return_diag: bool = False):
     """Dispatch on the active pond scheme; updates trcrn in place (dict
     copy) and returns (trcrn, apeff, flush) where apeff is the per-category
-    radiatively-exposed pond fraction used by dEdd shortwave."""
+    radiatively-exposed pond fraction used by dEdd shortwave. With
+    return_diag=True a 4th element carries the per-category pond water
+    budget terms (dpnd_* reference history fields; zeros where a scheme
+    has no such term)."""
     t = cfg.tracers
     if not (t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl):
         zero = jnp.zeros_like(aicen)
+        if return_diag:
+            diag = {k: zero for k in ("dpnd_flush", "dpnd_initial",
+                                      "dpnd_expon", "dpnd_freebd",
+                                      "dpnd_dlid")}
+            return trcrn, zero, zero, diag
         return trcrn, zero, zero
     trcrn = dict(trcrn)
     common = dict(aicen=aicen, vicen=vicen, vsnon=vsnon,
@@ -282,6 +310,12 @@ def step_ponds(cfg, dt, *, aicen, vicen, vsnon, trcrn, Tsf, meltt, melts,
     trcrn["apnd"] = out.apnd
     trcrn["hpnd"] = out.hpnd
     trcrn["ipnd"] = out.ipnd
+    if return_diag:
+        zero = jnp.zeros_like(aicen)
+        diag = {k: (getattr(out, k) if getattr(out, k) is not None else zero)
+                for k in ("dpnd_flush", "dpnd_initial", "dpnd_expon",
+                          "dpnd_freebd", "dpnd_dlid")}
+        return trcrn, out.apeff, out.dpnd_flush, diag
     return trcrn, out.apeff, out.dpnd_flush
 
 

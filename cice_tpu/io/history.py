@@ -262,6 +262,11 @@ def age_fields() -> List[HistoryField]:
            (365.0 * 86400.0)),
         _f("FYarea", "1", "first-year ice area",
            lambda s, fl, g: jnp.sum(s.trcrn["FY"] * s.aicen, axis=0)),
+        # age tendencies (reference f_dagedtt/f_dagedtd, years/day)
+        _f("dagedtt", "year/day", "ice age tendency, thermo",
+           lambda s, fl, g: fl.dagedtt * cst.secday / (365.0 * cst.secday)),
+        _f("dagedtd", "year/day", "ice age tendency, dynamics",
+           lambda s, fl, g: fl.dagedtd * cst.secday / (365.0 * cst.secday)),
     ]
 
 
@@ -322,6 +327,8 @@ def dyn_fields() -> List[HistoryField]:
            lambda s, fl, g: fl.daidtd * 8.64e6),
         _f("dvidtd", "cm/day", "volume tendency, dynamics",
            lambda s, fl, g: fl.dvidtd * 8.64e6),
+        _f("dsnow", "cm/day", "snow depth tendency, thermo",
+           lambda s, fl, g: fl.dvsdtt * 8.64e6),
     ]
 
 
@@ -934,6 +941,19 @@ def fsd_extra_fields(cfg) -> List[HistoryField]:
     F.append(_f("fsdperim", "1/m", "floe perimeter per unit area", fsdperim))
     F.append(_ff("wave_sig_ht", "m", "significant wave height",
                  lambda s, fl, g, fc: fc.wave_hs))
+
+    # per-process FSD tendencies (reference f_dafsd_newi/latg/latm/wave/weld
+    # in ice_history_fsd.F90; 1/s per bin)
+    def _tend(key, k):
+        def fn(s, fl, g):
+            planes = fl.ncat_fluxes.get(key)
+            return jnp.zeros_like(s.aice) if planes is None else planes[k]
+        return fn
+    for key in ("dafsd_newi", "dafsd_latg", "dafsd_latm", "dafsd_wave",
+                "dafsd_weld"):
+        for k in range(cfg.domain.nfsd):
+            F.append(_f(f"{key}{k+1:03d}", "1/s",
+                        f"FSD tendency {key[6:]}, bin {k+1}", _tend(key, k)))
     return F
 
 
@@ -970,7 +990,29 @@ def pond_extra_fields(cfg) -> List[HistoryField]:
            lambda s, fl, g: _agg(s.trcrn["hpnd"], s.aicen, s.aice)),
         _f("simprefrozen", "m", "refrozen pond lid thickness (SIMIP)",
            lambda s, fl, g: _agg(s.trcrn["ipnd"], s.aicen, s.aice)),
+        # pond water budget terms (reference f_dpnd_* in ice_history_pond;
+        # cell-mean m of water per step; dpnd_flush = f_fpond source)
+        _f("dpnd_initial", "m/step", "pond water collected",
+           lambda s, fl, g: fl.dpnd_initial),
+        _f("dpnd_expon", "m/step", "pond drainage, exponential above-SL",
+           lambda s, fl, g: fl.dpnd_expon),
+        _f("dpnd_freebd", "m/step", "pond drainage, freeboard overflow",
+           lambda s, fl, g: fl.dpnd_freebd),
+        _f("dpnd_dlid", "m/step", "pond water frozen into the lid",
+           lambda s, fl, g: fl.dpnd_dlid),
     ]
+
+    def _catdiag(key, n):
+        def fn(s, fl, g):
+            planes = fl.ncat_fluxes.get(key)
+            return jnp.zeros_like(s.aice) if planes is None else planes[n]
+        return fn
+    for key in ("dpnd_flushn", "dpnd_initialn", "dpnd_exponn",
+                "dpnd_freebdn", "dpnd_dlidn"):
+        for n in range(cfg.domain.ncat):
+            F.append(_f(f"{key}{n+1:03d}", "m/step",
+                        f"{key[:-1]} (cell mean), category {n+1}",
+                        _catdiag(key, n)))
     return F
 
 

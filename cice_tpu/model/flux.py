@@ -144,6 +144,15 @@ class FluxOut:
     albsno: jnp.ndarray    # broadband albedo contribution, snow surface
     albpnd: jnp.ndarray    # broadband albedo contribution, ponds
     dvsdtd: jnp.ndarray    # snow volume tendency, dynamics (m/s)
+    dvsdtt: jnp.ndarray    # snow volume tendency, thermo (m/s)
+    dagedtt: jnp.ndarray   # mean ice-age tendency, thermo (s/s)
+    dagedtd: jnp.ndarray   # mean ice-age tendency, dynamics (s/s)
+    # pond water budget terms, cell mean (m of water per step; reference
+    # f_dpnd_initial/f_dpnd_expon/f_dpnd_freebd/f_dpnd_dlid; flush = fpond)
+    dpnd_initial: jnp.ndarray
+    dpnd_expon: jnp.ndarray
+    dpnd_freebd: jnp.ndarray
+    dpnd_dlid: jnp.ndarray
     # per-category cell-mean flux planes (ncat, ny, nx): the reference's
     # fsurfn_ai/fcondtopn_ai/flatn_ai/fsensn_ai/fmelttn_ai 3Dc history
     # sources, stored pre-weighted by the category area at flux time

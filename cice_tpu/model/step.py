@@ -252,13 +252,16 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     # melt ponds (icepack_meltpond_* inside icepack_step_therm1)
     if "apnd" in trcrn:
-        trcrn, apeff, pond_flush = step_ponds(
+        trcrn, apeff, pond_flush, pond_diag = step_ponds(
             cfg, dt, aicen=an, vicen=vicen_out, vsnon=vsnon_out,
             trcrn=trcrn, Tsf=trcrn["Tsfcn"], meltt=th.meltt, melts=th.melts,
-            frain=fc.frain, aice=aice)
+            frain=fc.frain, aice=aice, return_diag=True)
     else:
         apeff = jnp.zeros_like(an)
         pond_flush = jnp.zeros_like(an)
+        pond_diag = {k: jnp.zeros_like(an)
+                     for k in ("dpnd_flush", "dpnd_initial", "dpnd_expon",
+                               "dpnd_freebd", "dpnd_dlid")}
 
     # aerosol / isotope tracer physics (icepack_aerosol / icepack_isotope)
     if cfg.tracers.tr_aero and "aerosno" in trcrn:
@@ -365,7 +368,12 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # per-category cell-mean flux planes (reference 3Dc *_ai history fields)
     agg["ncat_fluxes"] = dict(
         fsurfn=w * ts.fsurf, fcondtopn=w * ts.fcondtop, flatn=w * ts.flat,
-        fsensn=w * ts.fsens, melttn=w * th.meltt)
+        fsensn=w * ts.fsens, melttn=w * th.meltt,
+        # per-category pond water budget planes (f_dpnd_*n)
+        **{k + "n": w * v for k, v in pond_diag.items()})
+    # cell-mean pond water budget terms (f_dpnd_*)
+    for k, v in pond_diag.items():
+        agg[k] = ws(v)
     # 2m/10m reference diagnostics: ice-area-weighted over categories with
     # the open-water fraction taking the free-air values (f_Tref/f_Qref)
     ow = jnp.clip(1.0 - aice, 0.0, 1.0)
@@ -534,6 +542,14 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # tendency bookkeeping (init_history_therm/_dyn saved copies,
     # ice_flux.F90: daidtt/dvidtt thermo vs daidtd/dvidtd dynamics rates)
     aice_init, vice_init = state.aice, state.vice
+    vsno_init = state.vsno
+
+    def _mean_age(st):
+        if "iage" not in st.trcrn:
+            return jnp.zeros_like(st.aice)
+        return jnp.sum(st.trcrn["iage"] * st.aicen, axis=0) / \
+            jnp.maximum(st.aice, cst.puny)
+    age_init = _mean_age(state)
 
     # --- thermodynamics -------------------------------------------------
     state, agg, hicen_old = step_therm1(ms, grid, state, fc, dt)
@@ -547,16 +563,21 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                           trcrn=t2.trcrn)
 
     # FSD: thermodynamic evolution + wave fracture (step_dyn_wave)
+    fsd_tend = {}
     if cfg.tracers.tr_fsd and "fsd" in state.trcrn:
         from ..columns.fsd import step_dyn_wave, step_fsd_thermo
         da_new = jnp.maximum(t2.aicen - aicen_pre, 0.0)
         G_rad = jnp.sign(state.frzmlt) * jnp.abs(state.frzmlt) * 1.0e-8
         trc = dict(state.trcrn)
-        f = step_fsd_thermo(cfg, dt, fsd=trc["fsd"], aicen=t2.aicen,
-                            da_new=da_new, G_rad=G_rad[None],
-                            frzmlt=state.frzmlt)
-        f = step_dyn_wave(cfg, dt, fsd=f, aicen=t2.aicen, vicen=t2.vicen,
-                          hs_wave=fc.wave_hs, Tp_wave=fc.wave_Tp)
+        f, fsd_tend = step_fsd_thermo(cfg, dt, fsd=trc["fsd"],
+                                      aicen=t2.aicen,
+                                      da_new=da_new, G_rad=G_rad[None],
+                                      frzmlt=state.frzmlt,
+                                      return_tend=True)
+        f, wtend = step_dyn_wave(cfg, dt, fsd=f, aicen=t2.aicen,
+                                 vicen=t2.vicen, hs_wave=fc.wave_hs,
+                                 Tp_wave=fc.wave_Tp, return_tend=True)
+        fsd_tend.update(wtend)
         trc["fsd"] = f
         state = state.replace(trcrn=trc)
 
@@ -582,8 +603,11 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     daidtt = (state.aice - aice_init) / dt
     dvidtt = (state.vice - vice_init) / dt
+    dvsdtt = (state.vsno - vsno_init) / dt
+    dagedtt = (_mean_age(state) - age_init) / dt
     aice_posttherm, vice_posttherm = state.aice, state.vice
     vsno_posttherm = state.vsno
+    age_posttherm = _mean_age(state)
 
     # --- dynamics + transport + ridging ---------------------------------
     # ndtd supercycling: the dynamics/transport/ridge sequence runs ndtd
@@ -668,7 +692,11 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         fpond=agg["fpond"], apeff=agg["apond"], meltsliq=agg["meltsliq"],
         snowfrac=agg["snowfrac"], albsno=agg["albsno"],
         albpnd=agg["albpnd"], dvsdtd=(state.vsno - vsno_posttherm) / dt,
-        ncat_fluxes=agg["ncat_fluxes"],
+        dvsdtt=dvsdtt, dagedtt=dagedtt,
+        dagedtd=(_mean_age(state) - age_posttherm) / dt,
+        dpnd_initial=agg["dpnd_initial"], dpnd_expon=agg["dpnd_expon"],
+        dpnd_freebd=agg["dpnd_freebd"], dpnd_dlid=agg["dpnd_dlid"],
+        ncat_fluxes={**agg["ncat_fluxes"], **fsd_tend},
         divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
         strintx=dyn["strintx"], strinty=dyn["strinty"],
         taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],

@@ -94,3 +94,17 @@ def test_qc_pattern_change_fails_stage2():
     b = _series(seed=6) * (1.0 + 0.5 * rng.standard_normal((1, 10, 10)))
     res = qc_compare(a, b)
     assert not res.passed
+
+
+def test_perf_suite_harness():
+    """perf_suite.ts analogue: rows for sizes/strong/weak sweeps with
+    efficiency vs the 1-device anchor (runs tiny shapes on the test mesh)."""
+    from cice_tpu.cli.perf import run_perf
+    rows = run_perf(sizes=((16, 16),), ndte=2, mesh_devices=(1, 2),
+                    weak_tile=(16, 16), out=lambda s: None)
+    sweeps = {r["sweep"] for r in rows}
+    assert sweeps == {"sizes", "strong", "weak"}
+    for r in rows:
+        assert r["Mptsub_s"] > 0
+        if r["sweep"] != "sizes":
+            assert 0 < r["efficiency"] <= 1.5
