@@ -139,6 +139,14 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
     dardg1 = jnp.zeros_like(divu)
     dardg2 = jnp.zeros_like(divu)
     dvirdg = jnp.zeros_like(divu)
+    # per-category diagnostics (reference f_dardg1ndt/f_dardg2ndt/
+    # f_dvirdgndt donor/receiver rates, f_aparticn participation,
+    # f_krdgn thickness multiplier, f_aredistn/f_vredistn redistribution)
+    dardg1n = jnp.zeros_like(aicen)
+    dardg2n = jnp.zeros_like(aicen)
+    dvirdgn = jnp.zeros_like(aicen)
+    aparticn = None
+    krdgn = None
 
     # fixed-point iterations: each pass ridges min(required, available)
     closing_rem = closing_net * dt         # total fractional area to close
@@ -146,6 +154,9 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         aice = jnp.sum(aicen, axis=0)
         aice0 = jnp.clip(1.0 - aice, 0.0, 1.0)
         rp = ridge_prep(aicen, vicen, aice0, d.mu_rdg)
+        if aparticn is None:        # snapshot of the first pass
+            aparticn = rp.apartic[1:]
+            krdgn = rp.krdg
         # area closed this pass (cannot exceed what participation provides)
         clos = jnp.minimum(closing_rem, 0.9)
         # per-donor area participating in closing `clos`:
@@ -186,6 +197,7 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
             s_new[n] = s_new[n] - srdg
             dardg1 = dardg1 + ardg
             dvirdg = dvirdg + vrdg
+            dardg1n = dardg1n.at[n].add(ardg)
             # ridged area = ardg/krdg distributed over receivers
             area_r = ardg / rp.krdg[n]
             dardg2 = dardg2 + area_r
@@ -224,6 +236,8 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
                 a_new[m] = a_new[m] + da
                 v_new[m] = v_new[m] + dv
                 s_new[m] = s_new[m] + ds
+                dardg2n = dardg2n.at[m].add(da)
+                dvirdgn = dvirdgn.at[m].add(dv)
 
         aicen = jnp.stack(a_new)
         vicen = jnp.stack(v_new)
@@ -238,5 +252,11 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
                                              registry)
 
     diags = dict(dardg1dt=dardg1 / dt, dardg2dt=dardg2 / dt,
-                 dvirdgdt=dvirdg / dt, opening=opning)
+                 dvirdgdt=dvirdg / dt, opening=opning,
+                 # per-category (3Dc) ridging diagnostics; aredistn/vredistn
+                 # are the per-receiver redistribution of the new ridge
+                 # area/volume this step (the reference's snapshot fields)
+                 dardg1ndt=dardg1n / dt, dardg2ndt=dardg2n / dt,
+                 dvirdgndt=dvirdgn / dt, aparticn=aparticn, krdgn=krdgn,
+                 aredistn=dardg2n, vredistn=dvirdgn)
     return aicen, vicen, vsnon, trcrn, diags

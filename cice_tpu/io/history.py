@@ -1040,6 +1040,26 @@ def mechred_extra_fields(cfg) -> List[HistoryField]:
                (1.0 - jnp.clip(s.trcrn["vlvl"], 0, 1)) * s.vicen, axis=0) /
            jnp.maximum(_ardg(s), cst.puny)),
     ]
+
+    # per-category ridging process diagnostics (reference f_dardg1ndt/
+    # f_dardg2ndt/f_dvirdgndt/f_aparticn/f_krdgn/f_aredistn/f_vredistn in
+    # ice_history_mechred.F90), sourced from the ridge_ice diagnostics
+    def _rdg(key, n):
+        def fn(s, fl, g):
+            planes = fl.ncat_fluxes.get(key)
+            return jnp.zeros_like(s.aice) if planes is None else planes[n]
+        return fn
+    for key, units, long in (
+            ("dardg1ndt", "1/s", "donor area ridging rate"),
+            ("dardg2ndt", "1/s", "new ridge area rate"),
+            ("dvirdgndt", "m/s", "ridged volume rate"),
+            ("aparticn", "1", "ridging participation function"),
+            ("krdgn", "1", "ridge thickness multiplier"),
+            ("aredistn", "1", "new ridge area redistribution"),
+            ("vredistn", "m", "new ridge volume redistribution")):
+        for n in range(cfg.domain.ncat):
+            F.append(_f(f"{key}{n+1:03d}", units,
+                        f"{long}, category {n+1}", _rdg(key, n)))
     return F
 
 

@@ -696,7 +696,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         dagedtd=(_mean_age(state) - age_posttherm) / dt,
         dpnd_initial=agg["dpnd_initial"], dpnd_expon=agg["dpnd_expon"],
         dpnd_freebd=agg["dpnd_freebd"], dpnd_dlid=agg["dpnd_dlid"],
-        ncat_fluxes={**agg["ncat_fluxes"], **fsd_tend},
+        ncat_fluxes={**agg["ncat_fluxes"], **fsd_tend,
+                     **{k: dyn[k] for k in
+                        ("dardg1ndt", "dardg2ndt", "dvirdgndt", "aparticn",
+                         "krdgn", "aredistn", "vredistn") if k in dyn}},
         divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
         strintx=dyn["strintx"], strinty=dyn["strinty"],
         taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],
