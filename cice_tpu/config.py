@@ -159,7 +159,8 @@ class DynamicsConfig:
     kdyn: int = 1                   # 0 off, 1 EVP, 2 EAP, 3 VP, -1 fixed
     ndte: int = 120                 # EVP subcycles
     revised_evp: bool = False
-    evp_algorithm: str = "standard_2d"   # 'standard_2d' | 'fused_pallas'
+    evp_algorithm: str = "standard_2d"   # 'standard_2d' | 'fused_pallas' | 'wide_halo'
+    evp_wide_k: int = 8             # wide_halo: subcycles fused per exchange
     elasticDamp: float = 0.36
     arlx: float = 300.0             # revised-EVP alpha
     brlx: float = 300.0             # revised-EVP beta

@@ -139,10 +139,10 @@ class Model:
     """Standalone model instance (cice_init + CICE_Run equivalents)."""
 
     def __init__(self, cfg, grid: Optional[Grid] = None,
-                 enable_history: bool = False):
+                 enable_history: bool = False, mesh=None):
         self.cfg = cfg
         self.grid = grid if grid is not None else make_grid(cfg)
-        self.static = ModelStatic.build(cfg)
+        self.static = ModelStatic.build(cfg, mesh=mesh)
         # use_leap_years / days_per_year resolve to the calendar type
         # (reference ice_calendar init_calendar consistency checks)
         cal_type = cfg.setup.calendar_type

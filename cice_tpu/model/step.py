@@ -48,13 +48,16 @@ class ModelStatic:
     cfg: object
     hin_max: Tuple[float, ...]
     registry: tuple
+    mesh: object = None   # jax.sharding.Mesh for explicit-comm paths
+                          # (evp_algorithm='wide_halo'); None = GSPMD only
 
     @classmethod
-    def build(cls, cfg):
+    def build(cls, cfg, mesh=None):
         hin_max = tuple(itd_mod.category_bounds(
             cfg.domain.ncat, cfg.grid.kcatbound, cfg.domain.nilyr,
             cfg.thermo.kitd))
-        return cls(cfg=cfg, hin_max=hin_max, registry=tracer_registry(cfg))
+        return cls(cfg=cfg, hin_max=hin_max, registry=tracer_registry(cfg),
+                   mesh=mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -502,6 +505,12 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve_fused(
             grid, p, prep, strength, state.stressp, state.stressm,
             state.stress12, uocn=uocnU, vocn=vocnU)
+    elif d.evp_algorithm == "wide_halo":
+        from ..parallel.evp_wide import evp_solve_wide
+        u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve_wide(
+            grid, p, prep, strength, state.stressp, state.stressm,
+            state.stress12, uocn=uocnU, vocn=vocnU, mesh=ms.mesh,
+            k_fuse=d.evp_wide_k)
     else:
         u, v, sp, sm, s12, strintx, strinty, taubx, tauby = evp_solve(
             grid, p, prep, strength, state.stressp, state.stressm,
