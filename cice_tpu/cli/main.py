@@ -74,6 +74,7 @@ OPTION_SETS = {
     "alt01": {"tracers.tr_iage": False, "tracers.tr_FY": False},
     "revp": {"dynamics.revised_evp": True},
     "evp1d": {"dynamics.evp_algorithm": "fused_pallas"},
+    "evpwide": {"dynamics.evp_algorithm": "wide_halo"},
     "jra55": {"forcing.atm_data_type": "jra55"},
     "ncar": {"forcing.atm_data_type": "ncar"},
     "vanleer": {"dynamics.advection": "vanleer"},
