@@ -55,11 +55,16 @@ def _setup(ny, nx, ndte, dtype=jnp.float32):
     return grid, p, prep, strength, z3, z
 
 
-def evp_throughput(ny, nx, ndte=120, mesh=None, n_rep=5):
+def evp_throughput(ny, nx, ndte=120, mesh=None, n_rep=5, algo="gspmd",
+                   wide_k=8):
     """Grid-point·subcycles/s of the EVP solve; optionally sharded over an
-    existing ("Y","X") mesh (GSPMD: the same global-array code compiles to
-    collective-permute halo exchanges)."""
+    existing ("Y","X") mesh. algo='gspmd' runs the global-array code (XLA
+    inserts one collective-permute per subcycle); algo='wide_halo' runs the
+    explicit shard_map solver (parallel/evp_wide.py: one exchange per
+    wide_k subcycles — the maskhalo/bundling analogue axis of the reference
+    perf suite)."""
     from ..dynamics.evp import evp_solve
+    from ..parallel.evp_wide import evp_solve_wide
     from ..parallel.mesh import shard_state
 
     grid, p, prep, strength, z3, z = _setup(ny, nx, ndte)
@@ -67,8 +72,13 @@ def evp_throughput(ny, nx, ndte=120, mesh=None, n_rep=5):
         grid = shard_state(mesh, grid)
         prep = shard_state(mesh, prep)
         strength, z3, z = shard_state(mesh, (strength, z3, z))
-    solve = jax.jit(lambda pr, st, u0, v0: evp_solve(
-        grid, p, pr, st, z3, z3, z3, uocn=u0, vocn=v0))
+    if algo == "wide_halo" and mesh is not None:
+        solve = jax.jit(lambda pr, st, u0, v0: evp_solve_wide(
+            grid, p, pr, st, z3, z3, z3, uocn=u0, vocn=v0, mesh=mesh,
+            k_fuse=wide_k))
+    else:
+        solve = jax.jit(lambda pr, st, u0, v0: evp_solve(
+            grid, p, pr, st, z3, z3, z3, uocn=u0, vocn=v0))
 
     def run():
         out = solve(prep, strength, z, z)
@@ -115,22 +125,27 @@ def run_perf(sizes=((192, 160), (384, 320), (768, 640)), ndte=120,
     ny, nx = sizes[min(1, len(sizes) - 1)]
     for n in [d for d in mesh_devices if d <= ndev_avail]:
         mesh = make_mesh(devices=jax.devices()[:n])
-        tput, t = evp_throughput(ny, nx, ndte, mesh=mesh)
-        anchor = anchor or tput
-        emit({"sweep": "strong", "grid": f"{ny}x{nx}", "devices": n,
-              "mesh": "x".join(map(str, mesh.devices.shape)),
-              "s_per_dynstep": round(t, 4), "Mptsub_s": round(tput / 1e6, 1),
-              "efficiency": round(tput / (anchor * n), 3)})
+        for algo in (("gspmd",) if n == 1 else ("gspmd", "wide_halo")):
+            tput, t = evp_throughput(ny, nx, ndte, mesh=mesh, algo=algo)
+            anchor = anchor or tput          # 1-device GSPMD anchor
+            emit({"sweep": "strong", "algo": algo, "grid": f"{ny}x{nx}",
+                  "devices": n, "mesh": "x".join(map(str, mesh.devices.shape)),
+                  "s_per_dynstep": round(t, 4),
+                  "Mptsub_s": round(tput / 1e6, 1),
+                  "efficiency": round(tput / (anchor * n), 3)})
 
     ty, tx = weak_tile
     anchor = None
     for n in [d for d in mesh_devices if d <= ndev_avail]:
         mesh = make_mesh(devices=jax.devices()[:n])
         my, mx = mesh.devices.shape
-        tput, t = evp_throughput(ty * my, tx * mx, ndte, mesh=mesh)
-        anchor = anchor or tput
-        emit({"sweep": "weak", "grid": f"{ty * my}x{tx * mx}", "devices": n,
-              "mesh": f"{my}x{mx}", "s_per_dynstep": round(t, 4),
-              "Mptsub_s": round(tput / 1e6, 1),
-              "efficiency": round(tput / (anchor * n), 3)})
+        for algo in (("gspmd",) if n == 1 else ("gspmd", "wide_halo")):
+            tput, t = evp_throughput(ty * my, tx * mx, ndte, mesh=mesh,
+                                     algo=algo)
+            anchor = anchor or tput
+            emit({"sweep": "weak", "algo": algo,
+                  "grid": f"{ty * my}x{tx * mx}", "devices": n,
+                  "mesh": f"{my}x{mx}", "s_per_dynstep": round(t, 4),
+                  "Mptsub_s": round(tput / 1e6, 1),
+                  "efficiency": round(tput / (anchor * n), 3)})
     return rows
