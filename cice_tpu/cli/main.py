@@ -278,6 +278,11 @@ OPTION_SETS = {
     "iocdf1": {"setup.restart_format": "cdf1"},
     "ionetcdf": {"setup.restart_format": "cdf1"},
     "iopio2": {"setup.restart_format": "pio"},
+    "iohdf5": {"setup.restart_format": "hdf5",
+               "setup.history_format": "hdf5"},
+    "histhdf5": {"setup.history_format": "hdf5"},
+    "resthdf5": {"setup.restart_format": "hdf5"},
+    "histchunk": {"setup.history_chunksize": (64, 64)},
     "ioasync": {"setup.io_async": True},
     "precision8": {"dtype": "float64"},
     "cmip": {"setup.hist_cmip": True},

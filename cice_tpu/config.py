@@ -41,7 +41,7 @@ class SetupConfig:
     restart: bool = False
     restart_dir: str = "./restart/"
     restart_file: str = "iced"
-    restart_format: str = "npz"     # 'npz' (root write) | 'pio' (shard-wise, io_pio2 analogue) | 'cdf1' (netCDF-3 classic)
+    restart_format: str = "npz"     # 'npz' (root write) | 'pio' (shard-wise, io_pio2 analogue) | 'cdf1' (netCDF-3 classic) | 'hdf5' (netCDF-4/HDF5, chunked+deflated)
     io_async: bool = False          # background native writer for history/restart (io_pio2 latency-hiding analogue)
     io_nthreads: int = 2            # worker threads for the async writer
     pointer_file: str = "./restart/ice.restart_file"
@@ -49,6 +49,12 @@ class SetupConfig:
     dumpfreq_n: int = 1
     dump_last: bool = False
     diagfreq: int = 24
+    # history backend format (reference setup_nml history_format +
+    # hdf5 chunk/deflate knobs, ug_case_settings.rst; 'cdf1' = netCDF-3
+    # classic, 'hdf5' = netCDF-4-style HDF5 with chunking & deflate)
+    history_format: str = "cdf1"    # 'cdf1' | 'hdf5' | 'npz'
+    history_deflate: int = 1        # hdf5 gzip level 0-9
+    history_chunksize: Tuple[int, int] = (0, 0)  # (ny, nx) chunk; 0 = auto
     histfreq: Tuple[str, ...] = ("m", "x", "x", "x", "x")
     histfreq_n: Tuple[int, ...] = (1, 1, 1, 1, 1)
     hist_avg: bool | Tuple[bool, ...] = True  # one value or per-stream tuple (reference: max_nstrm logicals)

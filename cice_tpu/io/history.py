@@ -1289,12 +1289,51 @@ class History:
             np.savez(buf, **{f.name: data[i]
                              for i, f in enumerate(st.fields)})
             payload = buf.getvalue()
-        else:
+        elif fmt == "hdf5":
+            # netCDF-4-style HDF5 (reference history_format='hdf5' with
+            # history_deflate/history_chunksize, io_netcdf
+            # ice_history_write.F90 nf90_def_var_deflate/_chunking)
+            path = os.path.join(self.dir, base + ".nc")
+            self._write_hdf5(buf, data, mask, calendar, st.fields)
+            payload = buf.getvalue()
+        else:                          # 'nc' / 'cdf1': netCDF-3 classic
             path = os.path.join(self.dir, base + ".nc")
             self._write_netcdf(buf, data, mask, calendar, st.fields)
             payload = buf.value       # netcdf_file closed the buffer
         write_bytes(path, payload, self.writer)
         return path
+
+    def _write_hdf5(self, fileobj, data, mask, calendar, fields):
+        """HDF5 history body via h5py: per-field chunked+deflated datasets
+        with CF-ish attrs and dimension scales (the shape netCDF-4 writes)."""
+        import h5py
+
+        ny, nx = self.grid.shape
+        cy, cx = self.cfg.setup.history_chunksize
+        chunks = (1, min(cy, ny) if cy else ny, min(cx, nx) if cx else nx)
+        lvl = int(self.cfg.setup.history_deflate)
+        comp = dict(compression="gzip", compression_opts=lvl) if lvl else {}
+        with h5py.File(fileobj, "w") as f:
+            t = f.create_dataset("time", data=np.asarray(
+                [calendar.elapsed_days], np.float64))
+            t.attrs["units"] = "days since init"
+            t.make_scale("time")
+            for nm, arr in (("TLAT", self.grid.TLAT), ("TLON", self.grid.TLON)):
+                v = f.create_dataset(
+                    nm, data=(np.asarray(arr) * cst.rad_to_deg)
+                    .astype(np.float32), **comp)
+                v.attrs["units"] = "degrees"
+            for i, fld in enumerate(fields):
+                out = data[i]
+                if fld.cell_mask:
+                    out = np.where(mask, out, np.float32(cst.spval))
+                v = f.create_dataset(fld.name, data=out[None]
+                                     .astype(np.float32),
+                                     chunks=chunks, **comp)
+                v.dims[0].attach_scale(t)
+                v.attrs["units"] = fld.units
+                v.attrs["long_name"] = fld.long_name
+                v.attrs["missing_value"] = np.float32(cst.spval)
 
     def _write_netcdf(self, fileobj, data, mask, calendar, fields):
         """NetCDF-3 classic via scipy (reference io_netcdf ice_history_write

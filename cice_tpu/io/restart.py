@@ -83,14 +83,48 @@ def _read_restart_cdf1(path: str):
     return arrays, meta
 
 
+def _write_restart_h5(fileobj, arrays: dict, meta: dict) -> None:
+    """HDF5 restart body (reference restart_format='hdf5'; io_netcdf
+    ice_restart.F90 with nf90_netcdf4). Exact dtype round-trip is native —
+    HDF5 stores bools/int64 losslessly (no _NC3_CAST needed)."""
+    import h5py
+
+    with h5py.File(fileobj, "w") as f:
+        f.attrs["meta_json"] = json.dumps(meta)
+        for name, arr in arrays.items():
+            f.create_dataset(name, data=arr,
+                             **(dict(compression="gzip", compression_opts=1)
+                                if arr.ndim else {}))
+
+
+def _read_restart_h5(path: str):
+    import h5py
+
+    arrays = {}
+    with h5py.File(path, "r") as f:
+        meta = json.loads(f.attrs["meta_json"])
+        for name in f:
+            arrays[name] = np.asarray(f[name])
+    return arrays, meta
+
+
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def _is_hdf5(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(8) == _HDF5_MAGIC
+
+
 def write_restart(dirpath: str, state: State, calendar: Calendar,
                   pointer_file: str | None = None, *, prefix: str = "iced",
                   extra: dict | None = None, fmt: str = "npz",
                   writer=None) -> str:
     """Dump state to `<dirpath>/<prefix>.<timestamp>.{npz,nc}`; update pointer.
 
-    fmt: 'npz' (default, exact bytes) or 'cdf1' (netCDF-3 classic, the
-    io_netcdf ice_restart analogue). With `writer` (io.async_writer
+    fmt: 'npz' (default, exact bytes), 'cdf1' (netCDF-3 classic, the
+    io_netcdf ice_restart analogue) or 'hdf5' (netCDF-4/HDF5, deflated,
+    native exact dtypes). With `writer` (io.async_writer
     .AsyncWriter) the payload is queued to the native background pool and
     this returns immediately; call writer.flush() before reading it back.
     """
@@ -113,6 +147,13 @@ def write_restart(dirpath: str, state: State, calendar: Calendar,
         buf = SnapshotBytesIO()
         _write_restart_cdf1(buf, arrays, meta)
         payload = buf.value           # netcdf_file closed the buffer
+    elif fmt == "hdf5":
+        # netCDF-4/HDF5 restart (reference restart_format='hdf5'): native
+        # dtypes round-trip exactly, datasets gzip-deflated
+        fname = os.path.join(dirpath, f"{prefix}.{calendar.timestamp()}.nc")
+        buf = SnapshotBytesIO()
+        _write_restart_h5(buf, arrays, meta)
+        payload = buf.getvalue()
     else:
         fname = os.path.join(dirpath, f"{prefix}.{calendar.timestamp()}.npz")
         arrays["_meta"] = np.frombuffer(
@@ -138,7 +179,10 @@ def read_restart(path_or_pointer: str, template: State) -> Tuple[State, Calendar
     leaves, treedef = jax.tree.flatten(template)
     new_leaves = []
     if path.endswith(".nc"):
-        arrays, meta = _read_restart_cdf1(path)
+        # cdf1 and hdf5 restarts share the .nc suffix (as the reference's
+        # do); dispatch on the HDF5 magic bytes
+        arrays, meta = (_read_restart_h5(path) if _is_hdf5(path)
+                        else _read_restart_cdf1(path))
         for i, ref in enumerate(leaves):
             new_leaves.append(jax.numpy.asarray(arrays[f"leaf_{i}"],
                                                 dtype=ref.dtype))

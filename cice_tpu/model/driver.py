@@ -245,7 +245,8 @@ class Model:
         self.timers.start("History")
         if self.history is not None:
             self.history.accum(self.state, self.flux, self.forcing)
-            self.history.maybe_write(self.calendar)
+            self.history.maybe_write(self.calendar,
+                                     fmt=self.cfg.setup.history_format)
         if self.cfg.setup.diagfreq and \
                 self.calendar.istep % self.cfg.setup.diagfreq == 0:
             from .diagnostics import (check_state, print_points_state,
