@@ -462,15 +462,28 @@ def _gather4(f, offs, bc, loc, ftype):
     return [shift(f, dj, di, bc=bc, loc=loc, ftype=ftype) for (dj, di) in offs]
 
 
-@partial(jax.jit, static_argnames=("kind", "src", "dst"))
 def grid_average_X2Y(kind: str, work: jnp.ndarray, src: str, dst: str,
                      grid: Grid) -> jnp.ndarray:
-    """Average a field between staggered sub-grids.
+    """Average a field between staggered sub-grids (jit-cached for Grid
+    inputs; plane namespaces — e.g. the wide-halo local tiles — trace the
+    implementation inline).
 
     kind: 'S' masked area-weighted state average; 'A' unmasked area-weighted;
     'F' conservative flux average (reference semantics at
     ice_grid.F90:4159 X2YS / :4388 X2YA / :4616 X2YF).
     """
+    if isinstance(grid, Grid):
+        return _grid_average_jit(kind, work, src, dst, grid)
+    return _grid_average_impl(kind, work, src, dst, grid)
+
+
+@partial(jax.jit, static_argnames=("kind", "src", "dst"))
+def _grid_average_jit(kind, work, src, dst, grid):
+    return _grid_average_impl(kind, work, src, dst, grid)
+
+
+def _grid_average_impl(kind: str, work: jnp.ndarray, src: str, dst: str,
+                       grid) -> jnp.ndarray:
     if src == dst:
         return work
     bc = grid.bc

@@ -200,13 +200,19 @@ def visc_replpress(strength, DminArea, Delta, p: EvpParams):
     # p.capping is a trace-time Python float (0 or 1 from capping_method):
     # specialize to ONE division per call — visc_replpress runs at 4 corners
     # per subcycle, so this halves the EVP hot loop's divide count
+    # the 1e-30 floor is inert on real cells (DminArea = deltamin*tarea > 0
+    # everywhere, land included); it stops 0/0 NaNs on the zero-padded ghost
+    # ring of the wide-halo tiles, where C-grid viscosity averaging would
+    # leak them into interior cells
     if p.capping == 1.0:
-        tmp = strength / jnp.maximum(Delta, DminArea)
+        tmp = strength / jnp.maximum(jnp.maximum(Delta, DminArea), 1e-30)
     elif p.capping == 0.0:
-        tmp = strength / (Delta + DminArea)
+        tmp = strength / jnp.maximum(Delta + DminArea, 1e-30)
     else:
-        tmp = (p.capping * (strength / jnp.maximum(Delta, DminArea)) +
-               (1.0 - p.capping) * (strength / (Delta + DminArea)))
+        tmp = (p.capping * (strength /
+                            jnp.maximum(jnp.maximum(Delta, DminArea), 1e-30)) +
+               (1.0 - p.capping) * (strength /
+                                    jnp.maximum(Delta + DminArea, 1e-30)))
     zetax2 = (1.0 + p.Ktens) * tmp
     rep_prs = (1.0 - p.Ktens) * tmp * Delta
     etax2 = p.epp2i * zetax2

@@ -59,8 +59,13 @@ def strain_rates_T_c(grid: Grid, uvelE, vvelN):
     dxN_s = _shT(grid.dxN, -1, 0, bc)
     divT = (grid.dyE * uvelE - dyE_w * uE_w +
             grid.dxN * vvelN - dxN_s * vN_s)
-    tensionT = (grid.dyT ** 2 * (uvelE / grid.dyE - uE_w / jnp.maximum(dyE_w, 1.0)) -
-                grid.dxT ** 2 * (vvelN / grid.dxN - vN_s / jnp.maximum(dxN_s, 1.0)))
+    # all metric divisors max-guarded: real metrics are never 0, but the
+    # wide-halo path (parallel/evp_wide.py) evaluates this on zero-padded
+    # tiles where unguarded divides would mint NaNs in the ghost ring
+    tensionT = (grid.dyT ** 2 * (uvelE / jnp.maximum(grid.dyE, 1.0) -
+                                 uE_w / jnp.maximum(dyE_w, 1.0)) -
+                grid.dxT ** 2 * (vvelN / jnp.maximum(grid.dxN, 1.0) -
+                                 vN_s / jnp.maximum(dxN_s, 1.0)))
     return divT, tensionT
 
 
@@ -247,11 +252,13 @@ class CEvpState(NamedTuple):
     stress12U: jnp.ndarray
 
 
-def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
-                stresspT, stressmT, stress12U):
-    """C-grid EVP subcycle loop (ice_dyn_evp.F90:938-1101)."""
+def c_subcycle_step(grid, p: EvpParams, prep: CPrep, strength, DminTarea,
+                    st: CEvpState) -> CEvpState:
+    """One C-grid elastic subcycle (stress at T & U + E/N momentum) —
+    shared by the fori_loop solver below and the wide-halo shard_map path
+    (parallel/evp_wide.py). `grid` may be a Grid or a namespace of the
+    same plane attributes."""
     bc = grid.bc
-    DminTarea = p.deltaminEVP * grid.tarea
     c1m = 1.0 - p.arlx1i * p.revp
     a1, d1 = p.arlx1i, p.denom1
 
@@ -260,7 +267,7 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
     uarea_s = _shU(uarea, -1, 0, bc)
     uarea_sw = _shU(uarea, -1, -1, bc)
 
-    def body(_, st: CEvpState):
+    if True:   # single block (indentation preserved from the loop-body form)
         uvelE, vvelN = st.uvelE, st.vvelN
         # derived face/corner velocities (reference: grid_average per iter)
         vvelE = grid_average_X2Y("S", vvelN, "N", "E", grid)
@@ -276,7 +283,7 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
         shU_w = _shU(shearU, 0, -1, bc)
         shU_s = _shU(shearU, -1, 0, bc)
         shU_sw = _shU(shearU, -1, -1, bc)
-        den = uarea + uarea_w + uarea_s + uarea_sw
+        den = jnp.maximum(uarea + uarea_w + uarea_s + uarea_sw, 1.0)
         shearTsqr = (shearU ** 2 * uarea + shU_w ** 2 * uarea_w +
                      shU_s ** 2 * uarea_s + shU_sw ** 2 * uarea_sw) / den
         shearT = (shearU * uarea + shU_w * uarea_w +
@@ -299,7 +306,7 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
         ta_n = _shU(ta, 1, 0, bc)
         ta_ne = _shU(ta, 1, 1, bc)
         etax2U = (etax2T * ta + e_e * ta_e + e_n * ta_n + e_ne * ta_ne) / \
-            (ta + ta_e + ta_n + ta_ne)
+            jnp.maximum(ta + ta_e + ta_n + ta_ne, 1.0)
         s12U = (st.stress12U * c1m + a1 * 0.5 * etax2U * shearU) * d1
 
         # --- divergence of stress at E (x) and N (y) --------------------
@@ -312,8 +319,10 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
         earear = jnp.where(grid.earea > 0, 1.0 / jnp.maximum(grid.earea, 1.0), 0.0)
         strintxE = earear * (
             0.5 * grid.dyE * (spT_e - spT)
-            + (0.5 / grid.dyE) * (dyT_e ** 2 * smT_e - grid.dyT ** 2 * smT)
-            + (1.0 / grid.dxE) * (grid.dxU ** 2 * s12U - dxU_s ** 2 * s12_s))
+            + (0.5 / jnp.maximum(grid.dyE, 1.0)) *
+            (dyT_e ** 2 * smT_e - grid.dyT ** 2 * smT)
+            + (1.0 / jnp.maximum(grid.dxE, 1.0)) *
+            (grid.dxU ** 2 * s12U - dxU_s ** 2 * s12_s))
 
         # div_stress_Ny: strintyN
         spT_n = _shN(spT, 1, 0, bc, vec=False)
@@ -324,8 +333,10 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
         narear = jnp.where(grid.narea > 0, 1.0 / jnp.maximum(grid.narea, 1.0), 0.0)
         strintyN = narear * (
             0.5 * grid.dxN * (spT_n - spT)
-            - (0.5 / grid.dxN) * (dxT_n ** 2 * smT_n - grid.dxT ** 2 * smT)
-            + (1.0 / grid.dyN) * (grid.dyU ** 2 * s12U - dyU_w ** 2 * s12_w))
+            - (0.5 / jnp.maximum(grid.dxN, 1.0)) *
+            (dxT_n ** 2 * smT_n - grid.dxT ** 2 * smT)
+            + (1.0 / jnp.maximum(grid.dyN, 1.0)) *
+            (grid.dyU ** 2 * s12U - dyU_w ** 2 * s12_w))
 
         # --- momentum: u at E (stepu_C), v at N (stepv_C) ---------------
         # explicit transverse velocity via interpolation
@@ -358,11 +369,19 @@ def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
 
         return CEvpState(uE_new, vN_new, spT, smT, s12U)
 
+
+def evp_c_solve(grid: Grid, p: EvpParams, prep: CPrep, strength,
+                stresspT, stressmT, stress12U):
+    """C-grid EVP subcycle loop (ice_dyn_evp.F90:938-1101)."""
+    DminTarea = p.deltaminEVP * grid.tarea
     init = CEvpState(prep.uvelE_init, prep.vvelN_init,
                      jnp.where(prep.iceTmask, stresspT, 0.0),
                      jnp.where(prep.iceTmask, stressmT, 0.0),
                      stress12U)
-    final = jax.lax.fori_loop(0, p.ndte, body, init)
+    final = jax.lax.fori_loop(
+        0, p.ndte,
+        lambda _, st: c_subcycle_step(grid, p, prep, strength, DminTarea, st),
+        init)
 
     # B-grid-compatible corner velocity for transport/coupling
     uvelU = grid_average_X2Y("S", final.uvelE, "E", "U", grid)

@@ -454,9 +454,16 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                            vsno=state.vsno, uvelE=state.uvelE,
                            vvelN=state.vvelN, strairxT=strairx_T,
                            strairyT=strairy_T, uocn_T=fc.uocn, vocn_T=fc.vocn)
-        final, uU, vU = evp_c_solve(grid, p, prepc, strength,
-                                    state.stressp[0], state.stressm[0],
-                                    state.stress12[0])
+        if d.evp_algorithm == "wide_halo":
+            from ..parallel.evp_wide import evp_c_solve_wide
+            final, uU, vU = evp_c_solve_wide(
+                grid, p, prepc, strength, state.stressp[0],
+                state.stressm[0], state.stress12[0], mesh=ms.mesh,
+                k_fuse=d.evp_wide_k)
+        else:
+            final, uU, vU = evp_c_solve(grid, p, prepc, strength,
+                                        state.stressp[0], state.stressm[0],
+                                        state.stress12[0])
         # keep the T/U stress state in the 4-corner slots (slot 0 = C fields)
         sp = state.stressp.at[0].set(final.stresspT)
         sm = state.stressm.at[0].set(final.stressmT)

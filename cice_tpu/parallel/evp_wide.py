@@ -189,3 +189,107 @@ def evp_solve_wide(grid: Grid, p: EvpParams, prep: DynPrep, strength,
     Cb = prep.TbU / (jnp.sqrt(u ** 2 + v ** 2) + cst.u0)
     return (u, v, out[2:6], out[6:10], out[10:14], out[14], out[15],
             -u * Cb, -v * Cb)
+
+
+# ---------------------------------------------------------------------------
+# C-grid variant (BASELINE.json config 5: C-grid EVP scaling across hosts).
+# The reference C-grid loop exchanges FIVE halos per subcycle
+# (ice_dyn_evp.F90:938-1101 — uvelE, vvelN, T-stress, U-stress and the
+# interpolated velocities); the wide-halo trade is correspondingly larger.
+# ---------------------------------------------------------------------------
+
+# per-subcycle dependency radius of the C-grid update: velocity averages
+# (1) -> U strain rates (1) -> T shear average (1) -> U viscosity average
+# (1) -> stress divergence (1) + transverse momentum average (1) = 6 rings,
+# conservatively (tests pin correctness at several k)
+C_RADIUS = 6
+
+_C_GRID_PLANES = ("dxT", "dyT", "dxU", "dyU", "dxE", "dyE", "dxN", "dyN",
+                  "tarea", "uarea", "earea", "narea",
+                  "hm", "uvm", "npm", "epm")
+
+
+def evp_c_solve_wide(grid: Grid, p: EvpParams, prep, strength,
+                     stresspT, stressmT, stress12U, *, mesh,
+                     k_fuse: int = 4):
+    """Drop-in replacement for dynamics.evp_c.evp_c_solve running k_fuse
+    subcycles per halo exchange. Falls back to the GSPMD loop for tripole
+    seams or mesh=None."""
+    from ..dynamics.evp_c import (CEvpState, CPrep, c_subcycle_step,
+                                  evp_c_solve)
+    from ..core.grid import grid_average_X2Y
+
+    if grid.bc.tripole or mesh is None:
+        return evp_c_solve(grid, p, prep, strength, stresspT, stressmT,
+                           stress12U)
+
+    py, px = mesh.shape["Y"], mesh.shape["X"]
+    ny, nx = grid.shape
+    assert ny % py == 0 and nx % px == 0, (ny, nx, py, px)
+    ly, lx = ny // py, nx // px
+    k = max(1, min(k_fuse, p.ndte, (ly - 1) // C_RADIUS,
+                   (lx - 1) // C_RADIUS))
+    H = C_RADIUS * k
+
+    dtype = prep.uvelE_init.dtype
+    f = lambda x: x.astype(dtype)
+    n_prep = len(prep)
+    # trailing indicator plane: ones everywhere inside the global domain.
+    # After pad+exchange, halo cells filled from real neighbors carry 1 and
+    # beyond-global-edge cells carry ppermute's zero-fill — multiplying the
+    # state by it each subcycle pins those ghost cells at 0, exactly the
+    # global solver's shift() ghost semantics (the C-grid update, unlike
+    # the mask-guarded B-grid one, would otherwise evolve them).
+    const = jnp.stack(
+        [f(getattr(grid, nm)) for nm in _C_GRID_PLANES] +
+        [f(x) for x in prep] +
+        [f(strength), f(p.deltaminEVP * grid.tarea),
+         jnp.ones(grid.shape, dtype)])
+    state = jnp.stack([f(prep.uvelE_init), f(prep.vvelN_init),
+                       f(jnp.where(prep.iceTmask, stresspT, 0.0)),
+                       f(jnp.where(prep.iceTmask, stressmT, 0.0)),
+                       f(stress12U)])
+
+    bc_loc = BC(ew="open", ns="open")
+    exch = partial(halo_exchange, H=H, py=py, px=px,
+                   y_cyclic=grid.bc.y_cyclic, x_cyclic=grid.bc.x_cyclic)
+    n_full, rem = divmod(p.ndte, k)
+    ng = len(_C_GRID_PLANES)
+
+    def shard_body(c_loc, s_loc):
+        c = exch(jnp.pad(c_loc, ((0, 0), (H, H), (H, H))))
+        g = SimpleNamespace(bc=bc_loc,
+                            **{nm: c[i] for i, nm in
+                               enumerate(_C_GRID_PLANES)})
+        pl_ = list(c[ng:ng + n_prep])
+        for i, fld in enumerate(CPrep._fields):
+            if fld.startswith("ice"):          # bool masks ride as floats
+                pl_[i] = pl_[i] > 0.5
+        prep_l = CPrep(*pl_)
+        strength_l = c[ng + n_prep]
+        Dmin_l = c[ng + n_prep + 1]
+        ind = c[ng + n_prep + 2]
+
+        def chunk(s, nsub):
+            def body(_, st):
+                st = c_subcycle_step(g, p, prep_l, strength_l, Dmin_l, st)
+                # where, not multiply: a stray NaN minted in the dead ghost
+                # ring must not survive (NaN*0 = NaN)
+                return CEvpState(*(jnp.where(ind > 0, x, 0.0) for x in st))
+            st = jax.lax.fori_loop(0, nsub, body,
+                                   CEvpState(s[0], s[1], s[2], s[3], s[4]))
+            return jnp.stack(list(st))
+
+        s = jnp.pad(s_loc, ((0, 0), (H, H), (H, H)))
+        s = jax.lax.fori_loop(0, n_full, lambda i, s: chunk(exch(s), k), s)
+        if rem:
+            s = chunk(exch(s), rem)
+        return s[:, H:H + ly, H:H + lx]
+
+    spec = P(None, "Y", "X")
+    out = jax.shard_map(shard_body, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec)(const, state)
+    final = CEvpState(out[0], out[1], out[2], out[3], out[4])
+    uvelU = grid_average_X2Y("S", final.uvelE, "E", "U", grid)
+    vvelU = grid_average_X2Y("S", final.vvelN, "N", "U", grid)
+    return final, uvelU, vvelU
