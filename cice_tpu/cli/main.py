@@ -325,7 +325,14 @@ def cmd_run(args):
     m = Model(cfg, enable_history=args.history)
     n = args.steps if args.steps else None
     t0 = time.time()
-    m.run(n)
+    if getattr(args, "profile", None):
+        # SURVEY §5.1 TPU plan: jax profiler trace of the time loop alongside
+        # the phase-timer dict. View with tensorboard/xprof or perfetto.
+        import jax
+        with jax.profiler.trace(args.profile):
+            m.run(n)
+    else:
+        m.run(n)
     wall = time.time() - t0
     from ..model.diagnostics import runtime_diags
     d = {k: float(v) for k, v in runtime_diags(m.grid, m.state).items()}
@@ -611,6 +618,9 @@ def main(argv=None):
                        help="comma-separated option sets")
     p_run.add_argument("--set", action="append", metavar="KEY=VAL")
     p_run.add_argument("--history", action="store_true")
+    p_run.add_argument("--profile", metavar="DIR", default=None,
+                       help="write a jax.profiler trace of the time loop "
+                            "to DIR (tensorboard/perfetto viewable)")
     p_run.set_defaults(fn=cmd_run)
 
     p_case = sub.add_parser("case", help="create a case directory")
