@@ -1,19 +1,39 @@
 #!/usr/bin/env python
-"""Benchmark: EVP dynamics throughput at gx1 scale on the current backend.
+"""Benchmark: EVP dynamics + full coupled step throughput at gx1 scale.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: grid-point·subcycles per second of the full B-grid EVP dynamics step
-(stress + momentum + halo semantics) at gx1 size (ny=384, nx=320) with
-ndte=120 — the north-star metric from BASELINE.json / SURVEY.md §6.
+Primary metric: grid-point·subcycles per second of the full B-grid EVP
+dynamics solve (stress + momentum + halo semantics) at gx1 size
+(ny=384, nx=320, ndte=120) on a LAND-MASKED grid — the north-star metric
+from BASELINE.json / SURVEY.md §6.
 
-vs_baseline: ratio against a reference-proxy throughput for the same work.
-The reference publishes no absolute numbers (BASELINE.md); its perf_suite
-anchor is machine-relative. We anchor on the documented gx1 anchor
-configuration magnitude: 32 Fortran ranks at ~O(1) s per dynamics step
-⇒ ~1.5e7 pt·sub/s per 32-core node (derived from the perf_suite anchor
-shape: 320*384*120 ≈ 1.47e7 pt·sub per step at ~1 s/step).
+Measurement methodology (round-2 fix): STEADY-STATE device throughput.
+Round 1 timed each solve with a host block_until_ready per call; on the
+axon-tunnel backend the host completion notification for multi-ms
+computations lands on a ~25-30 ms polling backoff tier, so every blocked
+measurement of a >1 ms computation reads ~30 ms regardless of device
+time (measured: trivial op 0.1 ms blocked; EVP solve 35 ms blocked vs
+4.4 ms chained). A production run streams steps with no host sync, so
+the honest number is N device-side-chained solves / block once:
+that is what this benchmark reports. This reconciles VERDICT.md round-1
+weakness #1: the 189M (driver) and 480M (builder) numbers were both
+latency artifacts of the same real ~3.3G pt·sub/s device throughput.
+
+sol_fraction: measured / speed-of-light, where speed-of-light is the
+HBM-roofline time for the XLA subcycle loop's ideal working set:
+(26 const reads + 14 state reads + 14 state writes) f32 planes per
+subcycle streamed at full HBM bandwidth (v5e: 819 GB/s).
+
+vs_baseline: ratio against the reference-proxy throughput 1.47e7
+pt·sub/s (gx1 perf_suite anchor magnitude: 32 Fortran ranks at ~1 s per
+dynamics step; BASELINE.md — the reference publishes no absolute
+numbers).
+
+Also reported (extra JSON keys): full coupled model step (therm1/2 +
+EVP + remap transport + ridging + shortwave + OML — ice_step_mod.F90
+sequence) milliseconds and grid-points/s at gx1 size, steady-state.
 """
 
 import json
@@ -36,18 +56,42 @@ from cice_tpu.dynamics.evp import evp_solve
 
 REF_PROXY_PTSUB_PER_S = 1.47e7   # see module docstring
 
+# HBM bandwidth by device kind (GB/s); conservative public numbers
+HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0,
+            "TPU v5p": 2765.0, "TPU v6 lite": 1640.0}
 
-def main():
-    ny, nx = 384, 320            # gx1 dimensions (320x384 in CICE notation)
-    ndte = 120
+
+def device_bw_gbps():
+    kind = jax.devices()[0].device_kind
+    for k, v in HBM_GBPS.items():
+        if kind.startswith(k):
+            return v, kind
+    return 819.0, kind
+
+
+def chained(step, init, n):
+    """Steady-state: chain n device-side dependent calls, block once."""
+    out = step(init)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])  # warmup+compile
+    t0 = time.perf_counter()
+    cur = init
+    for _ in range(n):
+        cur = step(cur)
+    jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+    return (time.perf_counter() - t0) / n
+
+
+def bench_evp(ny, nx, ndte):
     cfg = Config().with_overrides(**{
         "grid.nx_global": nx, "grid.ny_global": ny,
         "dynamics.ndte": ndte, "dynamics.coriolis": "latitude",
     })
-    grid = rectgrid(nx, ny, kmt_type="none", dtype=jnp.float32)
+    # land-masked grid: 'default' closes the domain with coastline + island
+    grid = rectgrid(nx, ny, kmt_type="default", dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
     z = jnp.zeros(grid.shape, jnp.float32)
-    aice = jnp.clip(0.5 + 0.5 * jax.random.uniform(key, grid.shape), 0.0, 1.0)
+    tm = grid.tmask.astype(jnp.float32)
+    aice = jnp.clip(0.5 + 0.5 * jax.random.uniform(key, grid.shape), 0, 1) * tm
     vice = aice * 2.0
     prep = dyn_prep(grid, cfg.dynamics, cfg.setup.dt, aice=aice, vice=vice,
                     vsno=z, aiceU_prev_mask=jnp.zeros(grid.shape, bool),
@@ -58,28 +102,65 @@ def main():
                             aice, vice, cfg.dynamics)
     z3 = jnp.zeros((4,) + grid.shape, jnp.float32)
 
-    solve = jax.jit(lambda pr, st, u0, v0: evp_solve(
-        grid, p, pr, st, z3, z3, z3, uocn=u0, vocn=v0))
+    solve = jax.jit(lambda uv: evp_solve(
+        grid, p, prep, strength, z3, z3, z3, uocn=uv[0], vocn=uv[1])[:2])
+    dt_s = chained(solve, (z, z), n=20)
+    return dt_s, float(tm.mean())
 
-    def run_once():
-        out = solve(prep, strength, z, z)
-        jax.block_until_ready(out[0])
-        return out
 
-    # warmup/compile
-    run_once()
-    n_rep = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        run_once()
-    dt_s = (time.perf_counter() - t0) / n_rep
+def bench_coupled(ny, nx):
+    """Full coupled model step at gx1 size, steady-state."""
+    from cice_tpu.model.driver import Model
+    from cice_tpu.model.step import model_step
+    from cice_tpu.model.forcing import get_forcing
 
-    ptsub = ny * nx * ndte / dt_s
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": nx, "grid.ny_global": ny,
+        "grid.grid_format": "rect", "grid.kmt_type": "default",
+        "forcing.atm_data_type": "box2001",
+        "forcing.ocn_data_type": "box2001",
+        "dynamics.ndte": 120,
+    })
+    m = Model(cfg)
+    fc = get_forcing(cfg, m.grid, 0.0, 1.0, m.state.aice, m.forcing)
+    step = jax.jit(lambda s: model_step(m.static, m.grid, s, fc,
+                                        cfg.setup.dt)[0])
+    return chained(step, m.state, n=5)
+
+
+def main():
+    ny, nx = 384, 320            # gx1 dimensions (320x384 in CICE notation)
+    ndte = 120
+    bw_gbps, kind = device_bw_gbps()
+
+    dt_evp, ocean_frac = bench_evp(ny, nx, ndte)
+    ptsub = ny * nx * ndte / dt_evp
+
+    # HBM roofline: (26+14) reads + 14 writes f32 planes per subcycle
+    bytes_per_sub = 54 * ny * nx * 4.0
+    sol_ms = ndte * bytes_per_sub / (bw_gbps * 1e9) * 1e3
+    sol_fraction = sol_ms / (dt_evp * 1e3)
+
+    extras = {}
+    try:
+        dt_step = bench_coupled(ny, nx)
+        extras["coupled_step_ms"] = round(dt_step * 1e3, 2)
+        extras["coupled_step_pts_per_s"] = round(ny * nx / dt_step, 1)
+    except Exception as e:  # pragma: no cover - keep the primary metric alive
+        extras["coupled_step_error"] = f"{type(e).__name__}: {e}"[:200]
+
     result = {
         "metric": "evp_gx1_gridpoint_subcycles_per_s",
         "value": round(ptsub, 1),
         "unit": "pt*subcycle/s",
         "vs_baseline": round(ptsub / REF_PROXY_PTSUB_PER_S, 3),
+        "evp_ms_steady": round(dt_evp * 1e3, 3),
+        "sol_fraction": round(sol_fraction, 3),
+        "evp_algorithm": "xla_loop",
+        "ocean_fraction": round(ocean_frac, 3),
+        "device": kind,
+        "hbm_gbps_assumed": bw_gbps,
+        **extras,
     }
     print(json.dumps(result))
 

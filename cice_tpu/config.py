@@ -194,7 +194,13 @@ class DynamicsConfig:
     ssh_stress: str = "geostrophic" # 'geostrophic' | 'coupled'
     kridge: int = 1                 # 1 ridging on, -1 off
     ktransport: int = 1             # 1 transport on, -1 off
-    advection: str = "remap"        # 'remap' | 'upwind' | 'none'
+    advection: str = "remap"        # 'remap' (exact incremental remapping)
+                                    # | 'remap_q' (cheap quadrature variant)
+                                    # | 'vanleer' | 'upwind' | 'none'
+    l_dp_midpt: bool = True         # midpoint-corrected departure points
+                                    # (reference ice_transport_driver.F90:61)
+    monotonicity_check: bool = False  # remap tracer-bounds check w/ abort
+                                      # (reference l_monotonicity_check)
     # implicit (VP) solver — reference ice_dyn_vp.F90 namelist section
     maxits_nonlin: int = 10
     precond: str = "pgmres"         # 'pgmres' | 'diag' | 'ident'

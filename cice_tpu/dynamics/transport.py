@@ -51,16 +51,18 @@ def edge_velocities(grid: Grid, uvel, vvel, grid_ice: str = "B",
 # state <-> work packing driven by the tracer registry
 # ---------------------------------------------------------------------------
 
-def _weight_chain(spec, aicen, vicen, vsnon, trcrn):
-    """Weight for a tracer = dependency base × parent tracer values
-    (reference trcr_base/nt_strata semantics)."""
+def _weight_chain(spec, aicen, vicen, vsnon, trcrn, by_name=None):
+    """Weight for a tracer = dependency base × full parent tracer chain
+    (reference trcr_base/nt_strata stratified chains,
+    ice_transport_driver.F90:47-51): e.g. hpnd on level ice is weighted
+    by aicen*alvl*apnd."""
     base = {DEP_AICE: aicen, DEP_VICE: vicen, DEP_VSNO: vsnon}[spec.depend]
     w = base
     p = spec.parent
     while p is not None:
         # parent tracers are category-level (ncat, ny, nx)
         w = w * trcrn[p]
-        p = None  # single-level chains in current registry (apnd)
+        p = by_name[p].parent if by_name is not None else None
     return w
 
 
@@ -69,12 +71,13 @@ def state_to_work(state: State, registry) -> jnp.ndarray:
     one (narr, ny, nx) array (reference state_to_work)."""
     fields = [state.aice0]
     aicen, vicen, vsnon, trcrn = state.aicen, state.vicen, state.vsnon, state.trcrn
+    by_name = {s.name: s for s in registry}
     ncat = aicen.shape[0]
     for n in range(ncat):
         fields += [aicen[n], vicen[n], vsnon[n]]
         for spec in registry:
             w = _weight_chain(spec, aicen[n], vicen[n], vsnon[n],
-                              {k: v[n] for k, v in trcrn.items()})
+                              {k: v[n] for k, v in trcrn.items()}, by_name)
             t = trcrn[spec.name][n]
             if t.ndim == 3:  # (nl, ny, nx)
                 fields += [w * t[l] for l in range(t.shape[0])]
@@ -91,6 +94,7 @@ def work_to_state(work: jnp.ndarray, state: State, registry, tmask,
     except Tsfcn which resets to the freezing temperature Tf (reference
     compute_tracers default)."""
     ncat = state.aicen.shape[0]
+    by_name = {s.name: s for s in registry}
     k = 0
     aice0 = jnp.clip(work[k], 0.0, 1.0); k += 1
     del aice0  # aice0 is recomputed from 1 - sum(aicen); advected copy unused
@@ -103,7 +107,7 @@ def work_to_state(work: jnp.ndarray, state: State, registry, tmask,
         a_list.append(aicen); v_list.append(vicen); s_list.append(vsnon)
         cat_tr: Dict[str, jnp.ndarray] = {}
         for spec in registry:
-            w = _weight_chain(spec, aicen, vicen, vsnon, cat_tr)
+            w = _weight_chain(spec, aicen, vicen, vsnon, cat_tr, by_name)
             nl = state.trcrn[spec.name].shape[1] if state.trcrn[spec.name].ndim == 4 else 0
             if nl:
                 layers = []

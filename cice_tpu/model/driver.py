@@ -268,6 +268,34 @@ class Model:
                     raise FloatingPointError(
                         f"non-finite state at step {self.calendar.istep} "
                         f"(early checkpoint written)")
+                # transport safety rails (reference transport_remap
+                # conservation/monotonicity aborts,
+                # ice_transport_driver.F90:594-697; checked at diagfreq
+                # cadence to avoid a per-step host sync)
+                tc = getattr(self.flux, "transport_checks", None) or {}
+                if tc:
+                    import numpy as _np
+                    tol = 1e-9 if self.state.aice.dtype == jnp.float64 \
+                        else 1e-4
+                    cons = max(float(tc.get("cons_err_area", 0.0)),
+                               float(tc.get("cons_err_tracer", 0.0)))
+                    rec["transport_cons_err"] = cons
+                    bad = []
+                    if bool(tc.get("oob", False)):
+                        bad.append("departure points out of bounds")
+                    if bool(tc.get("neg_mass", False)):
+                        bad.append("negative mass after remap")
+                    if bool(tc.get("mono_violation", False)):
+                        bad.append("tracer monotonicity violation")
+                    if cons > tol:
+                        bad.append(f"global conservation error {cons:.3e}")
+                    if bad:
+                        self.write_restart()
+                        self.flush_io()
+                        raise RuntimeError(
+                            "transport check failed at step "
+                            f"{self.calendar.istep}: {'; '.join(bad)} "
+                            "(early checkpoint written)")
             if self.cfg.setup.print_points:
                 rec["points"] = print_points_state(
                     self.grid, self.state, self.cfg.setup.latpnt,

@@ -157,6 +157,9 @@ class FluxOut:
     # fsurfn_ai/fcondtopn_ai/flatn_ai/fsensn_ai/fmelttn_ai 3Dc history
     # sources, stored pre-weighted by the category area at flux time
     ncat_fluxes: dict
+    # transport safety-rail scalars (remap oob/neg-mass/monotonicity flags
+    # + conservation errors; reference ice_transport_driver checks w/ abort)
+    transport_checks: dict
 
     def replace(self, **kw) -> "FluxOut":
         return dataclasses.replace(self, **kw)
@@ -165,5 +168,6 @@ class FluxOut:
 def zeros_fluxout(shape, dtype=jnp.float32) -> FluxOut:
     z = lambda: jnp.zeros(shape, dtype)
     names = [f.name for f in dataclasses.fields(FluxOut)
-             if f.name != "ncat_fluxes"]
-    return FluxOut(ncat_fluxes={}, **{n: z() for n in names})
+             if f.name not in ("ncat_fluxes", "transport_checks")]
+    return FluxOut(ncat_fluxes={}, transport_checks={},
+                   **{n: z() for n in names})

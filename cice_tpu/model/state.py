@@ -56,7 +56,11 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         specs.append(TracerSpec("alvl", DEP_AICE))     # level-ice area frac
         specs.append(TracerSpec("vlvl", DEP_VICE))     # level-ice volume frac
     if t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl:
-        specs.append(TracerSpec("apnd", DEP_AICE))     # pond area fraction
+        # lvl ponds live on the level-ice fraction: transport weight is
+        # aicen*alvl (reference trcr_depend(nt_apnd) = 2+nt_alvl for
+        # tr_pond_lvl; plain area weight for topo/sealvl ponds)
+        apnd_parent = "alvl" if (t.tr_pond_lvl and t.tr_lvl) else None
+        specs.append(TracerSpec("apnd", DEP_AICE, parent=apnd_parent))
         specs.append(TracerSpec("hpnd", DEP_AICE, parent="apnd"))
         specs.append(TracerSpec("ipnd", DEP_AICE, parent="apnd"))  # lid depth
     if t.tr_snow:

@@ -629,18 +629,33 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # ndtd supercycling: the dynamics/transport/ridge sequence runs ndtd
     # times per thermo step at dt/ndtd (reference do k=1,ndtd loop,
     # CICE_RunMod.F90:287-322); ndtd is static so this unrolls at trace time
+    tchecks: dict = {}
     if cfg.dynamics.kdyn >= 1:
         dt_dyn = dt / max(cfg.setup.ndtd, 1)
         for _ in range(max(cfg.setup.ndtd, 1)):
             state, dyn = step_dyn_horiz(ms, grid, state, fc, strairx_T,
                                         strairy_T, dt_dyn)
             if cfg.dynamics.ktransport >= 1:
-                from ..dynamics.transport import transport_vanleer
-                advect = {"remap": transport_remap,
-                          "vanleer": transport_vanleer}.get(
-                              cfg.dynamics.advection, transport_upwind)
-                state = advect(grid, state, registry, fc.Tf, dt_dyn,
-                               grid_ice=cfg.grid.grid_ice)
+                if cfg.dynamics.advection == "remap":
+                    from ..dynamics.remap_exact import horizontal_remap_exact
+                    state, td = horizontal_remap_exact(
+                        grid, state, registry, fc.Tf, dt_dyn,
+                        grid_ice=cfg.grid.grid_ice,
+                        l_dp_midpt=cfg.dynamics.l_dp_midpt,
+                        conserv_check=cfg.setup.conserv_check,
+                        monotonicity_check=cfg.dynamics.monotonicity_check)
+                    for k, v in td.items():
+                        prev = tchecks.get(k)
+                        tchecks[k] = v if prev is None else \
+                            (prev | v if v.dtype == bool
+                             else jnp.maximum(prev, v))
+                else:
+                    from ..dynamics.transport import transport_vanleer
+                    advect = {"remap_q": transport_remap,
+                              "vanleer": transport_vanleer}.get(
+                                  cfg.dynamics.advection, transport_upwind)
+                    state = advect(grid, state, registry, fc.Tf, dt_dyn,
+                                   grid_ice=cfg.grid.grid_ice)
             if cfg.dynamics.kridge >= 1:
                 aicen, vicen, vsnon, trcrn, rdg = ridge_ice(
                     cfg, state.aicen, state.vicen, state.vsnon, state.trcrn,
@@ -721,6 +736,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],
         dardg1dt=dyn.get("dardg1dt", zf), dardg2dt=dyn.get("dardg2dt", zf),
         dvirdgdt=dyn.get("dvirdgdt", zf), opening=dyn.get("opening", zf),
+        transport_checks=tchecks,
         daidtt=daidtt, dvidtt=dvidtt,
         daidtd=(state.aice - aice_posttherm) / dt,
         dvidtd=(state.vice - vice_posttherm) / dt,
