@@ -195,13 +195,22 @@ def dyn_prep_c(grid: Grid, cfg_dyn, dt: float, *, aice, vice, vsno,
     uvelE = jnp.where(iceEmask, uvelE, 0.0)
     vvelN = jnp.where(iceNmask, vvelN, 0.0)
 
+    # landfast seabed stress at the faces (seabed_stress_factor_LKD for
+    # grid_ice C/CD)
+    if cfg_dyn.seabed_stress:
+        TbE = seabed_stress_LKD_face(grid, cfg_dyn, aice, vice, iceEmask, "E")
+        TbN = seabed_stress_LKD_face(grid, cfg_dyn, aice, vice, iceNmask, "N")
+    else:
+        TbE = jnp.zeros_like(aiE)
+        TbN = jnp.zeros_like(aiN)
+
     return CPrep(iceTmask=iceTmask, iceEmask=iceEmask, iceNmask=iceNmask,
                  aiE=aiE, aiN=aiN, emassdti=emassdti, nmassdti=nmassdti,
                  fmE=fmE, fmN=fmN, waterxE=waterxE, wateryN=wateryN,
                  forcexE=forcexE, forceyN=forceyN,
                  uocnE=uocnE, vocnE=vocnE, uocnN=uocnN, vocnN=vocnN,
                  uvelE_init=uvelE, vvelN_init=vvelN,
-                 TbE=jnp.zeros_like(aiE), TbN=jnp.zeros_like(aiN),
+                 TbE=TbE, TbN=TbN,
                  Cw=jnp.full_like(aiE, cst.dragio))
 
 
@@ -242,6 +251,140 @@ def dyn_prep_cd(grid: Grid, cfg_dyn, dt: float, prep: CPrep, *,
                        waterxN=waterxN,
                        vvelE_init=jnp.where(prep.iceEmask, vvelE, 0.0),
                        uvelN_init=jnp.where(prep.iceNmask, uvelN, 0.0))
+
+
+def c_stress_divergence(grid, spT, smT, s12U):
+    """strintxE / strintyN from the C-grid stress state
+    (div_stress_Ex / div_stress_Ny, ice_dyn_evp.F90:2195-2416)."""
+    bc = grid.bc
+    spT_e = _shE(spT, 0, 1, bc, vec=False)
+    smT_e = _shE(smT, 0, 1, bc, vec=False)
+    dyT_e = _shT(grid.dyT, 0, 1, bc)
+    s12_s = _shE(s12U, -1, 0, bc, vec=False)
+    dxU_s = _shT(grid.dxU, -1, 0, bc)
+    earear = jnp.where(grid.earea > 0, 1.0 / jnp.maximum(grid.earea, 1.0), 0.0)
+    strintxE = earear * (
+        0.5 * grid.dyE * (spT_e - spT)
+        + (0.5 / jnp.maximum(grid.dyE, 1.0)) *
+        (dyT_e ** 2 * smT_e - grid.dyT ** 2 * smT)
+        + (1.0 / jnp.maximum(grid.dxE, 1.0)) *
+        (grid.dxU ** 2 * s12U - dxU_s ** 2 * s12_s))
+
+    spT_n = _shN(spT, 1, 0, bc, vec=False)
+    smT_n = _shN(smT, 1, 0, bc, vec=False)
+    dxT_n = _shT(grid.dxT, 1, 0, bc)
+    s12_w = _shN(s12U, 0, -1, bc, vec=False)
+    dyU_w = _shT(grid.dyU, 0, -1, bc)
+    narear = jnp.where(grid.narea > 0, 1.0 / jnp.maximum(grid.narea, 1.0), 0.0)
+    strintyN = narear * (
+        0.5 * grid.dxN * (spT_n - spT)
+        - (0.5 / jnp.maximum(grid.dxN, 1.0)) *
+        (dxT_n ** 2 * smT_n - grid.dxT ** 2 * smT)
+        + (1.0 / jnp.maximum(grid.dyN, 1.0)) *
+        (grid.dyU ** 2 * s12U - dyU_w ** 2 * s12_w))
+    return strintxE, strintyN
+
+
+def deformations_C(grid: Grid, uvelE, vvelN, p: EvpParams):
+    """divu, shear, Delta at T points from C-grid strain rates (reference
+    deformationsC_T, ice_dyn_shared.F90:1968): T-point divergence/tension
+    plus area-averaged U-point shear."""
+    bc = grid.bc
+    vvelE = grid_average_X2Y("S", vvelN, "N", "E", grid)
+    uvelN = grid_average_X2Y("S", uvelE, "E", "N", grid)
+    uvelU = grid_average_X2Y("S", uvelE, "E", "U", grid)
+    vvelU = grid_average_X2Y("S", vvelN, "N", "U", grid)
+    divU, tenU, shearU = strain_rates_U_c(grid, uvelE, vvelE, uvelN,
+                                          vvelN, uvelU, vvelU)
+    divT, tensionT = strain_rates_T_c(grid, uvelE, vvelN)
+    uarea = grid.uarea
+    uarea_w = _shU(uarea, 0, -1, bc)
+    uarea_s = _shU(uarea, -1, 0, bc)
+    uarea_sw = _shU(uarea, -1, -1, bc)
+    den = jnp.maximum(uarea + uarea_w + uarea_s + uarea_sw, 1.0)
+    shearT = (shearU * uarea + _shU(shearU, 0, -1, bc) * uarea_w +
+              _shU(shearU, -1, 0, bc) * uarea_s +
+              _shU(shearU, -1, -1, bc) * uarea_sw) / den
+    tarear = grid.tarear
+    divu = divT * tarear
+    shear = jnp.sqrt(tensionT ** 2 + shearT ** 2) * tarear
+    Delta = jnp.sqrt(divT ** 2 + p.e_factor * (tensionT ** 2 +
+                                               shearT ** 2)) * tarear
+    return divu, shear, Delta
+
+
+def seabed_stress_LKD_face(grid: Grid, cfg_dyn, aice, vice, mask, face: str):
+    """Lemieux et al. landfast seabed stress factor at E or N points
+    (reference seabed_stress_factor_LKD at grid_ice C/CD: the two adjacent
+    T cells instead of the U point's four)."""
+    bc = grid.bc
+    offs = [(0, 0), (0, 1)] if face == "E" else [(0, 0), (1, 0)]
+    sh = lambda f, dj, di: _shT(f, dj, di, bc)
+    hw2 = [sh(grid.bathymetry, dj, di) for dj, di in offs]
+    hwf = jnp.min(jnp.stack([jnp.where(h > 0, h, 1e30) for h in hw2]), axis=0)
+    af = jnp.max(jnp.stack([sh(aice, dj, di) for dj, di in offs]), axis=0)
+    hf = jnp.max(jnp.stack([sh(vice, dj, di) for dj, di in offs]), axis=0)
+    docalc = (hwf < cfg_dyn.threshold_hw) & mask
+    hcf = af * hwf / cfg_dyn.k1
+    Tb = cfg_dyn.k2 * jnp.maximum(0.0, hf - hcf) * \
+        jnp.exp(-cfg_dyn.alphab * (1.0 - af))
+    return jnp.where(docalc, Tb, 0.0)
+
+
+def c_dyn_finish(grid: Grid, prep: CPrep, uvelE, vvelN, spT, smT, s12U,
+                 *, vvelE=None, uvelN=None, strintyE=None, strintxN=None):
+    """Post-subcycle coupler/diagnostic exports for C/CD grids (reference
+    ice_dyn_evp.F90:1380-1445 dyn_finish at E/N + strint U averages).
+
+    Returns a dict with U-point strintx/strinty, taubx/tauby and
+    strocnx/strocny (the same planes the B path exports), plus the native
+    E/N planes."""
+    # transverse velocities at the faces (C grid: interpolated)
+    if vvelE is None:
+        vvelE = grid_average_X2Y("S", vvelN, "N", "E", grid)
+    if uvelN is None:
+        uvelN = grid_average_X2Y("S", uvelE, "E", "N", grid)
+
+    strintxE, strintyN = c_stress_divergence(grid, spT, smT, s12U)
+
+    # seabed drag at the converged velocities (taub = -u*Cb; stepu_C tail)
+    CbE = prep.TbE / (jnp.sqrt(uvelE ** 2 + vvelE ** 2) + cst.u0)
+    CbN = prep.TbN / (jnp.sqrt(uvelN ** 2 + vvelN ** 2) + cst.u0)
+    taubxE = -uvelE * CbE
+    taubyN = -vvelN * CbN
+
+    # ice-ocean stress at the faces (dyn_finish, ice_dyn_shared.F90)
+    def strocn(u, v, uocn, vocn, ai, fm):
+        vrel = ai * cst.rhow * prep.Cw * jnp.sqrt((uocn - u) ** 2 +
+                                                  (vocn - v) ** 2)
+        sgn = jnp.sign(jnp.where(fm == 0, 1.0, fm))
+        sx = vrel * ((uocn - u) * cst.cosw - (vocn - v) * cst.sinw * sgn)
+        sy = vrel * ((vocn - v) * cst.cosw + (uocn - u) * cst.sinw * sgn)
+        return sx, sy
+
+    strocnxE, strocnyE = strocn(uvelE, vvelE, prep.uocnE, prep.vocnE,
+                                prep.aiE, prep.fmE)
+    strocnxN, strocnyN = strocn(uvelN, vvelN, prep.uocnN, prep.vocnN,
+                                prep.aiN, prep.fmN)
+
+    # U-point exports (grid_average_X2Y('S', E/N -> U), reference :1437-1444)
+    toU_E = lambda f: grid_average_X2Y("S", f, "E", "U", grid)
+    toU_N = lambda f: grid_average_X2Y("S", f, "N", "U", grid)
+    out = dict(
+        strintx=toU_E(strintxE), strinty=toU_N(strintyN),
+        taubx=toU_E(taubxE), tauby=toU_N(taubyN),
+        strocnx=toU_E(strocnxE), strocny=toU_N(strocnyN),
+        strintxE=strintxE, strintyN=strintyN,
+        taubxE=taubxE, taubyN=taubyN,
+        strocnxE=strocnxE, strocnyE=strocnyE,
+        strocnxN=strocnxN, strocnyN=strocnyN)
+    if strintyE is not None:
+        out["strinty"] = 0.5 * (out["strinty"] + toU_E(strintyE))
+        out["tauby"] = 0.5 * (out["tauby"] + toU_E(-vvelE * CbE))
+    if strintxN is not None:
+        out["strintx"] = 0.5 * (out["strintx"] + toU_N(strintxN))
+        out["taubx"] = 0.5 * (out["taubx"] + toU_N(-uvelN * CbN))
+    return out
 
 
 class CEvpState(NamedTuple):
@@ -310,33 +453,7 @@ def c_subcycle_step(grid, p: EvpParams, prep: CPrep, strength, DminTarea,
         s12U = (st.stress12U * c1m + a1 * 0.5 * etax2U * shearU) * d1
 
         # --- divergence of stress at E (x) and N (y) --------------------
-        # div_stress_Ex: strintxE (ice_dyn_evp.F90:2195)
-        spT_e = _shE(spT, 0, 1, bc, vec=False)
-        smT_e = _shE(smT, 0, 1, bc, vec=False)
-        dyT_e = _shT(grid.dyT, 0, 1, bc)
-        s12_s = _shE(s12U, -1, 0, bc, vec=False)
-        dxU_s = _shT(grid.dxU, -1, 0, bc)
-        earear = jnp.where(grid.earea > 0, 1.0 / jnp.maximum(grid.earea, 1.0), 0.0)
-        strintxE = earear * (
-            0.5 * grid.dyE * (spT_e - spT)
-            + (0.5 / jnp.maximum(grid.dyE, 1.0)) *
-            (dyT_e ** 2 * smT_e - grid.dyT ** 2 * smT)
-            + (1.0 / jnp.maximum(grid.dxE, 1.0)) *
-            (grid.dxU ** 2 * s12U - dxU_s ** 2 * s12_s))
-
-        # div_stress_Ny: strintyN
-        spT_n = _shN(spT, 1, 0, bc, vec=False)
-        smT_n = _shN(smT, 1, 0, bc, vec=False)
-        dxT_n = _shT(grid.dxT, 1, 0, bc)
-        s12_w = _shN(s12U, 0, -1, bc, vec=False)
-        dyU_w = _shT(grid.dyU, 0, -1, bc)
-        narear = jnp.where(grid.narea > 0, 1.0 / jnp.maximum(grid.narea, 1.0), 0.0)
-        strintyN = narear * (
-            0.5 * grid.dxN * (spT_n - spT)
-            - (0.5 / jnp.maximum(grid.dxN, 1.0)) *
-            (dxT_n ** 2 * smT_n - grid.dxT ** 2 * smT)
-            + (1.0 / jnp.maximum(grid.dyN, 1.0)) *
-            (grid.dyU ** 2 * s12U - dyU_w ** 2 * s12_w))
+        strintxE, strintyN = c_stress_divergence(grid, spT, smT, s12U)
 
         # --- momentum: u at E (stepu_C), v at N (stepv_C) ---------------
         # explicit transverse velocity via interpolation

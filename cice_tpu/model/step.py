@@ -437,14 +437,18 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         sm = state.stressm.at[0].set(final.stressmT).at[1].set(final.stressmU)
         s12 = state.stress12.at[0].set(final.stress12T).at[1].set(
             final.stress12U)
-        divu, shear, Delta = deformations_B(grid, uU, vU, p, dt)
+        from ..dynamics.evp_c import c_dyn_finish, deformations_C
+        divu, shear, Delta = deformations_C(grid, final.uvelE, final.vvelN, p)
         state = state.replace(uvel=uU, vvel=vU, uvelE=final.uvelE,
                               vvelE=final.vvelE, uvelN=final.uvelN,
                               vvelN=final.vvelN, stressp=sp, stressm=sm,
                               stress12=s12)
-        zero = jnp.zeros_like(uU)
-        return state, dict(strintx=zero, strinty=zero, taubx=zero,
-                           tauby=zero, strocnx=zero, strocny=zero,
+        fin = c_dyn_finish(grid, prepc, final.uvelE, final.vvelN,
+                           final.stresspT, final.stressmT, final.stress12U,
+                           vvelE=final.vvelE, uvelN=final.uvelN)
+        return state, dict(strintx=fin["strintx"], strinty=fin["strinty"],
+                           taubx=fin["taubx"], tauby=fin["tauby"],
+                           strocnx=fin["strocnx"], strocny=fin["strocny"],
                            divu=divu, shear=shear, Delta=Delta,
                            strength=strength)
 
@@ -468,13 +472,16 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         sp = state.stressp.at[0].set(final.stresspT)
         sm = state.stressm.at[0].set(final.stressmT)
         s12 = state.stress12.at[0].set(final.stress12U)
-        divu, shear, Delta = deformations_B(grid, uU, vU, p, dt)
+        from ..dynamics.evp_c import c_dyn_finish, deformations_C
+        divu, shear, Delta = deformations_C(grid, final.uvelE, final.vvelN, p)
         state = state.replace(uvel=uU, vvel=vU, uvelE=final.uvelE,
                               vvelN=final.vvelN, stressp=sp, stressm=sm,
                               stress12=s12)
-        zero = jnp.zeros_like(uU)
-        return state, dict(strintx=zero, strinty=zero, taubx=zero,
-                           tauby=zero, strocnx=zero, strocny=zero,
+        fin = c_dyn_finish(grid, prepc, final.uvelE, final.vvelN,
+                           final.stresspT, final.stressmT, final.stress12U)
+        return state, dict(strintx=fin["strintx"], strinty=fin["strinty"],
+                           taubx=fin["taubx"], tauby=fin["tauby"],
+                           strocnx=fin["strocnx"], strocny=fin["strocny"],
                            divu=divu, shear=shear, Delta=Delta,
                            strength=strength)
 

@@ -140,3 +140,37 @@ def test_cdgrid_end_to_end_step():
     assert np.isfinite(np.asarray(m.state.uvelE)).all()
     assert np.isfinite(np.asarray(m.state.vvelE)).all()
     assert np.isfinite(np.asarray(m.state.aice)).all()
+
+
+def test_c_grid_coupler_exports_nonzero():
+    """C-grid coupled step exports nonzero ocean stress / internal stress /
+    (diagnostic) deformation fields (reference ice_dyn_evp.F90:938-1445
+    dyn_finish + strint averages; round-1 gap: these were zeroed)."""
+    from cice_tpu.config import box2001_config
+    from cice_tpu.model.driver import Model
+    for gi in ("C", "CD"):
+        c = box2001_config(20, 20).with_overrides(**{"grid.grid_ice": gi})
+        m = Model(c)
+        m.run(2)
+        fx = m.flux
+        for name in ("strocnx", "strocny", "strintx", "divu"):
+            v = np.asarray(getattr(fx, name))
+            assert np.isfinite(v).all(), (gi, name)
+            assert np.abs(v).max() > 0.0, (gi, name)
+
+
+def test_c_dyn_finish_free_drift_ocean_stress():
+    """In near-free-drift the exported ocean stress balances the wind
+    stress (momentum budget: strair + strocn ~ 0 at steady state)."""
+    from cice_tpu.dynamics.evp_c import c_dyn_finish
+    cfg, grid, prep, p, strength = _setup(strength_scale=1e-12, ndte=600)
+    z = jnp.zeros(grid.shape)
+    final, uU, vU = evp_c_solve(grid, p, prep, strength, z, z, z)
+    fin = c_dyn_finish(grid, prep, final.uvelE, final.vvelN,
+                       final.stresspT, final.stressmT, final.stress12U)
+    interior = np.s_[8:-8, 8:-8]
+    sx = np.asarray(fin["strocnxE"])[interior]
+    aiE = np.asarray(prep.aiE)[interior]
+    # wind stress 0.15 N/m^2 at aice=0.9: per-unit-ice-area balance
+    bal = sx + 0.15
+    assert np.abs(bal).max() < 0.15 * 0.2 + 1e-3
