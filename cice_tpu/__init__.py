@@ -8,6 +8,26 @@ restart, diagnostics), built for TPU meshes: global-array state sharded with
 stencils.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache for every entry point (CLI, bench,
+# driver): whole-model-step compiles at production grid sizes take minutes
+# on CPU; caching them across processes is what keeps suites inside a CI
+# budget. Opt out with CICE_TPU_NO_JIT_CACHE=1; redirect with
+# JAX_COMPILATION_CACHE_DIR (which jax itself honors).
+# Some PJRT plugins (e.g. the axon TPU tunnel) register themselves even when
+# JAX_PLATFORMS requests another backend; mirror the env var into the config
+# knob so `JAX_PLATFORMS=cpu python -m cice_tpu ...` is actually honored.
+if _os.environ.get("JAX_PLATFORMS"):
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
+if not _os.environ.get("CICE_TPU_NO_JIT_CACHE"):
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 from .config import Config, box2001_config, gx3_config
 from .calendar import Calendar
 from .core.grid import Grid, make_grid, rectgrid, latlon_grid, grid_average_X2Y

@@ -157,6 +157,7 @@ class Calendar:
 
 def npt_to_steps(npt: int, npt_unit: str, dt: float, cal: Calendar) -> int:
     """Convert a run length in npt_unit to a number of dt steps."""
+    npt_unit = str(npt_unit)     # '--set setup.npt_unit=1' parses as int
     if npt_unit == "1":
         return npt
     if npt_unit == "s":

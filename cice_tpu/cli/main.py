@@ -84,12 +84,62 @@ OPTION_SETS = {
     # grid files plug in via grid.grid_format='pop_nc' + paths)
     "gx3": {"grid.nx_global": 100, "grid.ny_global": 116},
     "gx1": {"grid.nx_global": 320, "grid.ny_global": 384},
+    # --- BASELINE config matrix: format-true POP fixture grids + file
+    # forcing (io.fixtures; "{FIX}" resolves to the fixture cache root).
+    # These are the five BASELINE.json configs as runnable option sets.
+    "gx3pop": {"grid.nx_global": 100, "grid.ny_global": 116,
+               "grid.grid_format": "pop_bin",
+               "grid.grid_type": "displaced_pole",
+               "grid.grid_file": "{FIX}/grids/gx3_grid.bin",
+               "grid.kmt_file": "{FIX}/grids/gx3_kmt.bin",
+               "grid.ew_boundary_type": "cyclic",
+               "forcing.atm_data_type": "ncar",
+               "forcing.atm_data_dir": "{FIX}/forcing/gx3",
+               "forcing.ocn_data_type": "clim",
+               "forcing.ocn_data_dir": "{FIX}/forcing/gx3",
+               "dynamics.seabed_stress": True,
+               "setup.npt_unit": "d", "setup.npt": 5,
+               "setup.dumpfreq": "d", "setup.diagfreq": 6,
+               "setup.histfreq": ("d", "x", "x", "x", "x")},
+    "gx1pop": {"grid.nx_global": 320, "grid.ny_global": 384,
+               "grid.grid_format": "pop_bin",
+               "grid.grid_type": "displaced_pole",
+               "grid.grid_file": "{FIX}/grids/gx1_grid.bin",
+               "grid.kmt_file": "{FIX}/grids/gx1_kmt.bin",
+               "grid.ew_boundary_type": "cyclic",
+               # JRA55 3-hourly file forcing; the fixture materializes
+               # records 0..55, so start on day 2 (no pre-record-0 reads)
+               "forcing.atm_data_type": "jra55",
+               "forcing.atm_data_dir": "{FIX}/forcing/gx1",
+               "forcing.ocn_data_type": "clim",
+               "forcing.ocn_data_dir": "{FIX}/forcing/gx1",
+               "setup.day_init": 2,
+               "dynamics.seabed_stress": True,
+               "setup.npt_unit": "d", "setup.npt": 5,
+               "setup.dumpfreq": "d", "setup.diagfreq": 12,
+               "setup.histfreq": ("d", "x", "x", "x", "x")},
+    "tx1pop": {"grid.nx_global": 360, "grid.ny_global": 240,
+               "grid.grid_format": "pop_bin", "grid.grid_type": "tripole",
+               "grid.grid_file": "{FIX}/grids/tx1_grid.bin",
+               "grid.kmt_file": "{FIX}/grids/tx1_kmt.bin",
+               "grid.ew_boundary_type": "cyclic",
+               "grid.ns_boundary_type": "tripole",
+               "forcing.atm_data_type": "ncar",
+               "forcing.atm_data_dir": "{FIX}/forcing/tx1",
+               "forcing.ocn_data_type": "clim",
+               "forcing.ocn_data_dir": "{FIX}/forcing/tx1",
+               "dynamics.seabed_stress": True,
+               "setup.npt_unit": "d", "setup.npt": 5,
+               "setup.dumpfreq": "d", "setup.diagfreq": 6,
+               "setup.histfreq": ("d", "x", "x", "x", "x")},
     "iopio": {"setup.restart_format": "pio"},
     "diag1": {"setup.diagfreq": 1},
     "histinst": {"setup.hist_avg": False},
     "histdaily": {"setup.histfreq": ("d", "x", "x", "x", "x")},
     "dumpd": {"setup.dumpfreq": "d"},
     "run10day": {"setup.npt_unit": "d", "setup.npt": 10},
+    "day1": {"setup.npt_unit": "d", "setup.npt": 1},
+    "hours3": {"setup.npt_unit": "1", "setup.npt": 3},
     "run1year": {"setup.npt_unit": "y", "setup.npt": 1},
     "prescribed": {"setup.prescribed_ice": True, "dynamics.kdyn": 0},
     "ktherm1": {"thermo.ktherm": 1},
@@ -306,6 +356,20 @@ def _parse_sets(pairs):
     return out
 
 
+def _resolve_fixtures(overrides: dict) -> dict:
+    """Substitute the '{FIX}' placeholder with the fixture cache root,
+    materializing the BASELINE fixture files on first use (io.fixtures)."""
+    if not any(isinstance(v, str) and "{FIX}" in v
+               for v in overrides.values()):
+        return overrides
+    from ..io.fixtures import ensure_baseline_fixtures, fixtures_root
+    ensure_baseline_fixtures()
+    root = fixtures_root()
+    return {k: (v.replace("{FIX}", root)
+                if isinstance(v, str) and "{FIX}" in v else v)
+            for k, v in overrides.items()}
+
+
 def build_config(args):
     from ..config import Config
     cfg = Config()
@@ -314,8 +378,8 @@ def build_config(args):
             if opt not in OPTION_SETS:
                 sys.exit(f"unknown option set '{opt}' "
                          f"(available: {', '.join(OPTION_SETS)})")
-            cfg = cfg.with_overrides(**OPTION_SETS[opt])
-    cfg = cfg.with_overrides(**_parse_sets(args.set))
+            cfg = cfg.with_overrides(**_resolve_fixtures(OPTION_SETS[opt]))
+    cfg = cfg.with_overrides(**_resolve_fixtures(_parse_sets(args.set)))
     return cfg
 
 
@@ -499,7 +563,38 @@ def _test_restart(cfg) -> bool:
     return True
 
 
+def _test_baseline(cfg, label="baseline") -> bool:
+    """Full-length coupled run of a BASELINE config (grid files + file
+    forcing + history + restart), with the per-step diagnostics series
+    archived under {FIX}/baselines/ — the comparelog-style oracle for the
+    five BASELINE.json configs (run via `suite --name baseline`)."""
+    import numpy as np
+    from ..io.fixtures import fixtures_root
+    from ..model.diagnostics import runtime_diags
+    from ..model.driver import Model
+    m = Model(cfg, enable_history=True)
+    m.run()
+    d = {k: float(v) for k, v in runtime_diags(m.grid, m.state).items()}
+    ok = bool(np.isfinite(np.asarray(m.state.vice)).all())
+    ok &= float(m.state.aice.max()) <= 1.0 + 1e-6
+    # a 5-day global run must carry ice in both hemispheres
+    ok &= d.get("extent_nh", 0.0) > 0.0 and d.get("extent_sh", 0.0) > 0.0
+    bdir = os.path.join(fixtures_root(), "baselines")
+    os.makedirs(bdir, exist_ok=True)
+    with open(os.path.join(bdir, f"{label}.json"), "w") as f:
+        json.dump({"final": d, "series": m.diag_log,
+                   "timers": {k: round(float(v), 2)
+                              for k, v in m.timers.items()}}, f)
+    print(f"    {label}: steps={m.calendar.istep} "
+          f"extent_nh={d.get('extent_nh', 0):.3e} "
+          f"extent_sh={d.get('extent_sh', 0):.3e} "
+          f"archived -> {bdir}/{label}.json")
+    return ok
+
+
 def _default_test_cfg(args, cfg):
+    if getattr(args, "type", None) == "baseline" or cfg.grid.grid_file:
+        return cfg          # BASELINE configs run at their true size
     if not args.set or not any("nx_global" in s for s in args.set):
         cfg = cfg.with_overrides(**{
             "grid.nx_global": 32, "grid.ny_global": 32,
@@ -536,9 +631,12 @@ def cmd_test(args):
         for i, k, va, vb in errs[:10]:
             print(f"    step {i} {k}: baseline {va!r} vs run {vb!r}")
         return 0 if not errs else 1
-    fn = {"smoke": _test_smoke, "restart": _test_restart,
-          "decomp": _test_decomp}[args.type]
-    ok = fn(cfg)
+    if args.type == "baseline":
+        ok = _test_baseline(cfg, label=(args.opts or "base").replace(",", "+"))
+    else:
+        fn = {"smoke": _test_smoke, "restart": _test_restart,
+              "decomp": _test_decomp}[args.type]
+        ok = fn(cfg)
     verdict = "PASS" if ok else "FAIL"
     print(f"{verdict} test_{args.type} ({time.time()-t0:.1f}s)")
     return 0 if ok else 1
@@ -569,6 +667,23 @@ SUITES = {
                ("smoke", "pondsealvl"), ("smoke", "snwgrain"),
                ("smoke", "fsd12"), ("smoke", "saltflux"),
                ("smoke", "congel")],
+    # --- the five BASELINE.json configs, end-to-end at production size ---
+    # 1. gx3 displaced-pole 5-day smoke (EVP + mushy, NCAR bulk + ocean clim)
+    # 2. gx1 displaced-pole 5-day (EVP + incremental remap, JRA55 3-hourly)
+    # 3. tx1 tripole (seam fold + land mask, NCAR)
+    # 4. gx1 implicit VP (Picard + FGMRES) in place of EVP
+    # 5. gx1 C-grid EVP
+    "baseline": [("baseline", "gx3pop"), ("baseline", "gx1pop"),
+                 ("baseline", "tx1pop"), ("baseline", "gx1pop,dynpicard"),
+                 ("baseline", "gx1pop,gridc")],
+    # CI-budget variant: the gx3 config runs its full 5 days; the gx1/tx1
+    # rows exercise the same configs end-to-end with shortened clocks
+    # (CPU runners spend ~45 s/step at gx1 — the 5-day versions are the
+    # TPU-side `suite --name baseline`)
+    "baseline_ci": [("baseline", "gx3pop"), ("baseline", "gx1pop,hours3"),
+                    ("baseline", "tx1pop,day1"),
+                    ("baseline", "gx1pop,dynpicard,hours3"),
+                    ("baseline", "gx1pop,gridc,hours3")],
 }
 
 
@@ -630,7 +745,8 @@ def main(argv=None):
     p_case.set_defaults(fn=cmd_case)
 
     p_test = sub.add_parser("test", help="run a single test")
-    p_test.add_argument("--type", choices=["smoke", "restart", "decomp"],
+    p_test.add_argument("--type", choices=["smoke", "restart", "decomp",
+                                           "baseline"],
                         default="smoke")
     p_test.add_argument("--opts", "-s", default="")
     p_test.add_argument("--set", action="append", metavar="KEY=VAL")

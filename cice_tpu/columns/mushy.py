@@ -147,9 +147,7 @@ def eff_heat_capacity_mush(T, T0, S):
     dq = (dphi * (enthalpy_brine(Tn) - enthalpy_solid(Tn))
           + phi * RHO_WATER * CP_WATER
           + (1.0 - phi) * cst.rhoi * cst.cp_ice)
-    # secant stabilization as in BL99 (use T*T0 pairing via latent part)
-    latent_secant = cst.rhoi * cst.Lfresh * 0.0 * (Tn - T0n)
-    del latent_secant
+    del T0n   # secant pairing unused: dq/dT of the exact branch suffices
     return jnp.maximum(dq / cst.rhoi, 0.1 * cst.cp_ice)
 
 
@@ -169,41 +167,98 @@ def new_ice_enthalpy_salinity(Tbot, sss, phi_init):
 # gravity drainage (prognostic salinity evolution)
 # ---------------------------------------------------------------------------
 
-def drain_salinity(cfg_th, dt, *, S_layers, T_layers, hilyr, sss, nilyr):
-    """Two-mode gravity drainage (Turner & Hunke 2015, parameterized):
+# Convective-flux efficiency of mushy-layer chimney convection: the
+# dimensionless brine flux above onset grows linearly in the supercriticality,
+# F ~ alpha*(Ra - Rac), with alpha = O(0.03) from steady-chimney solutions
+# (Rees Jones & Worster 2014, JFM 742; same law underlies the Griewank &
+# Notz 2013 1-D convection parameterization). The marginal-stability
+# consequence — growing ice self-regulates its bulk salinity so that the
+# local Ra hovers at Rac — is the observed behavior (Notz & Worster 2009)
+# and is asserted by tests/test_mushy.py.
+ALPHA_CONV = 0.03
+A_CHANNEL_REF = 0.5e-3      # reference brine-channel diameter (m) — the
+                            # Icepack default a_rapid_mode; Poiseuille
+                            # throughput scales as (a/a_ref)^2 per channel
+                            # at fixed channel density
 
-    - rapid mode: where the local mush Rayleigh number exceeds
-      `Rac_rapid_mode`, convective overturning desalinates the layer with a
-      rate scaled by `a_rapid_mode` (convective-channel geometry via
-      `aspect_rapid_mode`).
-    - slow mode: where the liquid fraction exceeds `phi_c_slow_mode`,
-      background desalination at `dSdt_slow_mode` (fractional rate).
+
+def drain_salinity(cfg_th, dt, *, S_layers, T_layers, hilyr, sss, nilyr):
+    """Two-mode convective gravity drainage — prognostic bulk-salinity
+    evolution of the mushy layer (reference icepack_therm_mushy.F90 gravity
+    drainage; Turner, Hunke & Elliott 2013 two-mode parameterization).
+
+    Rapid mode (brine-channel convection). For each layer k the local mush
+    Rayleigh number is measured over the column from the layer midpoint to
+    the ice base (Notz & Worster 2009):
+
+        Ra_k = g beta (S_br,k - S_sw) Pi_min,k L_k / (kappa nu)
+
+    with Pi(phi) the Freitag (1999) cubic percolation permeability and
+    Pi_min,k its minimum over the layers below k (the flow bottleneck).
+    Where Ra_k exceeds Rac (`Rac_rapid_mode`), chimney convection flushes
+    the pore space: ocean water (S_sw) enters through the mush while layer
+    brine (S_br,k) leaves down the channels. The Darcy flushing velocity
+    follows the linear supercriticality flux law of steady-chimney theory,
+
+        w_k = ALPHA_CONV (a/a_ref)^2 / lambda^2 * kappa (Ra_k - Rac) / L_k
+
+    (a = `a_rapid_mode` channel diameter: per-channel Poiseuille throughput
+    ~ a^2 at fixed density; lambda = `aspect_rapid_mode` channel-spacing
+    aspect ratio: channel density ~ 1/lambda^2). Pore-brine replacement at
+    Darcy flux w changes bulk salinity (S = phi S_br) at
+
+        dS_k/dt = (w_k / dz) (phi_k S_sw - S_k)
+
+    which is exactly conservative against the ocean reservoir and
+    self-limiting: as S drops, Ra_k falls back to Rac and convection shuts
+    off (marginal stability).
+
+    Slow mode. Below the convective threshold, residual drainage continues
+    wherever the mush stays permeable (phi > `phi_c_slow_mode`) at the
+    constant Darcy velocity |`dSdt_slow_mode`| (m/s) — the reference's
+    long-term background desalination of maturing ice.
+
+    Enthalpy advection by the drained brine is neglected (phase equilibrium
+    is re-established by the implicit solve each step; the associated heat
+    flux is O(w rho c dT) ~ 0.1 W/m^2 at peak drainage).
 
     Returns (new S layers list, fsalt_drain [kg/m^2/s to ocean]).
     """
+    # permeability bottleneck: running minimum from the base upward
+    phi_l = [liquid_fraction(T_layers[k], S_layers[k]) for k in range(nilyr)]
+    perm = [PERM_A * (jnp.maximum(phi_l[k] - PHI_PERC, 0.0) /
+                      (1.0 - PHI_PERC)) ** 3 for k in range(nilyr)]
+    perm_min = [None] * nilyr
+    running = perm[nilyr - 1]
+    for k in range(nilyr - 1, -1, -1):
+        running = jnp.minimum(running, perm[k])
+        perm_min[k] = running
+
+    geom = (cfg_th.a_rapid_mode / A_CHANNEL_REF) ** 2 / \
+        max(cfg_th.aspect_rapid_mode, 1e-8) ** 2
+    w_slow0 = jnp.abs(jnp.asarray(cfg_th.dSdt_slow_mode))
+
     fsalt = jnp.zeros_like(S_layers[0])
     S_out = []
     for k in range(nilyr):
         S = S_layers[k]
         T = T_layers[k]
-        phi = liquid_fraction(T, S)
+        phi = phi_l[k]
         Sbr = liquidus_brine_salinity(T)
-        # distance from layer midpoint to the ice base
-        z_bot = hilyr * (nilyr - k - 0.5)
-        perm = PERM_A * (jnp.maximum(phi - PHI_PERC, 0.0) /
-                         (1.0 - PHI_PERC)) ** 3
-        Ra = (GRAV * BETA_S * jnp.maximum(Sbr - sss, 0.0) * perm * z_bot /
+        L = jnp.maximum(hilyr * (nilyr - k - 0.5), 1e-6)   # midpoint->base
+        Ra = (GRAV * BETA_S * jnp.maximum(Sbr - sss, 0.0) * perm_min[k] * L /
               (KAPPA_T * NU_BRINE))
-        # rapid mode: relax brine salinity toward the stable (ocean) value
         super_c = jnp.maximum(Ra - cfg_th.Rac_rapid_mode, 0.0)
-        rate_rapid = (cfg_th.a_rapid_mode / 0.5e-3) * 1.0e-5 * \
-            cfg_th.aspect_rapid_mode * super_c / (super_c + cfg_th.Rac_rapid_mode)
-        dS_rapid = rate_rapid * dt * jnp.maximum(S - (1.0 - 0.0) * phi * sss, 0.0)
-        # slow mode: fractional desalination where mush is permeable
-        slow_on = (phi > cfg_th.phi_c_slow_mode).astype(S.dtype)
-        dS_slow = -cfg_th.dSdt_slow_mode * dt * slow_on * S / 5.0e-8 * 1.0e-8 \
-            if cfg_th.dSdt_slow_mode < 0 else jnp.zeros_like(S)
-        dS = jnp.clip(dS_rapid + dS_slow, 0.0, jnp.maximum(S - 0.5, 0.0))
+        w_rapid = ALPHA_CONV * geom * KAPPA_T * super_c / L
+        slow_on = ((phi > cfg_th.phi_c_slow_mode) &
+                   (Sbr > sss)).astype(S.dtype)
+        w = w_rapid + w_slow0 * slow_on
+        # pore flushing toward the ocean-equilibrated bulk salinity
+        # phi*S_sw; exponential-form update keeps the step monotone and
+        # unconditionally stable for any w*dt/dz
+        dz = jnp.maximum(hilyr, 1e-6)
+        f_flush = 1.0 - jnp.exp(-w * dt / dz)
+        dS = f_flush * jnp.maximum(S - phi * sss, 0.0)
         S_out.append(S - dS)
         fsalt = fsalt + dS * 1e-3 * cst.rhoi * hilyr / dt
     return S_out, fsalt

@@ -411,6 +411,7 @@ class ForcingConfig:
     fyear_init: int = 2005
     ycycle: int = 1
     calc_strair: bool = True
+    rotate_wind: bool = True        # rotate file-forcing vectors geo->grid
     highfreq: bool = False
     natmiter: int = 5               # iterations for atm boundary layer stability
     atmiter_conv: float = 0.0

@@ -112,49 +112,65 @@ def fgmres(matvec, b, x0, M, dim: int, restarts: int = 1,
     residual is already below reltol*|r_0| leave x unchanged — the static
     equivalent of the reference's tolerance exit.
     """
+    # Stacked-buffer Arnoldi under lax.fori_loop: the traced graph size is
+    # O(1) in `dim` and `restarts` (one Arnoldi body + one cycle body), so
+    # the reference's default dim_fgmres=50 compiles in seconds where a
+    # python-unrolled Krylov loop exploded XLA compile time at gx1 scale.
     eps = 1e-30
-    x = x0
-    beta0 = None
-    active = None
-    for _ in range(restarts):
-        r = _add(b, matvec(x), -1.0)
-        beta = jnp.sqrt(_dot(r, r))
-        if beta0 is None:
-            beta0 = beta
-            active = jnp.asarray(True)
-        elif reltol > 0.0:
-            active = active & (beta > reltol * beta0)
-        V = [_scale(r, 1.0 / jnp.maximum(beta, eps))]
-        Z = []
-        Hcols = []
-        for j in range(dim):
-            z = M(V[j])
-            w = matvec(z)
-            h = []
-            if ortho == "cgs":
-                hs = [_dot(w, V[i]) for i in range(j + 1)]
-                for i in range(j + 1):
-                    w = _add(w, V[i], -hs[i])
-                h = hs
-            else:  # modified Gram-Schmidt
-                for i in range(j + 1):
-                    hij = _dot(w, V[i])
-                    w = _add(w, V[i], -hij)
-                    h.append(hij)
-            hlast = jnp.sqrt(_dot(w, w))
-            V.append(_scale(w, 1.0 / jnp.maximum(hlast, eps)))
-            Z.append(z)
-            Hcols.append(h + [hlast])
-        # assemble the small Hessenberg system and solve the LS problem
-        H = jnp.zeros((dim + 1, dim), b[0].dtype)
-        for j, col in enumerate(Hcols):
-            for i, hij in enumerate(col):
-                H = H.at[i, j].set(hij)
-        e1 = jnp.zeros((dim + 1,), b[0].dtype).at[0].set(beta)
+    dtype = b[0].dtype
+    ny, nx = b[0].shape
+    bS = jnp.stack(b)                       # (2, ny, nx)
+    mv = lambda s: jnp.stack(matvec((s[0], s[1])))
+    Mv = lambda s: jnp.stack(M((s[0], s[1])))
+    cgs = (ortho == "cgs")
+
+    def arnoldi(j, carry):
+        V, Z, H = carry
+        z = Mv(V[j])
+        w = mv(z)
+        idx = jnp.arange(dim + 1)
+        if cgs:     # classical GS: one fused projection against all slots
+            hs = jnp.tensordot(V, w, axes=((1, 2, 3), (0, 1, 2)))
+            hs = jnp.where(idx <= j, hs, 0.0)
+            w = w - jnp.tensordot(hs, V, axes=1)
+            hcol = hs
+        else:       # modified GS: sequential, numerically safer
+
+            def mgs(i, c):
+                w_, hc = c
+                hij = jnp.where(i <= j, jnp.sum(w_ * V[i]), 0.0)
+                return w_ - hij * V[i], hc.at[i].set(hij)
+
+            w, hcol = jax.lax.fori_loop(0, dim + 1, mgs,
+                                        (w, jnp.zeros(dim + 1, dtype)))
+        hlast = jnp.sqrt(jnp.sum(w * w))
+        V = V.at[j + 1].set(w / jnp.maximum(hlast, eps))
+        H = H.at[:, j].set(hcol.at[j + 1].set(hlast))
+        return V, Z.at[j].set(z), H
+
+    def cycle(carry, _):
+        x, beta0, active = carry
+        r = bS - mv(x)
+        beta = jnp.sqrt(jnp.sum(r * r))
+        first = beta0 < 0.0
+        beta0 = jnp.where(first, beta, beta0)
+        if reltol > 0.0:
+            active = active & (first | (beta > reltol * beta0))
+        V0 = jnp.zeros((dim + 1, 2, ny, nx), dtype)
+        V0 = V0.at[0].set(r / jnp.maximum(beta, eps))
+        Z0 = jnp.zeros((dim, 2, ny, nx), dtype)
+        H0 = jnp.zeros((dim + 1, dim), dtype)
+        V, Z, H = jax.lax.fori_loop(0, dim, arnoldi, (V0, Z0, H0))
+        e1 = jnp.zeros((dim + 1,), dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
-        for j in range(dim):
-            x = _add(x, Z[j], jnp.where(active, y[j], 0.0))
-    return x
+        y = jnp.where(active, y, 0.0)
+        x = x + jnp.tensordot(y, Z, axes=1)
+        return (x, beta0, active), None
+
+    (x, _, _), _ = jax.lax.scan(
+        cycle, (jnp.stack(x0), jnp.asarray(-1.0, dtype),
+                jnp.asarray(True)), None, length=restarts)
+    return (x[0], x[1])
 
 
 def _pgmres_preconditioner(matvec, diag, dim: int, ortho: str,
@@ -229,8 +245,10 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         Cb = prep.TbU / (jnp.sqrt(u ** 2 + v ** 2) + cst.u0)
         return vrel, Cb
 
-    dim = min(cfg_dyn.dim_fgmres, 16)   # fixed Krylov dim (jit-unrolled)
-    restarts = max(1, min(cfg_dyn.maxits_fgmres // max(dim, 1), 3))
+    # reference defaults honored (dim_fgmres=50): the loop-based fgmres
+    # no longer needs the round-1 compile-size cap of 16
+    dim = cfg_dyn.dim_fgmres
+    restarts = max(1, cfg_dyn.maxits_fgmres // max(dim, 1))
 
     for _ in range(cfg_dyn.maxits_nonlin):
         vrel, Cb = drag_coeffs(u, v)

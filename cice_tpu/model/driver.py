@@ -30,6 +30,12 @@ from .forcing import get_forcing
 from .state import State, tracer_registry, zeros_state
 from .step import ModelStatic, model_step
 
+# shared across Model instances: ModelStatic is hashable (static arg), Grid
+# is an array pytree, so two Models with equal config + grid shapes hit the
+# same compiled executable instead of retracing
+_model_step_jit = jax.jit(model_step, static_argnums=(0,),
+                          static_argnames=("dt",))
+
 
 def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
     """Initial ice distribution (reference set_state_var ice_init.F90:3266,
@@ -178,8 +184,10 @@ class Model:
         elif cfg.setup.ice_ic == "default":
             self.state = set_state_var(cfg, self.grid, self.state,
                                        self.forcing.Tf)
-        self._step_jit = jax.jit(partial(model_step, self.static, self.grid),
-                                 static_argnames=("dt",))
+        # one process-wide jit of model_step shared by every Model instance
+        # (a per-instance partial would defeat jax's trace cache: each suite
+        # row / restart re-init would retrace+recompile the whole step)
+        self._step_jit = partial(_model_step_jit, self.static, self.grid)
         from ..utils.timers import Timers
         self.timers = Timers().init_standard()
         self._restore_target = None

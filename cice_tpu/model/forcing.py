@@ -189,6 +189,12 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
         raise ValueError(f"unknown precip_units '{pu}'")
     fsnow = jnp.where(TairK < cst.Tffresh, prec, 0.0)
     frain = jnp.where(TairK >= cst.Tffresh, prec, 0.0)
+    if cfg.forcing.rotate_wind:
+        # file winds are zonal/meridional; rotate into grid x/y through
+        # ANGLET (reference prepare_forcing 'Rotate zonal/meridional vectors
+        # to local coordinates', ice_forcing.F90; no-op when ANGLET==0)
+        ca, sa = jnp.cos(grid.ANGLET), jnp.sin(grid.ANGLET)
+        uatm, vatm = uatm * ca + vatm * sa, vatm * ca - uatm * sa
     coszen, _ = default_coszen(grid, yday)
     return fc.replace(
         Tair=TairK.astype(dt), potT=TairK.astype(dt), Qa=Qa.astype(dt),
@@ -205,10 +211,15 @@ def file_ocn(grid, cfg, raw: dict, fc: Forcing) -> Forcing:
     get = lambda k, dflt: jnp.asarray(raw[k], dt) if k in raw else dflt
     sss = jnp.maximum(get("sss", fc.sss), 0.0)
     Tf = freezing_temperature(sss, cfg.thermo.tfrz_option)
+    uocn, vocn = get("uocn", fc.uocn), get("vocn", fc.vocn)
+    if cfg.forcing.rotate_wind:
+        # rotate geographic currents into grid components (as for winds)
+        ca, sa = jnp.cos(grid.ANGLET), jnp.sin(grid.ANGLET)
+        uocn, vocn = uocn * ca + vocn * sa, vocn * ca - uocn * sa
     return fc.replace(
         sss=sss, Tf=Tf,
         sst_data=jnp.maximum(get("sst", fc.sst_data), Tf),
-        uocn=get("uocn", fc.uocn), vocn=get("vocn", fc.vocn),
+        uocn=uocn, vocn=vocn,
         qdp=get("qdp", fc.qdp), hmix=jnp.maximum(get("hmix", fc.hmix), 5.0))
 
 

@@ -93,6 +93,84 @@ def test_gravity_drainage_desalinates():
     assert drained_cold < drained_warm + 1e-9
 
 
+def test_gravity_drainage_rate_and_marginal_stability():
+    """Quantitative oracles for the convective (rapid-mode) drainage:
+
+    1. Magnitude: young growing ice (bulk 25 g/kg at -4 C over 34 g/kg
+       water) desalinates at 1-20 g/kg per day — the observed rapid-mode
+       range (Notz & Worster 2009 fig. 7; Turner & Hunke 2015).
+    2. Marginal stability: iterating drainage at fixed temperature drives
+       the layer Rayleigh number down to ~Rac and then shuts off, leaving
+       a finite interior bulk salinity of a few g/kg (the C-shape floor),
+       NOT zero.
+    3. Conservation: column salt loss equals the integrated fsalt flux.
+    """
+    cfg = Config()
+    nilyr = 4
+    shape = (2, 2)
+    hilyr = jnp.full(shape, 0.15)
+    sss = jnp.full(shape, 34.0)
+    S = [jnp.full(shape, 25.0) for _ in range(nilyr)]
+    T = [jnp.full(shape, -4.0) for _ in range(nilyr)]
+    dt = 3600.0
+
+    def ra_of(S_k, T_k, k):
+        phi = m.liquid_fraction(T_k, S_k)
+        perm = m.PERM_A * (jnp.maximum(phi - m.PHI_PERC, 0.0) /
+                           (1.0 - m.PHI_PERC)) ** 3
+        Sbr = m.liquidus_brine_salinity(T_k)
+        L = 0.15 * (nilyr - k - 0.5)
+        return float((m.GRAV * m.BETA_S * jnp.maximum(Sbr - sss, 0.0) *
+                      perm * L / (m.KAPPA_T * m.NU_BRINE))[0, 0])
+
+    assert ra_of(S[0], T[0], 0) > cfg.thermo.Rac_rapid_mode  # starts unstable
+
+    salt0 = sum(float(s[0, 0]) for s in S) * 1e-3 * 917.0 * 0.15
+    fsalt_int = 0.0
+    day1_loss = None
+    for it in range(24 * 10):          # 10 days, hourly
+        S, fsalt = m.drain_salinity(cfg.thermo, dt, S_layers=S, T_layers=T,
+                                    hilyr=hilyr, sss=sss, nilyr=nilyr)
+        fsalt_int += float(fsalt[0, 0]) * dt
+        if it == 23:
+            day1_loss = 25.0 - float(S[0][0, 0])
+    # 1. day-one rapid-mode desalination magnitude (top layer)
+    assert 1.0 < day1_loss < 20.0, day1_loss
+    # 2. marginal stability: convection off, interior salinity finite;
+    # the bottom layer keeps a higher floor (short Rayleigh length) — the
+    # C-shape of observed bulk-salinity profiles
+    for k in range(nilyr):
+        assert ra_of(S[k], T[k], k) < 1.5 * cfg.thermo.Rac_rapid_mode
+        hi = 12.0 if k < nilyr - 1 else 18.0
+        assert 1.0 < float(S[k][0, 0]) < hi
+    assert float(S[0][0, 0]) < float(S[nilyr - 1][0, 0])   # C-shape order
+    # 3. salt conservation against the ocean flux
+    salt1 = sum(float(s[0, 0]) for s in S) * 1e-3 * 917.0 * 0.15
+    np.testing.assert_allclose(salt0 - salt1, fsalt_int, rtol=1e-5)
+
+
+def test_slow_mode_background_drainage():
+    """Slow mode alone (convection subcritical): permeable mature ice keeps
+    desalinating at the weak background rate — well under 0.5 g/kg/day —
+    and impermeable layers (phi < phi_c) do not drain at all."""
+    cfg = Config()
+    shape = (2, 2)
+    hilyr = jnp.full(shape, 0.3)
+    sss = jnp.full(shape, 34.0)
+    # mature ice: bulk 6 g/kg; at -3 C phi ~ 0.11 > phi_c; Ra subcritical
+    S = [jnp.full(shape, 6.0)]
+    T = [jnp.full(shape, -3.0)]
+    S1, fsalt = m.drain_salinity(cfg.thermo, 86400.0, S_layers=S,
+                                 T_layers=T, hilyr=hilyr, sss=sss, nilyr=1)
+    loss = 6.0 - float(S1[0][0, 0])
+    assert 0.0 < loss < 0.5, loss
+    # cold impermeable: phi < phi_c -> no slow mode either
+    Tc = [jnp.full(shape, -25.0)]
+    S2, _ = m.drain_salinity(cfg.thermo, 86400.0, S_layers=S, T_layers=Tc,
+                             hilyr=hilyr, sss=sss, nilyr=1)
+    assert abs(float(S2[0][0, 0]) - 6.0) < 1e-6
+
+
 @pytest.mark.slow
 def test_ktherm2_end_to_end():
     from cice_tpu.model.driver import Model
