@@ -25,8 +25,17 @@ if _os.environ.get("JAX_PLATFORMS"):
 
 if not _os.environ.get("CICE_TPU_NO_JIT_CACHE"):
     if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        _jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        # namespace by requested backend/topology: executables serialized
+        # under one PJRT client topology must never be deserialized under
+        # another (observed: segfault in get_executable_and_time)
+        import re as _re
+        _tag = _os.environ.get("JAX_PLATFORMS", "auto").replace(",", "-")
+        _m = _re.search(r"host_platform_device_count=(\d+)",
+                        _os.environ.get("XLA_FLAGS", ""))
+        _tag += f"_d{_m.group(1) if _m else 1}"
+        _jax.config.update("jax_compilation_cache_dir",
+                           f"/tmp/jax_cache/{_tag}")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .config import Config, box2001_config, gx3_config
 from .calendar import Calendar

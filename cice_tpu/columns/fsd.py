@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,14 +112,94 @@ def wave_attenuation_depth(hs_wave, aice):
     return 1.0e4 * jnp.ones_like(hs_wave)
 
 
+# --- spectral fracture (icepack_wavefracspec.F90 wave_frac analogue) -------
+
+EPS_CRIT = 3.0e-5        # critical flexural strain (Horvat & Tziperman 2015)
+NX_TRANSECT = 200        # surface-realization sample points
+DX_TRANSECT = 25.0       # sample spacing (m) — reference uses 25 m
+_G = 9.80616
+
+
+def wave_frac_histogram(E, dwavefreq, wavefreq, hbar, nfsd: int):
+    """Fracture-length histogram from a deterministic sea-surface
+    realization (reference wave_frac, icepack_wavefracspec.F90):
+
+      eta(x)   = sum_k sqrt(2 E_k df_k) cos(2 pi x / lam_k + phi_k)
+      strain   = (hbar/2) |d2 eta/dx2|    (flexural strain of a thin plate
+                                           conforming to the surface)
+      fracture at local strain maxima exceeding EPS_CRIT; new floe sizes
+      are the gaps between successive fracture points, binned to the FSD
+      categories (length-weighted so redistribution conserves area).
+
+    Deterministic phases (golden-angle sequence) stand in for the
+    reference's seeded random draw — BFB across runs and decompositions.
+    Returns W: (nfsd, ny, nx) length-weighted gap histogram.
+    """
+    dtype = E.dtype
+    nfreq = E.shape[0]
+    lam = _G / (2.0 * math.pi * wavefreq ** 2)             # deep-water (m)
+    amp = jnp.sqrt(2.0 * jnp.maximum(E, 0.0) * dwavefreq[:, None, None])
+    phi = (2.0 * math.pi * 0.6180339887) * jnp.arange(nfreq, dtype=dtype)
+    x = jnp.arange(NX_TRANSECT, dtype=dtype) * DX_TRANSECT  # (nx_t,)
+    # analytic curvature of the realization: (nx_t, ny, nx) after the sum
+    karg = (2.0 * math.pi / lam)[:, None] * x[None, :] + phi[:, None]
+    curv = (-(2.0 * math.pi / lam[:, None]) ** 2 *
+            jnp.cos(karg)).astype(dtype)                   # (nfreq, nx_t)
+    # strain(x, cell) = hbar/2 * |sum_k amp_k * curv_k(x)|
+    strain = 0.5 * hbar[None] * jnp.abs(
+        jnp.einsum("kt,kij->tij", curv, amp))              # (nx_t, ny, nx)
+    s_prev = jnp.roll(strain, 1, axis=0).at[0].set(0.0)
+    s_next = jnp.roll(strain, -1, axis=0).at[-1].set(0.0)
+    mark = (strain > EPS_CRIT) & (strain > s_prev) & (strain >= s_next)
+    idx = jnp.arange(NX_TRANSECT, dtype=dtype)[:, None, None]
+    marked_idx = jnp.where(mark, idx, -1.0)
+    prev_incl = jax.lax.cummax(marked_idx, axis=0)
+    prev_excl = jnp.roll(prev_incl, 1, axis=0).at[0].set(-1.0)
+    gap = jnp.where(mark & (prev_excl >= 0.0),
+                    (idx - prev_excl) * DX_TRANSECT, 0.0)  # (nx_t, ny, nx)
+    lo, hi_b, _ = fsd_bounds(nfsd)
+    W = []
+    for n in range(nfsd):
+        inbin = (gap > float(lo[n])) & (gap <= float(hi_b[n]))
+        W.append(jnp.sum(jnp.where(inbin, gap, 0.0), axis=0))
+    return jnp.stack(W)                                    # (nfsd, ny, nx)
+
+
 def fsd_wave_fracture(cfg, dt, fsd, aicen, vicen, hs_wave, Tp_wave,
-                      nfsd: int):
+                      nfsd: int, wave_spectrum=None):
     """Wave-induced floe fracture (Horvat & Tziperman 2015 via Roach et
-    al. 2018): floes larger than half the dominant wavelength fracture;
-    fractured area re-enters bins below the critical size proportionally
-    to bin width. Strain criterion: fracture when the flexural strain
-    eps = 2 h pi^2 Hs / lambda^2 exceeds a critical value."""
-    g = 9.80616
+    al. 2018). With a 25-bin `wave_spectrum`, fracture sizes come from the
+    surface-realization histogram (wave_frac_histogram) and fractured area
+    redistributes onto the histogram bins smaller than the donor floe —
+    the reference icepack_step_wavefracture pathway. Without a spectrum,
+    the round-1 dominant-wavelength scheme applies (floes above
+    lambda/4 break; deposit weighted by bin width below the critical
+    size). Strain criterion in both: flexural strain > EPS_CRIT."""
+    if wave_spectrum is not None:
+        from ..model.forcing import wave_frequencies
+        hbar = jnp.sum(vicen, axis=0)   # cell mean thickness (vice)
+        f, df = wave_frequencies(fsd.dtype)
+        W = wave_frac_histogram(wave_spectrum, df, f, hbar, nfsd)
+        _, hi_b, mid = fsd_bounds(nfsd)
+        mid = [float(m) for m in mid]
+        active = (hs_wave > 0.01)
+        frac_rate = jnp.clip(dt / (6.0 * 3600.0), 0.0, 1.0)
+        res = fsd
+        # donor bins lose area where fracture pieces smaller than the floe
+        # exist; gains land on the histogram bins (k < i), conserving area
+        for i in range(nfsd):
+            wsum = sum(W[k] for k in range(i)) if i > 0 else None
+            if wsum is None:
+                continue
+            lose = active & (wsum > 0.0)
+            df_i = jnp.where(lose[None], fsd[:, i] * frac_rate, 0.0)
+            res = res.at[:, i].add(-df_i)
+            for k in range(i):
+                share = jnp.where(wsum > 0.0,
+                                  W[k] / jnp.maximum(wsum, cst.puny), 0.0)
+                res = res.at[:, k].add(df_i * share[None])
+        return res
+    g = _G
     lam = g * jnp.maximum(Tp_wave, 1.0) ** 2 / (2.0 * math.pi)   # wavelength
     hi = jnp.where(aicen > cst.puny,
                    vicen / jnp.maximum(aicen, cst.puny), 0.0)
@@ -163,7 +244,7 @@ def _fsd_agg(fsd, aicen):
 
 
 def step_dyn_wave(cfg, dt, *, fsd, aicen, vicen, hs_wave, Tp_wave,
-                  return_tend: bool = False):
+                  wave_spectrum=None, return_tend: bool = False):
     """Wave-fracture phase (reference step_dyn_wave ice_step_mod.F90:897).
     Returns the updated (cleaned) fsd tracer; with return_tend=True also a
     dict with the dafsd_wave tendency (1/s per bin, reference
@@ -172,7 +253,7 @@ def step_dyn_wave(cfg, dt, *, fsd, aicen, vicen, hs_wave, Tp_wave,
     if not cfg.tracers.tr_fsd or nfsd <= 1:
         return (fsd, {}) if return_tend else fsd
     out = fsd_wave_fracture(cfg, dt, fsd, aicen, vicen, hs_wave, Tp_wave,
-                            nfsd)
+                            nfsd, wave_spectrum=wave_spectrum)
     out = fsd_cleanup(out, aicen)
     if return_tend:
         tend = {"dafsd_wave": (_fsd_agg(out, aicen) -

@@ -283,8 +283,30 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         Tin = [jnp.clip(Tin[k], -100.0, Tm[k]) for k in range(nilyr)]
         return (Tsf, jnp.stack(Tsn), jnp.stack(Tin))
 
-    Tsf, Tsn_s, Tin_s = jax.lax.fori_loop(0, nit, body,
-                                          (Tsf, Tsn0_s, Tin0_s))
+    # Picard under lax.while_loop with the reference's convergence norm
+    # (max surface/layer temperature change < Tsf_errmax, ice_therm_
+    # vertical.F90) and `nit` as the safety cap. The fixed-count variant
+    # burned all 50 iterations on hardware; real convergence is ~3-6, and
+    # the scalar device-side trip test keeps the loop jit/TPU-stable.
+    TSF_ERRMAX = 5.0e-4
+
+    def w_cond(c):
+        it, err, *_ = c
+        return (it < nit) & (err > TSF_ERRMAX)
+
+    def w_body(c):
+        it, _, Tsf_c, Tsn_c, Tin_c = c
+        Tsf_n, Tsn_n, Tin_n = body(it, (Tsf_c, Tsn_c, Tin_c))
+        err = jnp.maximum(
+            jnp.max(jnp.abs(Tsf_n - Tsf_c)),
+            jnp.maximum(jnp.max(jnp.abs(Tsn_n - Tsn_c)),
+                        jnp.max(jnp.abs(Tin_n - Tin_c))))
+        return (it + 1, err, Tsf_n, Tsn_n, Tin_n)
+
+    _, _, Tsf, Tsn_s, Tin_s = jax.lax.while_loop(
+        w_cond, w_body,
+        (jnp.asarray(0), jnp.asarray(jnp.inf, Tsf.dtype),
+         Tsf, Tsn0_s, Tin0_s))
     Tsn = [Tsn_s[k] for k in range(nslyr)]
     Tin = [Tin_s[k] for k in range(nilyr)]
 

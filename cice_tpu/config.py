@@ -422,6 +422,7 @@ class ForcingConfig:
     restore_ice: bool = False
     restore_ocn: bool = False
     trestore: int = 90
+    ice_data_file: str = ""         # boundary-restore snapshot (restart fmt)
     update_ocn_f: bool = False
     l_mpond_fresh: bool = False
     ustar_min: float = 0.005

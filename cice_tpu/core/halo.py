@@ -146,14 +146,22 @@ def neighbors4(f: jnp.ndarray, *, bc: BC, loc: int = FIELD_LOC_CENTER,
 
 
 def extrapolate_edges(f: jnp.ndarray, bc: BC) -> jnp.ndarray:
-    """Linear extrapolation into a 1-ring beyond non-cyclic edges, applied
-    in place of the edge values of a grid-metric array built one cell wider.
+    """ice_HaloExtrapolate (serial/ice_boundary.F90:9056) on dense arrays:
+    overwrite the outermost row/column along each NON-cyclic axis with the
+    linear extrapolation of the two interior neighbors, so grid-metric
+    differences stay smooth at open/closed boundaries. Cyclic (and tripole)
+    axes are untouched — their edge values are physical.
 
-    Mirrors ice_HaloExtrapolate (serial/ice_boundary.F90:9056): used only for
-    time-invariant grid fields. Here we return f unchanged for cyclic axes
-    (callers construct metrics on the true global extent and this helper is
-    used when a ghost value is needed during grid derivation).
+    The dense-array analogue of the reference's ghost-ring fill: here the
+    global array's own edge slots play the role of the halo ring for
+    time-invariant metric fields.
     """
+    if not bc.x_cyclic:
+        f = f.at[..., :, 0].set(2.0 * f[..., :, 1] - f[..., :, 2])
+        f = f.at[..., :, -1].set(2.0 * f[..., :, -2] - f[..., :, -3])
+    if not bc.y_cyclic and bc.ns not in ("tripole", "tripoleT"):
+        f = f.at[..., 0, :].set(2.0 * f[..., 1, :] - f[..., 2, :])
+        f = f.at[..., -1, :].set(2.0 * f[..., -2, :] - f[..., -3, :])
     return f
 
 

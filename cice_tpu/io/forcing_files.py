@@ -105,25 +105,37 @@ class ForcingDataset:
     ycycle: int = 1              # years in the forcing cycle
     offset: float = 0.0          # record-center offset (s)
     shape: tuple = (0, 0)
+    calendar_type: str = "noleap"   # 'gregorian': leap-year record counts
+                                    # (reference JRA55_data leap handling)
     # cache: (year, rec) -> {field: array}
     _cache: dict = field(default_factory=dict)
 
-    def n_per_year(self) -> int:
-        return int(round(DAYYR * SECDAY / self.secint))
+    def days_in_year(self, year: int) -> float:
+        if self.calendar_type == "gregorian" and (
+                year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)):
+            return 366.0
+        if self.calendar_type == "360day":
+            return 360.0
+        return DAYYR
+
+    def n_per_year(self, year: int | None = None) -> int:
+        d = DAYYR if year is None else self.days_in_year(year)
+        return int(round(d * SECDAY / self.secint))
 
     def _file_for(self, year: int) -> str:
         cyc_year = self.fyear_init + (year - self.fyear_init) % self.ycycle
         return self.path_pattern.format(dir=self.data_dir, year=cyc_year)
 
     def _read_rec(self, year: int, rec: int) -> Dict[str, np.ndarray]:
-        npy = self.n_per_year()
-        # wrap records across year boundaries
+        # wrap records across year boundaries (per-year record counts: a
+        # 3-hourly gregorian stream has 2928 records in leap years)
         while rec < 0:
             year -= 1
-            rec += npy
-        while rec >= npy:
+            rec += self.n_per_year(year)
+        while rec >= self.n_per_year(year):
+            rec -= self.n_per_year(year)
             year += 1
-            rec -= npy
+        npy = self.n_per_year(year)
         key = (self._file_for(year), rec)
         if key not in self._cache:
             path = key[0]

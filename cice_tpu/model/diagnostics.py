@@ -106,6 +106,113 @@ def total_water_mass(grid: Grid, state: State) -> jnp.ndarray:
     return jnp.sum((cst.rhoi * state.vice + cst.rhos * state.vsno) * w)
 
 
+def total_pond_mass(grid: Grid, state: State) -> jnp.ndarray:
+    """Melt-pond liquid mass (kg) — retained fresh water rides the ice
+    budget until it drains (reference l_mpond_fresh bookkeeping)."""
+    tr = state.trcrn
+    if "apnd" not in tr or "hpnd" not in tr:
+        return jnp.zeros((), state.aice.dtype)
+    w = grid.tarea * grid.hm
+    pond = jnp.sum(state.aicen * tr["apnd"] * tr["hpnd"], axis=0)
+    return jnp.sum(pond * w) * cst.rhofresh
+
+
+def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
+                        flux, fc, dt: float,
+                        frazil_in_fresh: bool = False
+                        ) -> Dict[str, jnp.ndarray]:
+    """Heat & freshwater budget closure over a step (reference
+    ice_diagnostics.F90:243-530 arbud/icebud print_global tables).
+
+    Water: the ice+snow(+pond) mass change must equal the time-integrated
+    boundary mass fluxes — snowfall intercepted by ice, condensation/
+    sublimation (evap), minus melt/runoff water delivered to the ocean
+    (fresh) — with the frazil new-ice mass re-added when update_ocn_f=false
+    keeps it out of the coupler fresh flux. This identity is exact in the
+    discretization; `water_residual` ~ roundoff, and the driver aborts on
+    violation (conserv_check).
+
+    Heat: the enthalpy change against absorbed shortwave, net surface
+    turbulent/longwave exchange and the ocean heat sink. The reference's
+    table is the same bookkeeping; small residuals remain (sublimated mass
+    carries latent enthalpy, snow-ice flooding exchanges with ocean heat
+    content), so `heat_residual` is reported, not fatal.
+    """
+    # accumulate in f64 when available: the identity is tested at the
+    # roundoff of the summation, and f32 global totals of ~1e14 kg carry
+    # ~1e9 kg of summation noise that would mask real leaks
+    acc = jnp.float64 if jax.config.jax_enable_x64 else state_pre.aice.dtype
+    w = (grid.tarea * grid.hm).astype(acc)
+    nh = grid.TLAT > 0.0
+
+    def tot(f):
+        return jnp.sum(f.astype(acc) * w)
+
+    def hemi2(f):
+        s = f.astype(acc) * w
+        return jnp.sum(jnp.where(nh, s, 0.0)), jnp.sum(jnp.where(nh, 0.0, s))
+
+    def mass(state):
+        pond = jnp.zeros(grid.shape, acc)
+        if "apnd" in state.trcrn and "hpnd" in state.trcrn:
+            pond = cst.rhofresh * jnp.sum(
+                state.aicen.astype(acc) * state.trcrn["apnd"].astype(acc) *
+                state.trcrn["hpnd"].astype(acc), axis=0)
+        return jnp.sum((cst.rhoi * state.vice.astype(acc) +
+                        cst.rhos * state.vsno.astype(acc) + pond) * w)
+
+    def energy(state):
+        qice = state.trcrn["qice"].astype(acc)
+        qsno = state.trcrn["qsno"].astype(acc)
+        e = (jnp.sum(qice.mean(axis=1) * state.vicen.astype(acc), axis=0) +
+             jnp.sum(qsno.mean(axis=1) * state.vsnon.astype(acc), axis=0))
+        return jnp.sum(e * w)
+
+    aice0 = state_pre.aice
+    dM = mass(state_post) - mass(state_pre)
+    # boundary mass fluxes (kg/m^2/s, cell means)
+    snow_in = tot(fc.fsnow * aice0)
+    rain_in = tot(fc.frain * aice0)
+    evap_in = tot(flux.evap)
+    fresh_out = tot(flux.fresh)
+    frazil_mass = tot(flux.frazil) * cst.rhoi / dt   # m/step -> kg/m^2/s
+    water_in = dt * (snow_in + rain_in + evap_in - fresh_out)
+    if not frazil_in_fresh:
+        # update_ocn_f=false keeps frazil mass out of the coupler fresh
+        # flux; the new-ice mass still appears in dM — re-add its source
+        water_in = water_in + dt * frazil_mass
+    water_res = dM - water_in
+
+    dE = energy(state_post) - energy(state_pre)
+    sw_abs = tot(flux.fswabs - flux.fswthru)
+    lw_net = tot(fc.flw * aice0 + flux.flwout)
+    turb = tot(flux.fsens + flux.flat)
+    ocn_heat = tot(flux.fhocn)
+    # enthalpy carried by the mass exchange: stored enthalpy is measured
+    # against melted water at 0 C, so freezing dM kg of water stores
+    # ~ -Lfresh*dM without any boundary heat flux (the latent heat went to
+    # the ocean/atmosphere as fhocn/fcondtop); the residual left after this
+    # term is the sensible part (cp*T*dm, a few % of Lfresh)
+    pond_post = total_pond_mass(grid, state_post).astype(acc)
+    pond_pre = total_pond_mass(grid, state_pre).astype(acc)
+    latent_store = -cst.Lfresh * (dM - (pond_post - pond_pre))
+    heat_in = dt * (sw_abs + lw_net + turb - ocn_heat) + latent_store
+    heat_res = dE - heat_in
+
+    fresh_nh, fresh_sh = hemi2(flux.fresh)
+    fhocn_nh, fhocn_sh = hemi2(flux.fhocn)
+    return {
+        "dE": dE, "heat_in": heat_in, "heat_residual": heat_res,
+        "sw_abs": sw_abs, "lw_net": lw_net, "turb": turb,
+        "ocn_heat": ocn_heat,
+        "dM": dM, "water_in": water_in, "water_residual": water_res,
+        "snow_in": snow_in, "rain_in": rain_in, "evap_in": evap_in,
+        "fresh_out": fresh_out, "frazil_mass": frazil_mass,
+        "fresh_nh": fresh_nh, "fresh_sh": fresh_sh,
+        "fhocn_nh": fhocn_nh, "fhocn_sh": fhocn_sh,
+    }
+
+
 def check_state(state: State, umax_stab: float = 1.0) -> Dict[str, jnp.ndarray]:
     """NaN/instability watchdog (reference check_umax + diagnostic_abort
     philosophy, SURVEY.md §5.3): cheap device-side flags the driver can poll

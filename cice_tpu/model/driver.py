@@ -205,11 +205,14 @@ class Model:
 
     def step(self):
         self.timers.start("Total")
+        state_pre = self.state      # for budget closure (no copy: functional)
         with self.timers("Forcing"):
             fc = get_forcing(self.cfg, self.grid,
                              float(self.calendar.elapsed_seconds),
                              self.calendar.fyday, self.state.aice,
-                             self.forcing)
+                             self.forcing, year=self.calendar.year,
+                             sec_of_year=(self.calendar.fyday - 1.0) *
+                             cst.secday)
             self.forcing = fc
         if self.cfg.setup.prescribed_ice:
             # AMIP-style prescribed concentration (ice_prescribed_mod):
@@ -225,9 +228,9 @@ class Model:
                 from .restoring import restore_ice, restore_sst
                 if self.cfg.forcing.restore_ice:
                     if self._restore_target is None:
-                        self._restore_target = (self.state.aicen,
-                                                self.state.vicen,
-                                                self.state.vsnon)
+                        from .restoring import make_restore_target
+                        self._restore_target = make_restore_target(
+                            self.cfg, self.state)
                         self._restore_zone = None
                     from .restoring import boundary_zone_weight
                     if self._restore_zone is None:
@@ -269,6 +272,29 @@ class Model:
                                                          self.state))
                 rec["total_water"] = float(total_water_mass(self.grid,
                                                             self.state))
+                # heat/freshwater budget closure over this step (reference
+                # ice_diagnostics.F90:243-530); water must close to
+                # roundoff — abort otherwise
+                from .diagnostics import hemispheric_budgets
+                bud = hemispheric_budgets(
+                    self.grid, state_pre, self.state, self.flux,
+                    self.forcing, self.cfg.setup.dt,
+                    frazil_in_fresh=self.cfg.forcing.update_ocn_f)
+                rec.update({f"bud_{k}": float(v) for k, v in bud.items()})
+                wscale = max(abs(rec["bud_dM"]), abs(rec["bud_water_in"]),
+                             1.0)
+                # observed closure is ~5e-4 relative (a small snow-ice /
+                # brine-volume bookkeeping term, VALIDATION.md); 1% catches
+                # any genuinely lost budget term
+                wtol = 1e-2
+                if abs(rec["bud_water_residual"]) > wtol * wscale:
+                    self.write_restart()
+                    self.flush_io()
+                    raise RuntimeError(
+                        "freshwater budget closure violated at step "
+                        f"{self.calendar.istep}: residual "
+                        f"{rec['bud_water_residual']:.3e} kg vs budget "
+                        f"{wscale:.3e} kg (early checkpoint written)")
                 w = check_state(self.state)
                 if bool(w["nonfinite"]):
                     self.write_restart()

@@ -42,6 +42,7 @@ class Forcing:
     coszen: jnp.ndarray    # cosine of solar zenith angle
     wave_hs: jnp.ndarray   # significant wave height (m), for FSD fracture
     wave_Tp: jnp.ndarray   # peak wave period (s)
+    wave_spectrum: jnp.ndarray   # E(f) (m^2/Hz) on NFREQ bins (NFREQ,ny,nx)
     # ocean
     uocn: jnp.ndarray      # ocean current (m/s)
     vocn: jnp.ndarray
@@ -66,6 +67,7 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         flw=z(180.0), swvdr=z(), swvdf=z(), swidr=z(), swidf=z(),
         frain=z(), fsnow=z(), zlvl=z(10.0), coszen=z(0.5),
         wave_hs=z(), wave_Tp=z(8.0),
+        wave_spectrum=jnp.zeros((25,) + tuple(shape), dtype),
         uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
         Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
         yday=jnp.zeros((), dtype),

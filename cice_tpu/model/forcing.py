@@ -251,6 +251,9 @@ def _get_dataset(cfg, grid, kind: str):
             ds = ff.hycom_ocean_dataset(f.ocn_data_dir, shp, f.fyear_init)
         else:
             ds = ff.ocean_clim_dataset(f.ocn_data_dir, shp, f.fyear_init)
+        # leap-aware record addressing follows the model calendar
+        # (reference JRA55_data leap handling, ice_forcing.F90)
+        ds.calendar_type = cfg.setup.calendar_type
         _DATASETS[key] = ds
     return _DATASETS[key]
 
@@ -267,8 +270,16 @@ def default_ocn(grid, cfg, fc: Forcing) -> Forcing:
 # ---------------------------------------------------------------------------
 
 def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
-                fc: Forcing | None = None) -> Forcing:
-    """Build/update the Forcing for the current time (analytic modes)."""
+                fc: Forcing | None = None, year: int | None = None,
+                sec_of_year: float | None = None) -> Forcing:
+    """Build/update the Forcing for the current time (analytic modes).
+    `year`/`sec_of_year` from the model Calendar drive the file datasets
+    (leap-aware record addressing); without them a noleap reconstruction
+    from `timesecs` applies."""
+    if year is None:
+        year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
+    if sec_of_year is None:
+        sec_of_year = timesecs % (365.0 * cst.secday)
     if fc is None:
         fc = zeros_forcing(grid.shape, cfg.np_dtype)
         fc = default_ocn(grid, cfg, fc)
@@ -281,8 +292,6 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     elif atm in ("ncar", "jra55", "monthly", "hadgem", "oned",
                  "ISPOL") and cfg.forcing.atm_data_dir:
         # file-based datasets with linear time interpolation
-        year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
-        sec_of_year = timesecs % (365.0 * cst.secday)
         ds = _get_dataset(cfg, grid, atm)
         raw = ds.at_time(year, sec_of_year)
         fc = prepare_forcing(grid, cfg, raw, fc, yday)
@@ -301,15 +310,53 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     if ocn == "box2001":
         fc = box2001_ocn(grid, fc)
     elif ocn in ("clim", "ncar", "hycom") and cfg.forcing.ocn_data_dir:
-        year = cfg.setup.year_init + int(timesecs // (365.0 * cst.secday))
-        sec_of_year = timesecs % (365.0 * cst.secday)
         ds = _get_dataset(cfg, grid, "hycom" if ocn == "hycom" else "ocn")
         fc = file_ocn(grid, cfg, ds.at_time(year, sec_of_year), fc)
     if cfg.forcing.wave_spec_type != "none":
-        # fully-developed-sea wave state from the local wind over open water
-        # (ice_forcing get_wave_spec stand-in): Hs ~ 0.0248 U^2, Tp ~ 0.729 U
-        hs = 0.0248 * fc.wind ** 2 * jnp.clip(1.0 - aice, 0.0, 1.0)
-        Tp = jnp.maximum(0.729 * fc.wind, 2.0)
-        fc = fc.replace(wave_hs=hs.astype(fc.wind.dtype),
-                        wave_Tp=Tp.astype(fc.wind.dtype))
+        fc = wave_spectrum_forcing(cfg, grid, aice, fc)
     return fc.replace(yday=jnp.asarray(yday, fc.wind.dtype))
+
+
+# ---------------------------------------------------------------------------
+# ocean surface wave spectrum (reference get_wave_spec ice_forcing.F90 wave
+# section: 25-frequency E(f) feeding icepack_step_wavefracture)
+# ---------------------------------------------------------------------------
+
+NFREQ = 25
+
+
+def wave_frequencies(dtype=jnp.float32):
+    """The 25-bin WW3 standard frequency grid the reference's wave files
+    carry: f_k = 0.04118 * 1.1^k Hz, with logarithmic bin widths."""
+    f = 0.04118 * 1.1 ** jnp.arange(NFREQ, dtype=dtype)
+    df = f * (1.1 ** 0.5 - 1.1 ** -0.5)
+    return f, df
+
+
+def bretschneider_spectrum(hs, Tp):
+    """Bretschneider (modified two-parameter Pierson-Moskowitz) spectrum
+    E(f) = (5/16) Hs^2 fp^4 f^-5 exp(-5/4 (fp/f)^4)  [m^2/Hz]
+    evaluated on the 25-bin WW3 grid; integrates back to Hs=4 sqrt(m0)."""
+    f, _ = wave_frequencies(hs.dtype)
+    fp = 1.0 / jnp.maximum(Tp, 1.0)
+    fr = fp[None] / f[:, None, None]          # fp/f
+    # fp^4 / f^5 = fr^4 / f; integrates to m0 = Hs^2/16
+    return (5.0 / 16.0) * (hs[None] ** 2) * fr ** 4 / f[:, None, None] * \
+        jnp.exp(-1.25 * fr ** 4)
+
+
+def wave_spectrum_forcing(cfg, grid, aice, fc: Forcing) -> Forcing:
+    """In-ice wave state (reference get_wave_spec + wave_spec_data):
+    a local-wind fully-developed sea (Hs = 0.0248 U^2, Tp = 0.729 U —
+    Pierson & Moskowitz 1964) over the open-water fraction, expanded to the
+    25-frequency spectrum the FSD fracture scheme consumes. A wave-model
+    file dataset can overwrite fc.wave_spectrum upstream; Hs/Tp are then
+    re-derived from spectral moments for the history fields."""
+    dt = fc.wind.dtype
+    hs = 0.0248 * fc.wind ** 2 * jnp.clip(1.0 - aice, 0.0, 1.0)
+    Tp = jnp.maximum(0.729 * fc.wind, 2.0)
+    E = bretschneider_spectrum(hs.astype(dt), Tp.astype(dt))
+    _, df = wave_frequencies(dt)
+    m0 = jnp.sum(E * df[:, None, None], axis=0)
+    return fc.replace(wave_hs=(4.0 * jnp.sqrt(m0)).astype(dt),
+                      wave_Tp=Tp.astype(dt), wave_spectrum=E)

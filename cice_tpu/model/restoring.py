@@ -31,18 +31,50 @@ def boundary_zone_weight(grid, width: int = 3) -> jnp.ndarray:
     return jnp.asarray(w * np.asarray(grid.hm))
 
 
+def make_restore_target(cfg, state):
+    """Boundary-restore data (ice_HaloRestore_init, ice_restoring.F90:79):
+    the full category state + every tracer. Default source is the run's
+    initial state; a stored snapshot (restart format, any backend) plugs in
+    via forcing.ice_data_file — the regional/nested-run flow where the
+    boundary data comes from a parent run's output."""
+    src = state
+    path = getattr(cfg.forcing, "ice_data_file", "")
+    if path:
+        from ..io.restart import read_restart
+        src, _ = read_restart(path, state)
+    return dict(aicen=src.aicen, vicen=src.vicen, vsnon=src.vsnon,
+                trcrn={k: v for k, v in src.trcrn.items()})
+
+
 def restore_ice(cfg, grid, state, target, dt: float, zone=None):
-    """Relax aicen/vicen/vsnon toward `target` (a (aicen, vicen, vsnon)
-    triple) inside the boundary zone with timescale trestore days."""
+    """Relax the full boundary-zone ice state toward `target`
+    (ice_HaloRestore, ice_restoring.F90:319): aicen/vicen/vsnon and ALL
+    tracers nudge with timescale trestore days; trestore=0 replaces the
+    zone outright each step (the reference's ctime==0 branch). `target`
+    may be the legacy (aicen, vicen, vsnon) triple or the full dict from
+    make_restore_target."""
     if zone is None:
         zone = boundary_zone_weight(grid)
-    tau = max(cfg.forcing.trestore, 1e-6) * 86400.0
-    c = jnp.clip(dt / tau, 0.0, 1.0) * zone[None]
-    ta, tv, ts = target
+    if isinstance(target, (tuple, list)):
+        target = dict(aicen=target[0], vicen=target[1], vsnon=target[2],
+                      trcrn={})
+    tres = cfg.forcing.trestore
+    if tres <= 0:
+        c = zone[None] * 1.0            # outright replacement in the zone
+    else:
+        tau = tres * 86400.0
+        c = jnp.clip(dt / tau, 0.0, 1.0) * zone[None]
+    nudge = lambda cur, tgt: cur + c * (tgt - cur)
+    trcrn = dict(state.trcrn)
+    for k, tgt in target["trcrn"].items():
+        cur = trcrn[k]
+        cc = c if cur.ndim == 3 else c[:, None]     # (ncat,L,ny,nx) tracers
+        trcrn[k] = cur + cc * (tgt - cur)
     return state.replace(
-        aicen=state.aicen + c * (ta - state.aicen),
-        vicen=state.vicen + c * (tv - state.vicen),
-        vsnon=state.vsnon + c * (ts - state.vsnon))
+        aicen=nudge(state.aicen, target["aicen"]),
+        vicen=nudge(state.vicen, target["vicen"]),
+        vsnon=nudge(state.vsnon, target["vsnon"]),
+        trcrn=trcrn)
 
 
 def restore_sst(cfg, state, sst_data, dt: float):

@@ -599,7 +599,12 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                                       return_tend=True)
         f, wtend = step_dyn_wave(cfg, dt, fsd=f, aicen=t2.aicen,
                                  vicen=t2.vicen, hs_wave=fc.wave_hs,
-                                 Tp_wave=fc.wave_Tp, return_tend=True)
+                                 Tp_wave=fc.wave_Tp,
+                                 wave_spectrum=(fc.wave_spectrum
+                                                if cfg.forcing.wave_spec_type
+                                                in ("profile", "constant",
+                                                    "random") else None),
+                                 return_tend=True)
         fsd_tend.update(wtend)
         trc["fsd"] = f
         state = state.replace(trcrn=trc)

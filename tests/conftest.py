@@ -18,9 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
-# persistent compilation cache: repeated test runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+# NO persistent compilation cache under pytest: serializing some of this
+# suite's executables segfaults jaxlib's cache writer (observed twice in
+# put_executable_and_time / get_executable_and_time). In-process jit
+# sharing (driver._model_step_jit) covers the expensive recompiles; the
+# CLI/driver keep the on-disk cache where it is stable.
+os.environ["CICE_TPU_NO_JIT_CACHE"] = "1"
 
 import pytest  # noqa: E402
 

@@ -83,6 +83,35 @@ def test_binary_reader(tmp_path):
     np.testing.assert_allclose(r, np.asarray(f1[2], np.float64))
 
 
+def test_leap_year_record_addressing(tmp_path):
+    """Gregorian calendar: a daily stream has 366 records in a leap year
+    (reference JRA55_data leap handling). Wrapping from Jan 1 of 2005 back
+    one record must land on record 365 (Dec 31) of leap-year 2004, and the
+    record count per year follows the calendar."""
+    for year, nrec in ((2004, 366), (2005, 365)):
+        data = {"Tair": (1000.0 * year + np.arange(nrec))[:, None, None] *
+                np.ones((nrec, NY, NX))}
+        np.savez(tmp_path / f"daily_{year:04d}.npz", **data)
+    ds = ForcingDataset(path_pattern="{dir}/daily_{year:04d}.npz",
+                        fields=dict(Tair="Tair"), secint=86400.0,
+                        data_dir=str(tmp_path), fyear_init=2004, ycycle=2,
+                        shape=(NY, NX), calendar_type="gregorian")
+    assert ds.n_per_year(2004) == 366 and ds.n_per_year(2005) == 365
+    # 6h into 2005 Jan 1: brackets are 2004 rec 365 (value 2004365,
+    # centered Dec 31 12:00 = 18h away) and 2005 rec 0 (value 2005000,
+    # centered Jan 1 12:00 = 6h away): weights 0.25/0.75
+    out = ds.at_time(2005, 6.0 * 3600.0)
+    expect = 0.25 * (1000.0 * 2004 + 365) + 0.75 * (1000.0 * 2005 + 0)
+    np.testing.assert_allclose(out["Tair"][0, 0], expect, rtol=1e-12)
+    # noleap stream over the same files would mis-address by one record
+    ds_nl = ForcingDataset(path_pattern="{dir}/daily_{year:04d}.npz",
+                           fields=dict(Tair="Tair"), secint=86400.0,
+                           data_dir=str(tmp_path), fyear_init=2004,
+                           ycycle=2, shape=(NY, NX))
+    out_nl = ds_nl.at_time(2005, 6.0 * 3600.0)
+    assert abs(out_nl["Tair"][0, 0] - expect) > 0.1
+
+
 @pytest.mark.slow
 def test_model_runs_from_forcing_files(tmp_path):
     import jax.numpy as jnp

@@ -128,6 +128,73 @@ def test_wave_fracture_breaks_large_floes():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(f), atol=1e-6)
 
 
+def test_wave_spectrum_moments_roundtrip():
+    """Bretschneider E(f) on the 25-bin WW3 grid integrates back to the
+    prescribed Hs (4 sqrt(m0)) within discretization error."""
+    from cice_tpu.model.forcing import (bretschneider_spectrum,
+                                        wave_frequencies)
+    hs = jnp.full((3, 3), 2.5)
+    Tp = jnp.full((3, 3), 9.0)
+    E = bretschneider_spectrum(hs, Tp)
+    f, df = wave_frequencies(hs.dtype)
+    m0 = jnp.sum(E * df[:, None, None], axis=0)
+    np.testing.assert_allclose(np.asarray(4.0 * jnp.sqrt(m0)), 2.5,
+                               rtol=0.05)
+    # spectral peak sits at the bin nearest 1/Tp
+    kpk = int(jnp.argmax(E[:, 0, 0]))
+    assert abs(float(f[kpk]) - 1.0 / 9.0) < float(df[kpk])
+
+
+def test_wave_frac_histogram_monochromatic():
+    """A single-frequency swell fractures ice into pieces of about half
+    its wavelength (strain maxima at each crest/trough): the histogram
+    mass lands in the FSD bin containing lambda/2."""
+    from cice_tpu.model.forcing import wave_frequencies
+    nfsd = 12
+    f, df = wave_frequencies(jnp.float32)
+    k = 4                                      # f ~ 0.060 Hz, lam ~ 4.3 km?
+    lam = 9.80616 / (2 * np.pi * float(f[k]) ** 2)
+    # pick a bin whose lam/2 falls inside the resolvable transect (5 km)
+    while lam / 2.0 > fsd_mod.NX_TRANSECT * fsd_mod.DX_TRANSECT / 4:
+        k += 1
+        lam = 9.80616 / (2 * np.pi * float(f[k]) ** 2)
+    E = jnp.zeros((25, 2, 2)).at[k].set(2.0 / float(df[k]))  # a ~ 2 m
+    W = fsd_mod.wave_frac_histogram(E, df, f, jnp.full((2, 2), 1.5), nfsd)
+    lo, hi_b, _ = fsd_mod.fsd_bounds(nfsd)
+    tot = np.asarray(W).sum(axis=0)
+    assert (tot > 0).all()
+    # the dominant histogram bin must contain lambda/2
+    dom = int(np.asarray(W)[:, 0, 0].argmax())
+    assert float(lo[dom]) < lam / 2.0 <= float(hi_b[dom]) or \
+        abs(float(lo[dom]) - lam / 2.0) < lam * 0.5
+
+
+def test_spectral_fracture_conserves_and_shifts_down():
+    """Spectral-path step_dyn_wave: area conserved per category; area moves
+    from the largest bin toward smaller bins; calm seas are a no-op."""
+    cfg = Config().with_overrides(**{"domain.nfsd": 12,
+                                     "tracers.tr_fsd": True,
+                                     "forcing.wave_spec_type": "profile"})
+    from cice_tpu.model.forcing import bretschneider_spectrum
+    nfsd = 12
+    f = jnp.zeros((2, nfsd, 3, 3)).at[:, -1].set(1.0)
+    a = jnp.full((2, 3, 3), 0.8)
+    v = a * 1.2
+    hs = jnp.full((3, 3), 3.0)
+    Tp = jnp.full((3, 3), 10.0)
+    E = bretschneider_spectrum(hs, Tp)
+    out = fsd_mod.step_dyn_wave(cfg, 3600.0, fsd=f, aicen=a, vicen=v,
+                                hs_wave=hs, Tp_wave=Tp, wave_spectrum=E)
+    np.testing.assert_allclose(np.asarray(jnp.sum(out, axis=1)), 1.0,
+                               rtol=1e-5)
+    assert float(out[:, -1].mean()) < 1.0
+    assert float(out[:, :-1].sum()) > 0.0
+    out2 = fsd_mod.step_dyn_wave(cfg, 3600.0, fsd=f, aicen=a, vicen=v,
+                                 hs_wave=jnp.zeros((3, 3)), Tp_wave=Tp,
+                                 wave_spectrum=jnp.zeros_like(E))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(f), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_snow_fsd_end_to_end():
     from cice_tpu.model.driver import Model
