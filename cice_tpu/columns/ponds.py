@@ -53,15 +53,18 @@ def _lid_growth(frzpnd: str, ipnd, Tsf, dt):
 
     'hlid': Stefan growth d(h^2)/dt = 2 k (Tp-Tsf) / (rhoi Lf);
     'cesm' handled by the caller as exponential volume decay.
-    """
+    Returns (ipnd_new, dlid) with dlid = ipnd_new - ipnd signed: positive
+    growth consumes pond water, negative (warm-surface melt-back) returns
+    lid water to the pond — the caller moves apnd*dlid*rhoi/rhofresh of
+    liquid so the pond reservoir (liquid + lid water-equivalent) only
+    changes through real sources/sinks."""
     cold = Tsf < TP_FRZ
     stefan = jnp.sqrt(jnp.maximum(
         ipnd * ipnd + 2.0 * KICE_LID * jnp.maximum(TP_FRZ - Tsf, 0.0) * dt /
         (cst.rhoi * cst.Lfresh), 0.0))
-    dh_melt = -0.5 * cst.Lfresh * 0.0   # lid melt folded into warm branch below
     ipnd_new = jnp.where(cold, stefan, jnp.maximum(ipnd - 0.01 * dt / cst.secday, 0.0))
-    del dh_melt, frzpnd
-    return ipnd_new
+    del frzpnd
+    return ipnd_new, ipnd_new - ipnd
 
 
 def compute_ponds_lvl(cfg_ponds, dt, *, aicen, vicen, vsnon, alvl, apnd, hpnd,
@@ -99,10 +102,11 @@ def compute_ponds_lvl(cfg_ponds, dt, *, aicen, vicen, vsnon, alvl, apnd, hpnd,
         volp = jnp.where(cold, volp * jnp.clip(shrink, 0.0, 1.0), volp)
         ipnd_new = jnp.zeros_like(ipnd)
         dlid = jnp.zeros_like(ipnd)
-    else:  # 'hlid' Stefan lid; lid ice displaces pond water
-        ipnd_new = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
-        dlid = jnp.maximum(ipnd_new - ipnd, 0.0)
-        volp = jnp.maximum(volp - dlid * cst.rhoi / cst.rhofresh, 0.0)
+    else:  # 'hlid' Stefan lid: freezes pond water under the pond area
+        ipnd_new, dlid_s = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
+        dlid = jnp.maximum(dlid_s, 0.0)
+        volp = jnp.maximum(volp - apnd * dlid_s * cst.rhoi / cst.rhofresh,
+                           0.0)
 
     # --- drainage (Darcy through warm permeable ice; head ~ hpnd) -------
     hi = jnp.where(aicen > cst.puny, vicen / jnp.maximum(aicen, cst.puny), 0.0)
@@ -182,9 +186,10 @@ def compute_ponds_sealvl(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
         ipnd_new = jnp.zeros_like(ipnd)
         dlid = jnp.zeros_like(ipnd)
     else:
-        ipnd_new = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
-        dlid = jnp.maximum(ipnd_new - ipnd, 0.0)
-        volp = jnp.maximum(volp - dlid * cst.rhoi / cst.rhofresh, 0.0)
+        ipnd_new, dlid_s = _lid_growth(cfg_ponds.frzpnd, ipnd, Tsf, dt)
+        dlid = jnp.maximum(dlid_s, 0.0)
+        volp = jnp.maximum(volp - apnd * dlid_s * cst.rhoi / cst.rhofresh,
+                           0.0)
 
     # --- equilibrium geometry: pond fraction relaxes to apnd_sl ----------
     a_sl = cfg_ponds.apnd_sl
@@ -261,10 +266,13 @@ def compute_ponds_topo(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
     flush = jnp.maximum(volp - vol_max, 0.0)
     volp = volp - flush
 
+    # refrozen lid exchanges water with the pond under the pond area
+    ipnd_new, dlid_s = _lid_growth("hlid", ipnd, Tsf, dt)
+    volp = jnp.maximum(volp - apnd * dlid_s * cst.rhoi / cst.rhofresh, 0.0)
+
     apnd_new = jnp.clip(jnp.sqrt(jnp.maximum(volp, 0.0) /
                                  cfg_ponds.pndaspect), 0.0, 1.0)
     hpnd_new = cfg_ponds.pndaspect * apnd_new
-    ipnd_new = _lid_growth("hlid", ipnd, Tsf, dt)
 
     apnd_new = jnp.where(mask, apnd_new, 0.0)
     hpnd_new = jnp.where(mask, hpnd_new, 0.0)
@@ -276,7 +284,7 @@ def compute_ponds_topo(cfg_ponds, dt, *, aicen, vicen, vsnon, apnd, hpnd,
                    dpnd_initial=jnp.where(mask, dvol, 0.0),
                    dpnd_freebd=jnp.where(mask, flush, 0.0),
                    dpnd_dlid=jnp.where(
-                       mask, jnp.maximum(ipnd_new - ipnd, 0.0) *
+                       mask, jnp.maximum(dlid_s, 0.0) *
                        cst.rhoi / cst.rhofresh, 0.0))
 
 
@@ -317,6 +325,29 @@ def step_ponds(cfg, dt, *, aicen, vicen, vsnon, trcrn, Tsf, meltt, melts,
                           "dpnd_freebd", "dpnd_dlid")}
         return trcrn, out.apeff, out.dpnd_flush, diag
     return trcrn, out.apeff, out.dpnd_flush
+
+
+def pond_reservoir_mass(trcrn, aicen, lvl: bool):
+    """Pond water mass per unit cell area (kg/m^2): liquid plus refrozen
+    lid (water-equivalent), with the lvl scheme's level-ice-area
+    normalization (apnd/hpnd are fractions of the alvl*aicen area for
+    tr_pond_lvl; of aicen otherwise).
+
+    This is THE pond-reservoir definition shared by the coupler fresh-flux
+    assembly (model/step.py) and the freshwater budget closure
+    (model/diagnostics.py hemispheric_budgets) — using one formula in both
+    places makes the budget identity exact by construction, mirroring the
+    reference's fpond bookkeeping (ice_flux.F90 fpond; Icepack pond volume
+    dpnd accounting)."""
+    if "apnd" not in trcrn or "hpnd" not in trcrn:
+        return jnp.zeros(aicen.shape[1:], aicen.dtype)
+    norm = jnp.clip(trcrn["alvl"], 0.0, 1.0) \
+        if (lvl and "alvl" in trcrn) else jnp.ones_like(aicen)
+    apnd = trcrn["apnd"]
+    liquid = cst.rhofresh * apnd * trcrn["hpnd"]
+    lid = cst.rhoi * apnd * trcrn["ipnd"] if "ipnd" in trcrn \
+        else jnp.zeros_like(apnd)
+    return jnp.sum(aicen * norm * (liquid + lid), axis=0)
 
 
 def pond_exposure(cfg, *, aicen, vsnon, trcrn):

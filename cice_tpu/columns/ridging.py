@@ -178,81 +178,79 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         lim = jnp.clip(lim, 0.0, 1.0)
         scale = scale * lim
 
-        a_new = [aicen[n] for n in range(ncat)]
-        v_new = [vicen[n] for n in range(ncat)]
-        s_new = [vsnon[n] for n in range(ncat)]
-        tr = {k: [t[n] for n in range(ncat)] for k, t in trcrn.items()}
+        # vectorized donor -> receiver transfer matrices (n donor, m recv):
+        # all removals use the loop-start state (like the reference's
+        # ridge_shift), and receivers merge tracers by total weighted mean
+        # — associative, so equal to sequential pairwise merging
+        ardg = rp.apartic[1:] * scale[None]           # (ncat, ny, nx)
+        have = aicen > cst.puny
+        ardg = jnp.where(have, jnp.minimum(ardg, aicen), 0.0)
+        frac = jnp.where(have, ardg / jnp.maximum(aicen, cst.puny), 0.0)
+        vrdg = vicen * frac                   # donor volume (conserved)
+        srdg = vsnon * frac                   # snow rides with the ridge
+        area_r = ardg / rp.krdg               # new ridge area per donor
 
-        bounds = [float(b) for b in hin_max]
+        bounds = np.array([float(b) for b in hin_max])
         bounds[-1] = 1e9
-        for n in range(ncat):
-            ardg = rp.apartic[1 + n] * scale          # donor area removed
-            have = aicen[n] > cst.puny
-            ardg = jnp.where(have, jnp.minimum(ardg, aicen[n]), 0.0)
-            frac = jnp.where(have, ardg / jnp.maximum(aicen[n], cst.puny), 0.0)
-            vrdg = vicen[n] * frac                    # donor volume (conserved)
-            srdg = vsnon[n] * frac                    # snow pushed into ocean? keep with ridge
-            a_new[n] = a_new[n] - ardg
-            v_new[n] = v_new[n] - vrdg
-            s_new[n] = s_new[n] - srdg
-            dardg1 = dardg1 + ardg
-            dvirdg = dvirdg + vrdg
-            dardg1n = dardg1n.at[n].add(ardg)
-            # ridged area = ardg/krdg distributed over receivers
-            area_r = ardg / rp.krdg[n]
-            dardg2 = dardg2 + area_r
-            # distribute by exponential profile overlap with category bounds
-            fa_tot = jnp.zeros_like(ardg)
-            fv_tot = jnp.zeros_like(ardg)
-            fas, fvs = [], []
-            for m in range(ncat):
-                fa, fv = _exp_overlap(rp.hrmin[n], rp.hrexp[n],
-                                      jnp.asarray(bounds[m], aicen.dtype),
-                                      jnp.asarray(bounds[m + 1], aicen.dtype))
-                fas.append(fa); fvs.append(fv)
-                fa_tot = fa_tot + fa
-                fv_tot = fv_tot + fv
-            fa_tot = jnp.maximum(fa_tot, cst.puny)
-            fv_tot = jnp.maximum(fv_tot, cst.puny)
-            for m in range(ncat):
-                da = area_r * fas[m] / fa_tot
-                dv = vrdg * fvs[m] / fv_tot
-                ds = srdg * fas[m] / fa_tot
-                # merge tracers into receiver m with area/volume weights
-                from ..model.state import DEP_AICE, DEP_VICE, DEP_VSNO
-                wts = {DEP_AICE: (a_new[m], da), DEP_VICE: (v_new[m], dv),
-                       DEP_VSNO: (s_new[m], ds)}
-                for spec in registry:
-                    wr, wd = wts[spec.depend]
-                    t_dst = tr[spec.name][m]
-                    t_src = tr[spec.name][n]
-                    if t_dst.ndim == 3:
-                        wr = wr[None]; wd = wd[None]
-                    den = wr + wd
-                    tr[spec.name][m] = jnp.where(
-                        den > cst.puny,
-                        (t_dst * wr + t_src * wd) / jnp.maximum(den, cst.puny),
-                        t_dst)
-                a_new[m] = a_new[m] + da
-                v_new[m] = v_new[m] + dv
-                s_new[m] = s_new[m] + ds
-                dardg2n = dardg2n.at[m].add(da)
-                dvirdgn = dvirdgn.at[m].add(dv)
+        lo = jnp.asarray(bounds[:-1], aicen.dtype)[None, :, None, None]
+        hi_b = jnp.asarray(bounds[1:], aicen.dtype)[None, :, None, None]
+        # overlap of donor n's exponential ridge pdf with receiver m's bin
+        fa, fv = _exp_overlap(rp.hrmin[:, None], rp.hrexp[:, None], lo, hi_b)
+        fa_tot = jnp.maximum(jnp.sum(fa, axis=1, keepdims=True), cst.puny)
+        fv_tot = jnp.maximum(jnp.sum(fv, axis=1, keepdims=True), cst.puny)
+        da = area_r[:, None] * fa / fa_tot            # (n, m, ny, nx)
+        dv = vrdg[:, None] * fv / fv_tot
+        ds = srdg[:, None] * fa / fa_tot
 
-        aicen = jnp.stack(a_new)
-        vicen = jnp.stack(v_new)
-        vsnon = jnp.stack(s_new)
-        trcrn = {k: jnp.stack(v) for k, v in tr.items()}
+        a_rm = aicen - ardg                   # post-removal donor state
+        v_rm = vicen - vrdg
+        s_rm = vsnon - srdg
+        da_r = jnp.sum(da, axis=0)            # per-receiver gains (m, ny, nx)
+        dv_r = jnp.sum(dv, axis=0)
+        ds_r = jnp.sum(ds, axis=0)
+
+        from ..model.state import DEP_AICE, DEP_VICE, DEP_VSNO
+        wts = {DEP_AICE: (a_rm, da, da_r), DEP_VICE: (v_rm, dv, dv_r),
+               DEP_VSNO: (s_rm, ds, ds_r)}
+        tr_new = {}
+        for spec in registry:
+            wr, wd, wd_r = wts[spec.depend]
+            t = trcrn[spec.name]
+            if t.ndim == 4:                   # (ncat, L, ny, nx)
+                contrib = jnp.sum(t[:, None] * wd[:, :, None], axis=0)
+                wr_b, wd_rb = wr[:, None], wd_r[:, None]
+            else:
+                contrib = jnp.sum(t[:, None] * wd, axis=0)
+                wr_b, wd_rb = wr, wd_r
+            den = wr_b + wd_rb
+            tr_new[spec.name] = jnp.where(
+                den > cst.puny,
+                (t * wr_b + contrib) / jnp.maximum(den, cst.puny), t)
+        trcrn = tr_new
+
+        dardg1 = dardg1 + jnp.sum(ardg, axis=0)
+        dvirdg = dvirdg + jnp.sum(vrdg, axis=0)
+        dardg2 = dardg2 + jnp.sum(area_r, axis=0)
+        dardg1n = dardg1n + ardg
+        dardg2n = dardg2n + da_r
+        dvirdgn = dvirdgn + dv_r
+
+        aicen = a_rm + da_r
+        vicen = v_rm + dv_r
+        vsnon = s_rm + ds_r
         closing_rem = jnp.maximum(closing_rem - clos * lim, 0.0)
 
     # renormalize if total area still exceeds 1 (e.g. strong convergence)
     aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
                                        registry)
-    aicen, vicen, vsnon, trcrn = cleanup_itd(aicen, vicen, vsnon, trcrn,
-                                             registry)
+    aicen, vicen, vsnon, trcrn, fclean = cleanup_itd(aicen, vicen, vsnon,
+                                                     trcrn, registry, dt=dt)
 
     diags = dict(dardg1dt=dardg1 / dt, dardg2dt=dardg2 / dt,
                  dvirdgdt=dvirdg / dt, opening=opning,
+                 # cleanup losses to the ocean (budget closure)
+                 fresh_cleanup=fclean["fresh"], fsalt_cleanup=fclean["fsalt"],
+                 fhocn_cleanup=fclean["fhocn"],
                  # per-category (3Dc) ridging diagnostics; aredistn/vredistn
                  # are the per-receiver redistribution of the new ridge
                  # area/volume this step (the reference's snapshot fields)

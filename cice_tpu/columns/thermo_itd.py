@@ -174,12 +174,15 @@ def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
 
     aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
                                        registry)
-    aicen, vicen, vsnon, trcrn = cleanup_itd(aicen, vicen, vsnon, trcrn,
-                                             registry)
+    aicen, vicen, vsnon, trcrn, fclean = cleanup_itd(
+        aicen, vicen, vsnon, trcrn, registry, dt=dt,
+        sal_ref=(sal_ref if sal_ref is not None
+                 else cfg.thermo.ice_ref_salinity))
 
     frz_onset = jnp.where(frazil > 0.0, 1.0, 0.0)
     return Therm2Out(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
                      frazil=frazil, frz_onset=frz_onset,
-                     fhocn=fhocn_l, freshn=fresh_l + fresh_f,
-                     fsaltn=fsalt_l + fsalt_f, meltl=meltl,
+                     fhocn=fhocn_l + fclean["fhocn"],
+                     freshn=fresh_l + fresh_f + fclean["fresh"],
+                     fsaltn=fsalt_l + fsalt_f + fclean["fsalt"], meltl=meltl,
                      freshn_frazil=fresh_f, fsaltn_frazil=fsalt_f)

@@ -387,16 +387,24 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
     ice_present = hin > cst.puny
 
     # --- sublimation / condensation at the top (latent heat flux) ----------
-    # evap (kg/m^2/s) = flat / Lsub; negative flat = sublimation (mass loss)
-    evapn = flat / cst.Lsub
-    subl = -jnp.minimum(evapn, 0.0) * dt / cst.rhos  # m of snow-equivalent? handle below
+    # mass flux = flat / Lsub; negative flat = sublimation (mass loss),
+    # positive = condensation deposited as frost on the top snow layer.
+    # `evapn` reports the mass ACTUALLY exchanged with the atmosphere
+    # (sublimation is supply-limited), so the freshwater budget closes
+    # exactly (reference icepack_therm_vertical evapn bookkeeping)
+    evap_pot = flat / cst.Lsub
+    subl = -jnp.minimum(evap_pot, 0.0) * dt / cst.rhos
     # sublimate snow first (in snow thickness units), then ice
     dhs_subl = jnp.minimum(subl * (cst.rhos / cst.rhos), sum_list(dzs))
     rem = (subl - dhs_subl) * cst.rhos / cst.rhoi
     dhi_subl = jnp.minimum(rem, sum_list(dzi))
     dzs = shave_layers(dzs, dhs_subl, top=True)
     dzi = shave_layers(dzi, dhi_subl, top=True)
-    # condensation (evapn>0) adds no mass in this scheme (rare over ice)
+    # condensation: frost joins the top snow layer at its enthalpy
+    dhs_frost = jnp.where(ice_present,
+                          jnp.maximum(evap_pot, 0.0) * dt / cst.rhos, 0.0)
+    dzs[0] = dzs[0] + dhs_frost
+    evapn = (cst.rhos * (dhs_frost - dhs_subl) - cst.rhoi * dhi_subl) / dt
 
     # --- bottom growth / melt ---------------------------------------------
     # energy available at the bottom: (fcondbot - fbot)*dt
@@ -466,14 +474,16 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
     hs_new = sum_list(dzs)
 
     # --- fresh & salt fluxes -------------------------------------------------
-    # ice melt -> fresh water; salt budget per saltflux_option (reference
-    # icepack_therm_vertical / thermo_nml, ug_case_settings.rst:782):
-    #   'constant'    melt releases / growth removes salt at ice_ref_salinity
-    #   'prognostic'  at the actual bulk salinity (mushy sice layers):
-    #                 melted layers' mean S, congelation at the bottom-layer S
-    dhi_total = meltt + meltb  # ice thickness melted
-    freshn = (cst.rhoi * dhi_total + cst.rhos * melts) / dt \
-        - dhin * (cst.rhow - cst.rhoi) / dt  # water consumed by snow-ice flooding
+    # freshwater to ocean in exact total-mass-change form: whatever column
+    # mass change is not explained by the atmosphere exchange (evapn) came
+    # from / went to the ocean. This makes melt (+), congelation growth (-),
+    # full-column melt, and the mass-conserving snow-ice conversion all
+    # close the budget identity to roundoff (reference
+    # icepack_therm_vertical freshn = evapn - dhi*rhoi/dt - dhs*rhos/dt
+    # total-change bookkeeping; ice_diagnostics.F90:243-530)
+    dhi_total = meltt + meltb  # ice thickness melted (diagnostics)
+    freshn = (cst.rhoi * (hin - hi_new) + cst.rhos * (hsn - hs_new)) / dt \
+        + evapn
     if saltflux_option == "prognostic":
         S_melt = sum_list(list(salin)) / len(salin)
         S_grow = salin[-1]

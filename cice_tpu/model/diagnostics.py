@@ -106,20 +106,28 @@ def total_water_mass(grid: Grid, state: State) -> jnp.ndarray:
     return jnp.sum((cst.rhoi * state.vice + cst.rhos * state.vsno) * w)
 
 
-def total_pond_mass(grid: Grid, state: State) -> jnp.ndarray:
-    """Melt-pond liquid mass (kg) — retained fresh water rides the ice
-    budget until it drains (reference l_mpond_fresh bookkeeping)."""
+def total_pond_mass(grid: Grid, state: State,
+                    pond_lvl: bool | None = None) -> jnp.ndarray:
+    """Melt-pond water mass (kg, liquid + lid water-equivalent) — retained
+    fresh water rides the ice budget until it drains (reference
+    l_mpond_fresh bookkeeping). Uses the SAME reservoir formula as the
+    model step's fresh-flux assembly (columns/ponds.py
+    pond_reservoir_mass) so budgets close exactly."""
+    from ..columns.ponds import pond_reservoir_mass
     tr = state.trcrn
     if "apnd" not in tr or "hpnd" not in tr:
         return jnp.zeros((), state.aice.dtype)
+    if pond_lvl is None:
+        pond_lvl = "alvl" in tr
     w = grid.tarea * grid.hm
-    pond = jnp.sum(state.aicen * tr["apnd"] * tr["hpnd"], axis=0)
-    return jnp.sum(pond * w) * cst.rhofresh
+    pond = pond_reservoir_mass(tr, state.aicen, pond_lvl)
+    return jnp.sum(pond * w)
 
 
 def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
                         flux, fc, dt: float,
-                        frazil_in_fresh: bool = False
+                        frazil_in_fresh: bool = False,
+                        pond_lvl: bool | None = None
                         ) -> Dict[str, jnp.ndarray]:
     """Heat & freshwater budget closure over a step (reference
     ice_diagnostics.F90:243-530 arbud/icebud print_global tables).
@@ -144,6 +152,8 @@ def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
     acc = jnp.float64 if jax.config.jax_enable_x64 else state_pre.aice.dtype
     w = (grid.tarea * grid.hm).astype(acc)
     nh = grid.TLAT > 0.0
+    if pond_lvl is None:
+        pond_lvl = "alvl" in state_pre.trcrn
 
     def tot(f):
         return jnp.sum(f.astype(acc) * w)
@@ -152,24 +162,31 @@ def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
         s = f.astype(acc) * w
         return jnp.sum(jnp.where(nh, s, 0.0)), jnp.sum(jnp.where(nh, 0.0, s))
 
-    def mass(state):
+    def mass_field(state):
+        """Per-cell ice+snow+pond mass (kg/m^2). The budget takes the
+        pre/post DIFFERENCE per cell before the global sum — subtracting
+        two ~1e14 kg totals would put the f32 cancellation noise (~1e10)
+        far above any real leak."""
+        from ..columns.ponds import pond_reservoir_mass
         pond = jnp.zeros(grid.shape, acc)
         if "apnd" in state.trcrn and "hpnd" in state.trcrn:
-            pond = cst.rhofresh * jnp.sum(
-                state.aicen.astype(acc) * state.trcrn["apnd"].astype(acc) *
-                state.trcrn["hpnd"].astype(acc), axis=0)
-        return jnp.sum((cst.rhoi * state.vice.astype(acc) +
-                        cst.rhos * state.vsno.astype(acc) + pond) * w)
+            tr_acc = {k: state.trcrn[k].astype(acc)
+                      for k in ("apnd", "hpnd", "ipnd", "alvl")
+                      if k in state.trcrn}
+            pond = pond_reservoir_mass(tr_acc, state.aicen.astype(acc),
+                                       pond_lvl)
+        return (cst.rhoi * state.vice.astype(acc) +
+                cst.rhos * state.vsno.astype(acc) + pond)
 
-    def energy(state):
+    def energy_field(state):
         qice = state.trcrn["qice"].astype(acc)
         qsno = state.trcrn["qsno"].astype(acc)
-        e = (jnp.sum(qice.mean(axis=1) * state.vicen.astype(acc), axis=0) +
-             jnp.sum(qsno.mean(axis=1) * state.vsnon.astype(acc), axis=0))
-        return jnp.sum(e * w)
+        return (jnp.sum(qice.mean(axis=1) * state.vicen.astype(acc), axis=0)
+                + jnp.sum(qsno.mean(axis=1) * state.vsnon.astype(acc),
+                          axis=0))
 
     aice0 = state_pre.aice
-    dM = mass(state_post) - mass(state_pre)
+    dM = jnp.sum((mass_field(state_post) - mass_field(state_pre)) * w)
     # boundary mass fluxes (kg/m^2/s, cell means)
     snow_in = tot(fc.fsnow * aice0)
     rain_in = tot(fc.frain * aice0)
@@ -183,7 +200,7 @@ def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
         water_in = water_in + dt * frazil_mass
     water_res = dM - water_in
 
-    dE = energy(state_post) - energy(state_pre)
+    dE = jnp.sum((energy_field(state_post) - energy_field(state_pre)) * w)
     sw_abs = tot(flux.fswabs - flux.fswthru)
     lw_net = tot(fc.flw * aice0 + flux.flwout)
     turb = tot(flux.fsens + flux.flat)
@@ -193,9 +210,17 @@ def hemispheric_budgets(grid: Grid, state_pre: State, state_post: State,
     # ~ -Lfresh*dM without any boundary heat flux (the latent heat went to
     # the ocean/atmosphere as fhocn/fcondtop); the residual left after this
     # term is the sensible part (cp*T*dm, a few % of Lfresh)
-    pond_post = total_pond_mass(grid, state_post).astype(acc)
-    pond_pre = total_pond_mass(grid, state_pre).astype(acc)
-    latent_store = -cst.Lfresh * (dM - (pond_post - pond_pre))
+    from ..columns.ponds import pond_reservoir_mass
+
+    def pond_field(state):
+        if "apnd" not in state.trcrn:
+            return jnp.zeros(grid.shape, acc)
+        return pond_reservoir_mass(
+            {k: state.trcrn[k].astype(acc) for k in state.trcrn},
+            state.aicen.astype(acc), pond_lvl)
+
+    dpond = jnp.sum((pond_field(state_post) - pond_field(state_pre)) * w)
+    latent_store = -cst.Lfresh * (dM - dpond)
     heat_in = dt * (sw_abs + lw_net + turb - ocn_heat) + latent_store
     heat_res = dE - heat_in
 

@@ -146,6 +146,10 @@ class Model:
 
     def __init__(self, cfg, grid: Optional[Grid] = None,
                  enable_history: bool = False, mesh=None):
+        if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+            # without this, jnp silently truncates every array to f32 and
+            # the run is NOT the f64 run the user asked for
+            jax.config.update("jax_enable_x64", True)
         self.cfg = cfg
         self.grid = grid if grid is not None else make_grid(cfg)
         self.static = ModelStatic.build(cfg, mesh=mesh)
@@ -166,7 +170,6 @@ class Model:
         self.forcing = zeros_forcing(self.grid.shape, cfg.np_dtype)
         if cfg.forcing.default_season == "summer":
             # pre-first-read air state (forcing_nml default_season)
-            import jax.numpy as jnp
             warm = jnp.full(self.grid.shape, 273.15 + 2.0, cfg.np_dtype)
             self.forcing = self.forcing.replace(Tair=warm, potT=warm)
         from .forcing import default_ocn
@@ -190,8 +193,13 @@ class Model:
         self._step_jit = partial(_model_step_jit, self.static, self.grid)
         from ..utils.timers import Timers
         self.timers = Timers().init_standard()
+        # boundary-restore target = the run's INITIAL state (reference
+        # ice_HaloRestore_init captures it at initialization, not lazily)
         self._restore_target = None
         self._restore_zone = None
+        if cfg.forcing.restore_ice:
+            from .restoring import make_restore_target
+            self._restore_target = make_restore_target(cfg, self.state)
         self.flux = None
         self.io_writer = None
         if cfg.setup.io_async:
@@ -248,7 +256,6 @@ class Model:
         if self.calendar.year != prev_year:
             # yearly reset of melt/freeze onset diagnostics (reference
             # resets mlt_onset/frz_onset with the annual history cycle)
-            import jax.numpy as jnp
             z = jnp.zeros_like(self.state.mlt_onset)
             self.state = self.state.replace(mlt_onset=z, frz_onset=z)
 
@@ -279,15 +286,24 @@ class Model:
                 bud = hemispheric_budgets(
                     self.grid, state_pre, self.state, self.flux,
                     self.forcing, self.cfg.setup.dt,
-                    frazil_in_fresh=self.cfg.forcing.update_ocn_f)
+                    frazil_in_fresh=self.cfg.forcing.update_ocn_f,
+                    pond_lvl=self.cfg.tracers.tr_pond_lvl)
                 rec.update({f"bud_{k}": float(v) for k, v in bud.items()})
                 wscale = max(abs(rec["bud_dM"]), abs(rec["bud_water_in"]),
                              1.0)
                 # observed closure is ~5e-4 relative (a small snow-ice /
                 # brine-volume bookkeeping term, VALIDATION.md); 1% catches
-                # any genuinely lost budget term
+                # any genuinely lost budget term. Prescribed-ice resets and
+                # boundary/SST restoring change mass with no flux term, so
+                # the residual is meaningless there and the abort is
+                # disabled (the reference likewise skips conservation
+                # aborts for prescribed runs)
                 wtol = 1e-2
-                if abs(rec["bud_water_residual"]) > wtol * wscale:
+                nudged = (self.cfg.setup.prescribed_ice or
+                          self.cfg.forcing.restore_ice or
+                          self.cfg.forcing.restore_ocn)
+                if not nudged and \
+                        abs(rec["bud_water_residual"]) > wtol * wscale:
                     self.write_restart()
                     self.flush_io()
                     raise RuntimeError(
@@ -367,7 +383,6 @@ class Model:
                 return cov[month % cov.shape[0]]
             except FileNotFoundError:
                 pass
-        import jax.numpy as jnp
         lat = self.grid.TLAT
         phase = np.cos(2.0 * np.pi * (self.calendar.fyday - 80.0) / 365.0)
         edge_nh = (68.0 - 8.0 * phase) * np.pi / 180.0

@@ -338,12 +338,17 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # aggregate cell-mean fluxes (weight: category area; sum over categories)
     w = jnp.where(mask, an, 0.0)
     ws = lambda x: jnp.sum(w * x, axis=0)
+    # the hi_min floor before the vertical solve adds (hi_min - hin) of ice
+    # to thin masked categories; that mass is drawn from the ocean so the
+    # freshwater identity stays exact (negative fresh contribution)
+    fresh_clamp = -cst.rhoi * jnp.where(mask, hin_solve - hin, 0.0) / dt
     agg = dict(
         fsens=ws(ts.fsens), flat=ws(ts.flat), flwout=ws(ts.flwout),
         evap=ws(th.evapn),
         fsalt_drain=fsalt_drain,
         fswabs=ws(sw.fswsfc + sw.fswint + sw.fswthru),
-        fhocn=ws(th.fhocn), fresh=ws(th.freshn), fsalt=ws(th.fsaltn),
+        fhocn=ws(th.fhocn), fresh=ws(th.freshn + fresh_clamp),
+        fsalt=ws(th.fsaltn),
         fswthru=ws(sw.fswthru), meltt=ws(th.meltt), meltb=ws(th.meltb),
         melts=ws(th.melts), congel=ws(th.congel), snoice=ws(th.snoice),
         alvdr=ws(sw.alvdr), alvdf=ws(sw.alvdf), alidr=ws(sw.alidr),
@@ -567,6 +572,14 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     aice_init, vice_init = state.aice, state.vice
     vsno_init = state.vsno
 
+    # pond freshwater reservoir before the thermo phases: the coupler
+    # fresh flux below carries rain-on-ice minus the reservoir change so
+    # the freshwater identity closes exactly (reference fpond bookkeeping,
+    # ice_flux.F90 / ice_diagnostics.F90:243-530 arbud)
+    from ..columns.ponds import pond_reservoir_mass
+    pond_lvl = cfg.tracers.tr_pond_lvl
+    pond_mass_pre = pond_reservoir_mass(state.trcrn, state.aicen, pond_lvl)
+
     def _mean_age(st):
         if "iage" not in st.trcrn:
             return jnp.zeros_like(st.aice)
@@ -629,6 +642,15 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         trc.update(bout.trc)
         state = state.replace(trcrn=trc)
 
+    # pond reservoir change over the thermo phases (therm1 pond update +
+    # therm2 lateral melt/ITD changes of the pond-bearing area): positive
+    # = water retained on the ice, deducted from the coupler fresh flux.
+    # Rain over ice enters the ice system here; the uncaptured remainder
+    # runs off to the ocean (reference prepare_forcing / icepack therm1)
+    pond_mass_post = pond_reservoir_mass(state.trcrn, state.aicen, pond_lvl)
+    fpond_net = (pond_mass_post - pond_mass_pre) / dt     # kg/m^2/s
+    rain_on_ice = fc.frain * aice_init
+
     daidtt = (state.aice - aice_init) / dt
     dvidtt = (state.vice - vice_init) / dt
     dvsdtt = (state.vsno - vsno_init) / dt
@@ -642,6 +664,8 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # times per thermo step at dt/ndtd (reference do k=1,ndtd loop,
     # CICE_RunMod.F90:287-322); ndtd is static so this unrolls at trace time
     tchecks: dict = {}
+    zf0 = jnp.zeros(grid.shape, state.aicen.dtype)
+    clean = dict(fresh=zf0, fsalt=zf0, fhocn=zf0)   # ridging cleanup losses
     if cfg.dynamics.kdyn >= 1:
         dt_dyn = dt / max(cfg.setup.ndtd, 1)
         for _ in range(max(cfg.setup.ndtd, 1)):
@@ -675,6 +699,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                     hin_max=hin_max, registry=registry)
                 state = state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
                                       trcrn=trcrn)
+                for k in clean:
+                    # dt-weighted: cleanup rates are per dt_dyn sub-step
+                    clean[k] = clean[k] + rdg.pop(f"{k}_cleanup") * \
+                        (dt_dyn / dt)
                 dyn.update(rdg)
     else:
         _z = jnp.zeros(grid.shape, state.aicen.dtype)
@@ -683,7 +711,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     # --- ocean mixed layer / frzmlt -------------------------------------
     fbot_used = agg.pop("fbot_used")
-    fhocn_ice = agg["fhocn"] + t2.fhocn + fbot_used
+    fhocn_ice = agg["fhocn"] + t2.fhocn + fbot_used + clean["fhocn"]
     if cfg.forcing.oceanmixed_ice:
         sst_new, frzmlt = ocean_mixed_layer(
             dt, sst=state.sst, Tf=fc.Tf, hmix=fc.hmix, qdp=fc.qdp,
@@ -718,9 +746,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         fhocn=fhocn_ice,
         # update_ocn_f=False: frazil mass fluxes stay out of the coupler
         # fresh/salt budget (forcing_nml update_ocn_f)
-        fresh=agg["fresh"] + (t2.freshn if cfg.forcing.update_ocn_f
-                              else t2.freshn - t2.freshn_frazil),
-        fsalt=agg["fsalt"] + agg["fsalt_drain"] +
+        fresh=agg["fresh"] + rain_on_ice - fpond_net + clean["fresh"] +
+              (t2.freshn if cfg.forcing.update_ocn_f
+               else t2.freshn - t2.freshn_frazil),
+        fsalt=agg["fsalt"] + agg["fsalt_drain"] + clean["fsalt"] +
               (t2.fsaltn if cfg.forcing.update_ocn_f
                else t2.fsaltn - t2.fsaltn_frazil),
         fswthru=agg["fswthru"],
@@ -732,7 +761,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         albice=agg["albice"],
         fsurf=agg["fsurf"], fcondtop=agg["fcondtop"],
         fbot=fbot_used, fcondbot=agg["fcondbot"], fswint=agg["fswint"],
-        fpond=agg["fpond"], apeff=agg["apond"], meltsliq=agg["meltsliq"],
+        fpond=fpond_net, apeff=agg["apond"], meltsliq=agg["meltsliq"],
         snowfrac=agg["snowfrac"], albsno=agg["albsno"],
         albpnd=agg["albpnd"], dvsdtd=(state.vsno - vsno_posttherm) / dt,
         dvsdtt=dvsdtt, dagedtt=dagedtt,

@@ -17,12 +17,16 @@ from cice_tpu.model.driver import Model
 
 
 def _run_budget(overrides, nsteps=4):
+    # f64 state: conservation identities are tested at bookkeeping accuracy,
+    # not at the f32 state-quantization noise floor (~1e8 kg on this
+    # huge-cell toy grid), which would mask real budget leaks
     cfg = Config().with_overrides(**{
         "grid.nx_global": 32, "grid.ny_global": 32,
         "grid.grid_format": "rect", "grid.kmt_type": "default",
         "forcing.atm_data_type": "box2001",
         "forcing.ocn_data_type": "box2001",
         "dynamics.ndte": 20, "thermo.nit": 4,
+        "dtype": "float64",
         **overrides})
     m = Model(cfg)
     buds = []
@@ -97,9 +101,10 @@ def test_driver_abort_on_violation(monkeypatch):
 
     real = diag.hemispheric_budgets
 
-    def corrupted(grid, pre, post, flux, fc, dt, frazil_in_fresh=False):
+    def corrupted(grid, pre, post, flux, fc, dt, frazil_in_fresh=False,
+                  **kw):
         out = dict(real(grid, pre, post, flux, fc, dt,
-                        frazil_in_fresh=frazil_in_fresh))
+                        frazil_in_fresh=frazil_in_fresh, **kw))
         out["water_residual"] = jnp.asarray(1e12)
         out["dM"] = jnp.asarray(1e12)
         return out
