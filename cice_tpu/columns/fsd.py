@@ -177,7 +177,11 @@ def fsd_wave_fracture(cfg, dt, fsd, aicen, vicen, hs_wave, Tp_wave,
     size). Strain criterion in both: flexural strain > EPS_CRIT."""
     if wave_spectrum is not None:
         from ..model.forcing import wave_frequencies
-        hbar = jnp.sum(vicen, axis=0)   # cell mean thickness (vice)
+        # flexural plate thickness = ICE thickness vice/aice, not the
+        # concentration-diluted cell mean (Horvat & Tziperman use floe
+        # thickness; at low aice the cell mean underestimates strain)
+        hbar = jnp.sum(vicen, axis=0) / \
+            jnp.maximum(jnp.sum(aicen, axis=0), cst.puny)
         f, df = wave_frequencies(fsd.dtype)
         W = wave_frac_histogram(wave_spectrum, df, f, hbar, nfsd)
         _, hi_b, mid = fsd_bounds(nfsd)

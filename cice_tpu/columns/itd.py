@@ -256,7 +256,9 @@ def linear_itd_remap(aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new,
     a = list(aicen)
     v = list(vicen)
     s = list(vsnon)
-    tr = {k: list(x) for k, x in trcrn.items()}
+    didx, _ = flat_dep_table(registry)
+    didx = jnp.asarray(didx)
+    tr = list(pack_tracers(trcrn, registry))      # per-cat (NT, ny, nx)
 
     for n in range(ncat - 1):
         hb_fixed = jnp.asarray(hin_max[n + 1], dt)
@@ -283,25 +285,21 @@ def linear_itd_remap(aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new,
         dsu = jnp.where(a[n] > puny, s[n] * dau / jnp.maximum(a[n], puny), 0.0)
         dsd = jnp.where(a[n + 1] > puny, s[n + 1] * dad / jnp.maximum(a[n + 1], puny), 0.0)
 
-        # merge tracers into the receiver with dependency weights
-        wts = {DEP_AICE: (dau, dad), DEP_VICE: (dvu, dvd), DEP_VSNO: (dsu, dsd)}
-        recv_w = {DEP_AICE: (a[n + 1], a[n]), DEP_VICE: (v[n + 1], v[n]),
-                  DEP_VSNO: (s[n + 1], s[n])}
-        for spec in registry:
-            du_, dd_ = wts[spec.depend]
-            ru_, rd_ = recv_w[spec.depend]
-            t_n, t_n1 = tr[spec.name][n], tr[spec.name][n + 1]
-            if t_n.ndim == 3:
-                du_ = du_[None]; dd_ = dd_[None]
-                ru_ = ru_[None]; rd_ = rd_[None]
-            # upward transfer: donor n -> receiver n+1
-            den_u = ru_ + du_
-            new_n1 = jnp.where(den_u > puny, (t_n1 * ru_ + t_n * du_) / jnp.maximum(den_u, puny), t_n1)
-            # downward transfer: donor n+1 -> receiver n
-            den_d = rd_ + dd_
-            new_n = jnp.where(den_d > puny, (t_n * rd_ + t_n1 * dd_) / jnp.maximum(den_d, puny), t_n)
-            tr[spec.name][n + 1] = new_n1
-            tr[spec.name][n] = new_n
+        # merge tracers into the receiver with dependency weights (packed:
+        # one NT-vectorized weighted mean instead of a per-spec loop)
+        du_ = _dep_weight(didx, dau, dvu, dsu)
+        dd_ = _dep_weight(didx, dad, dvd, dsd)
+        ru_ = _dep_weight(didx, a[n + 1], v[n + 1], s[n + 1])
+        rd_ = _dep_weight(didx, a[n], v[n], s[n])
+        t_n, t_n1 = tr[n], tr[n + 1]
+        # upward transfer: donor n -> receiver n+1
+        den_u = ru_ + du_
+        tr[n + 1] = jnp.where(den_u > puny, (t_n1 * ru_ + t_n * du_) /
+                              jnp.maximum(den_u, puny), t_n1)
+        # downward transfer: donor n+1 -> receiver n
+        den_d = rd_ + dd_
+        tr[n] = jnp.where(den_d > puny, (t_n * rd_ + t_n1 * dd_) /
+                          jnp.maximum(den_d, puny), t_n)
 
         a[n] = a[n] - dau + dad
         a[n + 1] = a[n + 1] + dau - dad
@@ -311,7 +309,7 @@ def linear_itd_remap(aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new,
         s[n + 1] = s[n + 1] + dsu - dsd
 
     return (jnp.stack(a), jnp.stack(v), jnp.stack(s),
-            {k: jnp.stack(x) for k, x in tr.items()})
+            unpack_tracers(jnp.stack(tr), registry))
 
 
 def vicen_safe_h(v, a):
@@ -326,30 +324,20 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
     a = list(aicen)
     v = list(vicen)
     s = list(vsnon)
-    tr = {k: list(x) for k, x in trcrn.items()}
+    didx, _ = flat_dep_table(registry)
+    didx = jnp.asarray(didx)
+    tr = list(pack_tracers(trcrn, registry))      # per-cat (NT, ny, nx)
 
     def move(frm, to, moving):
-        """Move the masked parcels (whole category content) frm->to."""
-        from ..model.state import DEP_AICE, DEP_VICE, DEP_VSNO
-        wsrc = {DEP_AICE: a[frm], DEP_VICE: v[frm], DEP_VSNO: s[frm]}
-        wdst = {DEP_AICE: a[to], DEP_VICE: v[to], DEP_VSNO: s[to]}
-        for spec in registry:
-            t_src, t_dst = tr[spec.name][frm], tr[spec.name][to]
-            ws = wsrc[spec.depend]
-            wd = wdst[spec.depend]
-            if t_src.ndim == 3:
-                ws = ws[None]
-                wd = wd[None]
-                m = moving[None]
-            else:
-                m = moving
-            wsm = jnp.where(m, ws, 0.0)
-            den = wd + wsm
-            merged = jnp.where(den > cst.puny,
-                               (t_dst * wd + t_src * wsm) / jnp.maximum(den, cst.puny),
-                               t_dst)
-            tr[spec.name][to] = merged
-            tr[spec.name][frm] = t_src  # unchanged (ratio tracer)
+        """Move the masked parcels (whole category content) frm->to
+        (packed NT-vectorized weighted mean)."""
+        wsrc = _dep_weight(didx, a[frm], v[frm], s[frm])
+        wdst = _dep_weight(didx, a[to], v[to], s[to])
+        wsm = jnp.where(moving[None], wsrc, 0.0)
+        den = wdst + wsm
+        tr[to] = jnp.where(den > cst.puny,
+                           (tr[to] * wdst + tr[frm] * wsm) /
+                           jnp.maximum(den, cst.puny), tr[to])
         for pool in (a, v, s):
             dm = jnp.where(moving, pool[frm], 0.0)
             pool[to] = pool[to] + dm
@@ -365,7 +353,7 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
         move(n, n - 1, moving)
 
     return (jnp.stack(a), jnp.stack(v), jnp.stack(s),
-            {k: jnp.stack(x) for k, x in tr.items()})
+            unpack_tracers(jnp.stack(tr), registry))
 
 
 def cleanup_itd(aicen, vicen, vsnon, trcrn, registry, *, puny=cst.puny,

@@ -67,37 +67,39 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
     a0, v0 = aicen[0], vicen[0]
     atot = a0 + anew
     # merge tracers for category 1: area-weighted Tsfc etc.
-    trc = {k: list(v) for k, v in trcrn.items()}
     wa_old = jnp.where(atot > cst.puny, a0 / jnp.maximum(atot, cst.puny), 1.0)
     wa_new = 1.0 - wa_old
     vtot = v0 + vnew
     wv_old = jnp.where(vtot > cst.puny, v0 / jnp.maximum(vtot, cst.puny), 1.0)
     wv_new = 1.0 - wv_old
 
-    for spec in registry:
-        t = trc[spec.name][0]
-        if spec.name == "Tsfcn":
-            trc[spec.name][0] = t * wa_old + Tf * wa_new
-        elif spec.name == "qice":
-            trc[spec.name][0] = t * wv_old[None] + qfrz * wv_new[None]
-        elif spec.name == "sice":
-            prof = jnp.asarray(salin, t.dtype)[:, None, None] * jnp.ones_like(t)
-            trc[spec.name][0] = t * wv_old[None] + prof * wv_new[None]
-        elif spec.name == "FY":
-            trc[spec.name][0] = t * wa_old + 1.0 * wa_new
-        elif spec.name == "alvl":
-            trc[spec.name][0] = t * wa_old + 1.0 * wa_new   # new ice is level
-        elif spec.name == "vlvl":
-            trc[spec.name][0] = t * wv_old + 1.0 * wv_new
-        # iage: new ice has age 0 -> weighted dilution happens automatically
-        elif spec.name == "iage":
-            trc[spec.name][0] = t * wv_old
-        elif spec.name == "fbri":
-            trc[spec.name][0] = t * wv_old + 1.0 * wv_new  # new ice brine-full
+    trcrn = dict(trcrn)
+
+    def set0(name, val0):
+        if name in trcrn:
+            trcrn[name] = trcrn[name].at[0].set(val0)
+
+    t = trcrn["Tsfcn"][0]
+    set0("Tsfcn", t * wa_old + Tf * wa_new)
+    q0 = trcrn["qice"][0]
+    set0("qice", q0 * wv_old[None] + qfrz * wv_new[None])
+    s0 = trcrn["sice"][0]
+    prof = jnp.asarray(salin, s0.dtype)[:, None, None] * jnp.ones_like(s0)
+    set0("sice", s0 * wv_old[None] + prof * wv_new[None])
+    if "FY" in trcrn:
+        set0("FY", trcrn["FY"][0] * wa_old + 1.0 * wa_new)
+    if "alvl" in trcrn:
+        set0("alvl", trcrn["alvl"][0] * wa_old + 1.0 * wa_new)  # level ice
+    if "vlvl" in trcrn:
+        set0("vlvl", trcrn["vlvl"][0] * wv_old + 1.0 * wv_new)
+    # iage: new ice has age 0 -> weighted dilution happens automatically
+    if "iage" in trcrn:
+        set0("iage", trcrn["iage"][0] * wv_old)
+    if "fbri" in trcrn:
+        set0("fbri", trcrn["fbri"][0] * wv_old + 1.0 * wv_new)  # brine-full
 
     aicen = aicen.at[0].set(atot)
     vicen = vicen.at[0].set(vtot)
-    trcrn = {k: jnp.stack(v) if isinstance(v, list) else v for k, v in trc.items()}
 
     frazil = vnew
     # salt removed from the ocean by freezing (negative fsalt)

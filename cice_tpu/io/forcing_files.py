@@ -51,6 +51,13 @@ def read_field_record(path: str, varname: str, nrec: int, shape,
         from scipy.io import netcdf_file
         with netcdf_file(path, "r", mmap=False) as f:
             v = f.variables[varname]
+            if v.data.ndim == 3 and nrec >= v.data.shape[0]:
+                raise ValueError(
+                    f"forcing record {nrec} is beyond the {v.data.shape[0]} "
+                    f"records of '{varname}' in {path} — the run window "
+                    "exceeds the materialized forcing (fixture files carry "
+                    "a limited record window; regenerate with more records "
+                    "or start/stop the run inside the window)")
             data = v[nrec] if v.data.ndim == 3 else v[:]
             out = np.array(data, np.float64)
             # apply CF scale/offset when present

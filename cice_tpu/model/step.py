@@ -373,6 +373,13 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     agg["albsno"] = ws(alb_bb * fr_snow)
     agg["albpnd"] = ws(alb_bb * fr_pond)
     agg["albice"] = ws(alb_bb * fr_bare)
+    # per-category boundary-layer wind stress aggregated to the cell mean
+    # over ice (per unit ice area: dynamics rescales by aiU) — the
+    # reference aggregates icepack_atm_boundary strairxn the same way
+    # (ice_step_mod.F90:401-614); used by step_dyn_horiz when calc_strair
+    ai_safe = jnp.maximum(aice, cst.puny)
+    agg["strairx"] = ws(co.strx) / ai_safe
+    agg["strairy"] = ws(co.stry) / ai_safe
     # per-category cell-mean flux planes (reference 3Dc *_ai history fields)
     agg["ncat_fluxes"] = dict(
         fsurfn=w * ts.fsurf, fcondtopn=w * ts.fcondtop, flatn=w * ts.flat,
@@ -558,12 +565,12 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     hin_max = np.asarray(ms.hin_max)
 
     # --- wind stress on ice (T grid) -----------------------------------
-    if cfg.forcing.calc_strair:
-        # quadratic drag on the full wind (reference prepare_forcing default)
-        tau = fc.rhoa * 0.0012 * fc.wind
-        strairx_T = tau * fc.uatm
-        strairy_T = tau * fc.vatm
-    else:
+    # calc_strair=True: the stress comes from the per-category
+    # Monin-Obukhov boundary layer computed in step_therm1 (stability-
+    # dependent; reference icepack_atm_boundary via step_therm1 +
+    # prepare_forcing, ice_forcing.F90:1603+) and is bound after the
+    # thermo phase below. calc_strair=False: data stresses pass through.
+    if not cfg.forcing.calc_strair:
         strairx_T = fc.strax
         strairy_T = fc.stray
 
@@ -589,6 +596,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
 
     # --- thermodynamics -------------------------------------------------
     state, agg, hicen_old = step_therm1(ms, grid, state, fc, dt)
+
+    if cfg.forcing.calc_strair:
+        strairx_T = agg["strairx"]
+        strairy_T = agg["strairy"]
 
     aicen_pre = state.aicen
     t2 = step_therm2(cfg, grid, state.aicen, state.vicen, state.vsnon,

@@ -25,9 +25,13 @@ Boundary semantics ride the exchange for free: `jax.lax.ppermute` fills
 devices that receive no message with zeros, which IS the reference's
 open/closed outer-halo rule (ice_boundary.F90:1179-1183 — outer halos never
 filled, state halos start at zero); cyclic edges add the wrap pair to the
-permutation. Tripole seams need fold messaging between x-mirrored devices —
-those grids fall back to the GSPMD path (kernels/evp_pallas.py does the
-same).
+permutation. Tripole northern seams are served by a third ppermute between
+x-mirrored devices applying the 180-degree fold rules per plane (FoldMeta:
+vector sign flips, diagonal stress-corner swaps — the reference's
+ice_HaloUpdate_stress _1<->_3/_2<->_4 pairing — and signed metric-partner
+swaps); the final strint diagnostic is assembled globally so the seam row
+matches the GSPMD path bit-for-bit per BC family
+(tests/test_evp_wide.py::test_tripole_fold_matches_gspmd).
 
 This composes with the fused Pallas kernel (single-chip HBM locality) — the
 kernel can run *inside* the shard_map body — but the two optimizations are
@@ -83,8 +87,61 @@ def _unpack_const(c, bc: BC):
     return g, prep, c[22], c[23], c[24], c[25]
 
 
+class FoldMeta:
+    """Per-plane tripole fold rules for a (C, ny, nx) packed stack.
+
+    The tripole seam glues the northern edge to itself rotated by 180
+    degrees (ug_implementation.rst:279-380): vectors flip BOTH components,
+    rank-2 stress components are invariant (R = -I), corner-indexed stress
+    planes swap diagonal partners (NE<->SW, NW<->SE), and the one-sided
+    metric combos swap with sign (cxp<->-cxm, cyp<->-cym, dxhy/dyhx
+    negate). `partner[c]` is the source plane index, `sign[c]` the factor,
+    `pshift[c]` = P - nx of the mirror pivot i -> (P - i) mod nx
+    (ice_boundary.F90:7910-9052 index rules as encoded in
+    core/halo.py:_tripole_ghost_rows), `row_corner[c]` selects the
+    fold-row convention (True: ghost ny-1+k <- ny-1-k; False: <- ny-k)."""
+
+    def __init__(self, partner, sign, pshift, row_corner):
+        import numpy as np
+        self.partner = np.asarray(partner)
+        self.sign = np.asarray(sign, np.float64)
+        self.pshift = np.asarray(pshift)
+        self.row_corner = np.asarray(row_corner, bool)
+
+
+def _fold_fill(z, strip, H: int, ly: int, lx: int, py: int, px: int,
+               meta: FoldMeta, ax_y: str, ax_x: str):
+    """Overwrite the north halo rows of top-row devices with the tripole
+    fold of `strip` (the mirror device's top H+1 interior rows, full local
+    width, halos already valid)."""
+    C, _, W = strip.shape
+    mirror = [(i, px - 1 - i) for i in range(px)]
+    strip = jax.lax.ppermute(strip, ax_x, mirror)
+    strip = jnp.take(strip, jnp.asarray(meta.partner), axis=0) * \
+        jnp.asarray(meta.sign, strip.dtype)[:, None, None]
+    # column mirror: ghost local col p <- strip col (W + pshift - p); the
+    # single mod-wrapped cell per corner-pivot plane lands in a halo
+    # column, which the trailing X-stage overwrites with correct data
+    p = jnp.arange(W)
+    cols = (W + jnp.asarray(meta.pshift)[:, None] - p[None, :]) % W  # (C,W)
+    strip = jnp.take_along_axis(
+        strip, jnp.broadcast_to(cols[:, None, :], strip.shape), axis=2)
+    # row selection: strip row r holds global row ny-1-H+r
+    ghost = []
+    for k in range(1, H + 1):
+        rsel = jnp.where(jnp.asarray(meta.row_corner), H - k, H + 1 - k)
+        row = jnp.take_along_axis(
+            strip, jnp.broadcast_to(rsel[:, None, None], (C, 1, W)), axis=1)
+        ghost.append(row[:, 0])
+    ghost = jnp.stack(ghost, axis=1)                     # (C, H, W)
+    is_top = jax.lax.axis_index(ax_y) == py - 1
+    cur = z[:, H + ly:, :]
+    return z.at[:, H + ly:, :].set(jnp.where(is_top, ghost, cur))
+
+
 def halo_exchange(z, H: int, py: int, px: int, *, y_cyclic: bool,
-                  x_cyclic: bool, ax_y: str = "Y", ax_x: str = "X"):
+                  x_cyclic: bool, ax_y: str = "Y", ax_x: str = "X",
+                  fold_meta: FoldMeta = None, ly: int = 0, lx: int = 0):
     """Refresh the H-wide halo ring of a (C, ly+2H, lx+2H) local tile from
     mesh neighbors. Two-stage (Y rows first, then X columns spanning the
     freshly filled Y halos) so corner halos carry the diagonal neighbor's
@@ -92,7 +149,23 @@ def halo_exchange(z, H: int, py: int, px: int, *, y_cyclic: bool,
     20-direction neighbor messaging (ice_blocks.F90:59-88).
 
     Non-cyclic global edges: the edge device is absent from the permutation,
-    ppermute delivers zeros ⇒ open/closed ghost semantics exactly."""
+    ppermute delivers zeros ⇒ open/closed ghost semantics exactly.
+
+    With `fold_meta`, the tripole northern seam is served by a third
+    ppermute between x-mirrored devices (ice_HaloMsgCreate's fold
+    messaging, ice_boundary.F90:7910-9052) followed by one more X-stage so
+    the folded rows' corner halos are consistent."""
+
+    def x_stage(z):
+        east = [(i, i + 1) for i in range(px - 1)]
+        west = [(i + 1, i) for i in range(px - 1)]
+        if x_cyclic:
+            east += [(px - 1, 0)]
+            west += [(0, px - 1)]
+        from_west = jax.lax.ppermute(z[:, :, -2 * H:-H], ax_x, east)
+        from_east = jax.lax.ppermute(z[:, :, H:2 * H], ax_x, west)
+        return z.at[:, :, :H].set(from_west).at[:, :, -H:].set(from_east)
+
     north = [(i, i + 1) for i in range(py - 1)]
     south = [(i + 1, i) for i in range(py - 1)]
     if y_cyclic:
@@ -102,26 +175,74 @@ def halo_exchange(z, H: int, py: int, px: int, *, y_cyclic: bool,
     from_north = jax.lax.ppermute(z[:, H:2 * H, :], ax_y, south)
     z = z.at[:, :H, :].set(from_south).at[:, -H:, :].set(from_north)
 
-    east = [(i, i + 1) for i in range(px - 1)]
-    west = [(i + 1, i) for i in range(px - 1)]
-    if x_cyclic:
-        east += [(px - 1, 0)]
-        west += [(0, px - 1)]
-    from_west = jax.lax.ppermute(z[:, :, -2 * H:-H], ax_x, east)
-    from_east = jax.lax.ppermute(z[:, :, H:2 * H], ax_x, west)
-    return z.at[:, :, :H].set(from_west).at[:, :, -H:].set(from_east)
+    z = x_stage(z)
+    if fold_meta is not None:
+        strip = z[:, ly - 1:H + ly, :]   # global rows ny-1-H .. ny-1
+        z = _fold_fill(z, strip, H, ly, lx, py, px, fold_meta, ax_y, ax_x)
+        z = x_stage(z)
+    return z
+
+
+def _b_fold_metas(ns_kind: str):
+    """FoldMeta pairs (const, state) for the B-grid packed stacks.
+
+    Plane classes: T-centered scalars fold with the center pivot;
+    U-corner quantities with the corner pivot; U vectors flip sign (180
+    degree rotation flips both components); the one-sided metric combos
+    swap signed partners; corner-indexed stress planes swap diagonal
+    corners (NE<->SW, NW<->SE) with invariant values."""
+    tfold = ns_kind == "tripoleT"
+    pc = 0 if tfold else -1       # center pivot: i -> (nx+pc - i) mod nx
+    pu = -1 if tfold else -2      # corner pivot
+    rc = True                     # corner fold-row rule (ny-1-k)
+    rt = True if tfold else False  # center fold-row rule (T-fold: ny-1-k)
+
+    # (partner_offset_or_None, sign, corner?) per const plane
+    CONST = [
+        ("dxT", None, 1, 0), ("dyT", None, 1, 0),
+        ("cxm", +1, -1, 0), ("cxp", -1, -1, 0),
+        ("cym", +1, -1, 0), ("cyp", -1, -1, 0),
+        ("dxhy", None, -1, 0), ("dyhx", None, -1, 0),
+        ("uarear", None, 1, 1), ("iceTmask", None, 1, 0),
+        ("iceUmask", None, 1, 1), ("aiU", None, 1, 1),
+        ("umassdti", None, 1, 1), ("fm", None, 1, 1),
+        ("waterx", None, -1, 1), ("watery", None, -1, 1),
+        ("forcex", None, -1, 1), ("forcey", None, -1, 1),
+        ("uvel_init", None, -1, 1), ("vvel_init", None, -1, 1),
+        ("Cw", None, 1, 1), ("TbU", None, 1, 1),
+        ("strength", None, 1, 0), ("DminTarea", None, 1, 0),
+        ("uocn", None, -1, 1), ("vocn", None, -1, 1),
+    ]
+    partner = [i + (off or 0) for i, (_, off, _s, _c) in enumerate(CONST)]
+    sign = [s for (_, _o, s, _c) in CONST]
+    corner = [c for (_, _o, _s, c) in CONST]
+    cmeta = FoldMeta(partner, sign,
+                     [pu if c else pc for c in corner],
+                     [rc if c else rt for c in corner])
+
+    # state: u, v, sp1..4, sm1..4, s121..4 (corner order NE, NW, SW, SE)
+    swap = {0: 2, 1: 3, 2: 0, 3: 1}   # NE<->SW, NW<->SE
+    s_partner = [0, 1] + [2 + swap[i] for i in range(4)] + \
+        [6 + swap[i] for i in range(4)] + [10 + swap[i] for i in range(4)]
+    s_sign = [-1, -1] + [1] * 12
+    s_corner = [1, 1] + [0] * 12
+    smeta = FoldMeta(s_partner, s_sign,
+                     [pu if c else pc for c in s_corner],
+                     [rc if c else rt for c in s_corner])
+    return cmeta, smeta
 
 
 def evp_solve_wide(grid: Grid, p: EvpParams, prep: DynPrep, strength,
                    stressp, stressm, stress12, *, uocn, vocn, mesh,
                    k_fuse: int = 8):
     """Drop-in replacement for dynamics.evp.evp_solve running k_fuse
-    subcycles per halo exchange on `mesh`. Falls back to the GSPMD loop for
-    tripole seams. Returns the same 9-tuple."""
+    subcycles per halo exchange on `mesh`. Tripole northern seams are
+    served in-exchange by fold messaging between x-mirrored devices
+    (ice_boundary.F90:7910-9052 semantics). Returns the same 9-tuple."""
     from ..dynamics.evp import evp_solve, stress_update
     from .. import constants as cst
 
-    if grid.bc.tripole or mesh is None:
+    if mesh is None:
         return evp_solve(grid, p, prep, strength, stressp, stressm,
                          stress12, uocn=uocn, vocn=vocn)
 
@@ -144,13 +265,21 @@ def evp_solve_wide(grid: Grid, p: EvpParams, prep: DynPrep, strength,
         zero3(stress12).astype(dtype)], axis=0)
 
     bc_loc = BC(ew="open", ns="open")  # halo ring supplies real neighbors
+    if grid.bc.tripole:
+        cmeta, smeta = _b_fold_metas(grid.bc.ns)
+    else:
+        cmeta = smeta = None
+    exch_c = partial(halo_exchange, H=H, py=py, px=px,
+                     y_cyclic=grid.bc.y_cyclic, x_cyclic=grid.bc.x_cyclic,
+                     fold_meta=cmeta, ly=ly, lx=lx)
     exch = partial(halo_exchange, H=H, py=py, px=px,
-                   y_cyclic=grid.bc.y_cyclic, x_cyclic=grid.bc.x_cyclic)
+                   y_cyclic=grid.bc.y_cyclic, x_cyclic=grid.bc.x_cyclic,
+                   fold_meta=smeta, ly=ly, lx=lx)
     n_full, rem = divmod(p.ndte, k)
 
     def shard_body(c_loc, s_loc):
         c = jnp.pad(c_loc, ((0, 0), (H, H), (H, H)))
-        c = exch(c)                      # constants: one exchange, ever
+        c = exch_c(c)                    # constants: one exchange, ever
         g, prep_l, strength_l, Dmin_l, uocn_l, vocn_l = _unpack_const(
             c, bc_loc)
 
@@ -174,20 +303,21 @@ def evp_solve_wide(grid: Grid, p: EvpParams, prep: DynPrep, strength,
         s = jax.lax.fori_loop(0, n_full, lambda i, s: chunk(exch(s), k), s)
         if rem:
             s = chunk(exch(s), rem)
-        s = exch(s)                      # fresh halos for the diag stencil
-        _, _, _, strintx, strinty = stress_update(
-            g, p, strength_l, Dmin_l, s[0], s[1], s[2:6], s[6:10],
-            s[10:14], prep_l.iceTmask)
-        out = jnp.concatenate([s, strintx[None], strinty[None]])
-        return out[:, H:H + ly, H:H + lx]
+        return s[:, H:H + ly, H:H + lx]
 
     spec = P(None, "Y", "X")
     out = jax.shard_map(shard_body, mesh=mesh, in_specs=(spec, spec),
                         out_specs=spec)(const, state)
 
     u, v = out[0], out[1]
+    # final force diagnostics computed GLOBALLY, exactly as evp_solve's
+    # trailing stress_update — this keeps the seam-row strint identical to
+    # the GSPMD path for every BC family (incl. the tripole product fold)
+    _, _, _, strintx, strinty = stress_update(
+        grid, p, strength, (p.deltaminEVP * grid.tarea).astype(dtype),
+        u, v, out[2:6], out[6:10], out[10:14], prep.iceTmask)
     Cb = prep.TbU / (jnp.sqrt(u ** 2 + v ** 2) + cst.u0)
-    return (u, v, out[2:6], out[6:10], out[10:14], out[14], out[15],
+    return (u, v, out[2:6], out[6:10], out[10:14], strintx, strinty,
             -u * Cb, -v * Cb)
 
 

@@ -114,12 +114,41 @@ def test_mesh_shape_invariance(devices8):
 def test_tripole_falls_back(devices8):
     grid, p, prep, strength, sp, sm, s12, uocn, vocn = _problem(
         48, 32, BC(ew="cyclic", ns="open"), ndte=4)
-    # mesh=None triggers the GSPMD fallback (as tripole BCs do)
+    # mesh=None triggers the GSPMD fallback
     ref = evp_solve(grid, p, prep, strength, sp, sm, s12, uocn=uocn,
                     vocn=vocn)
     got = evp_solve_wide(grid, p, prep, strength, sp, sm, s12, uocn=uocn,
                          vocn=vocn, mesh=None)
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+
+
+@pytest.mark.parametrize("ns_kind", ["tripole", "tripoleT"])
+def test_tripole_fold_matches_gspmd(devices8, ns_kind):
+    """The northern-seam fold messaging (x-mirrored device ppermute with
+    the 180-degree rotation rules: vector sign flips, diagonal stress
+    corner swaps, signed metric-partner swaps) must reproduce the GSPMD
+    solver across the seam — the reference's hardest comm seam
+    (ice_boundary.F90:7910-9052, ice_HaloUpdate_stress:7440)."""
+    _compare(BC(ew="cyclic", ns=ns_kind), ndte=7, k_fuse=3)
+
+
+def test_tripole_fold_mesh_invariance(devices8):
+    """Sharded tripole decomp invariance at two mesh shapes (VERDICT r2
+    next-step #4): fold messaging must be mesh-shape independent."""
+    grid, p, prep, strength, sp, sm, s12, uocn, vocn = _problem(
+        48, 32, BC(ew="cyclic", ns="tripole"), ndte=6)
+    outs = []
+    for shape in [(2, 4), (1, 8), (4, 2)]:
+        mesh = make_mesh(shape, devices=jax.devices()[:8])
+        outs.append(jax.jit(lambda mesh=mesh: evp_solve_wide(
+            grid, p, prep, strength, sp, sm, s12, uocn=uocn, vocn=vocn,
+            mesh=mesh, k_fuse=3))())
+    for other in outs[1:]:
+        for name, a, b in zip(["u", "v"], outs[0][:2], other[:2]):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(a).max()))
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6 * scale,
+                                       err_msg=name)
 
 
 def test_model_step_wide_halo(devices8):
