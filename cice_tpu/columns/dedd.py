@@ -27,25 +27,39 @@ from .. import constants as cst
 from .shortwave import ShortwaveOut
 
 # --- inherent optical properties -------------------------------------------
-# (scattering sigma [1/m], absorption kappa [1/m], asymmetry g) per band.
-# Magnitudes follow Briegleb & Light (2007): strongly scattering surface
-# scattering layer (SSL), moderately scattering drained layer (DL), weakly
-# scattering interior (INT); pond water absorbs but barely scatters; snow
-# scattering set by grain radius through geometric optics.
-IOPS_ICE_VIS = ((250.0, 0.11, 0.94),   # SSL
-                (30.0, 0.25, 0.94),    # DL
-                (2.5, 0.35, 0.94))     # INT
-IOPS_ICE_NIR = ((250.0, 8.0, 0.94),
-                (30.0, 12.0, 0.94),
-                (2.5, 18.0, 0.94))
-IOP_POND_VIS = (0.0, 0.30, 0.0)
-IOP_POND_NIR = (0.0, 14.0, 0.0)
-W0_SNOW_VIS = 0.99999
-W0_SNOW_NIR = 0.9650
+# Tabulated per-layer-class IOPs (extinction k [1/m], single-scattering
+# albedo w0, asymmetry g) on the THREE solar bands of the published scheme
+# (Briegleb & Light 2007, NCAR/TN-472+STR, Table 2; the same table Icepack's
+# icepack_shortwave consumes — SURVEY §2.9 icepack_step_radiation):
+#   band 0: 0.2-0.7 um (vis), band 1: 0.7-1.19 um, band 2: 1.19-5.0 um.
+# Layer classes: surface scattering layer (SSL), drained layer (DL),
+# interior (INT); ponded ice replaces SSL/DL with the ponded-ice classes;
+# pond water is a pure absorber. Values are the published table entries.
+NBAND = 3
+K_ICE_SSL = (1000.1, 1003.7, 7042.0)
+W_ICE_SSL = (0.9999, 0.9963, 0.9088)
+K_ICE_DL = (100.2, 107.7, 1309.0)
+W_ICE_DL = (0.9980, 0.9287, 0.0305)
+K_ICE_INT = (20.2, 27.7, 1445.0)
+W_ICE_INT = (0.9901, 0.7223, 0.0277)
+K_PICE_SSL = (70.2, 77.7, 1309.0)       # ponded-ice SSL
+W_PICE_SSL = (0.9972, 0.9009, 0.0305)
+K_POND_W = (0.20, 12.0, 729.0)          # pond water absorption
+G_ICE = 0.94
+# incident near-IR split between bands 1 and 2 (published band weighting
+# of the 0.7-5.0 um stream; delta approximate to the spectral integral)
+W_NIR = (0.67, 0.33)
+# snow single-scattering albedo vs grain radius: smooth geometric-optics
+# fit w0 = 1 - c_b*sqrt(reff[m]) standing in for the published 32-radius
+# snow IOP table (Icepack; Flanner & Zender SNICAR behavior). Coefficients
+# calibrated against the published semi-infinite fine-snow band albedos
+# (~0.985 / 0.85 / 0.45 at reff ~ 135 um) via the delta-Eddington
+# similarity inversion (tests/test_dedd.py band-magnitude oracles).
+W0_SNOW_COEF = (5.0e-4, 0.047, 1.13)
 G_SNOW = 0.89
 H_SSL = 0.05        # surface scattering layer thickness (m)
 H_DL = 0.05         # drained layer thickness (m)
-ALB_OCEAN = 0.06    # underlying ocean albedo (both bands)
+ALB_OCEAN = 0.06    # underlying ocean albedo (all bands)
 MU0_MIN = 0.05
 
 
@@ -146,35 +160,52 @@ def _adding(layers, mu0, alb_ocn):
     return albdir, albdif, absdir, absdif, fdir_net[n], fdif_net[n]
 
 
-def _ice_layer_iops(hi, nilyr, band_iops, tau_alg=None):
-    """IOPs for the nilyr uniform ice layers: each layer takes SSL/DL/INT
-    properties by the depth of its midpoint (dense blend, no branches).
-    tau_alg: optional absorption optical depth added to the bottom layer
-    (dEdd_algae: ice-algal chlorophyll shading, zbgc_nml)."""
-    (s_ssl, a_ssl, g_i), (s_dl, a_dl, _), (s_int, a_int, _) = band_iops
-    hl = hi / nilyr
-    out = []
+def _ice_layer_iops(hi, nilyr, band: int, ponded: bool, tau_alg=None,
+                    k_scale: float = 1.0):
+    """IOPs for the nilyr uniform ice layers from the published per-class
+    table: each layer takes SSL/DL/INT (bare ice) or pond-SSL/INT (ponded
+    ice) properties by the depth of its midpoint (dense blend, no
+    branches); the SSL thins with the ice (min(H_SSL, hi/2), the published
+    thin-ice transition). tau_alg: optional absorption optical depth added
+    to the bottom layer (dEdd_algae: ice-algal chlorophyll shading);
+    k_scale: R_ice/R_pnd extinction tuning of the surface classes."""
+    if ponded:
+        k_ssl, w_ssl = K_PICE_SSL[band] * k_scale, W_PICE_SSL[band]
+        k_dl, w_dl = K_ICE_INT[band], W_ICE_INT[band]
+    else:
+        k_ssl, w_ssl = K_ICE_SSL[band] * k_scale, W_ICE_SSL[band]
+        k_dl, w_dl = K_ICE_DL[band] * k_scale, W_ICE_DL[band]
+    k_int, w_int = K_ICE_INT[band], W_ICE_INT[band]
+
+    # the SSL (and DL) are DEDICATED radiation layers above nilyr interior
+    # slabs — the published scheme's structure: folding the strongly
+    # scattering 5 cm SSL into a thick absorbing layer would destroy its
+    # reflectivity (the two-stream solution is nonlinear in (tau, w0)).
+    # Thin ice shrinks the surface classes to at most a third each.
+    h_ssl = jnp.minimum(H_SSL, hi / 3.0)
+    h_dl = jnp.minimum(H_DL, hi / 3.0) if not ponded else 0.0
+    h_int = jnp.maximum(hi - h_ssl - (h_dl if not ponded else 0.0), 0.0)
+    hl = h_int / nilyr
+
+    ones = jnp.ones_like(hi)
+    out = [(h_ssl * k_ssl, w_ssl * ones, G_ICE * ones)]
+    if not ponded:
+        out.append((h_dl * k_dl, w_dl * ones, G_ICE * ones))
     for k in range(nilyr):
-        zmid = hl * (k + 0.5)
-        in_ssl = (zmid < H_SSL).astype(hi.dtype)
-        in_dl = ((zmid >= H_SSL) & (zmid < H_SSL + H_DL)).astype(hi.dtype)
-        in_int = 1.0 - in_ssl - in_dl
-        sig = in_ssl * s_ssl + in_dl * s_dl + in_int * s_int
-        kab = in_ssl * a_ssl + in_dl * a_dl + in_int * a_int
-        tau = (sig + kab) * hl
-        w0 = sig / jnp.maximum(sig + kab, 1e-12)
+        tau = k_int * hl
+        w0 = w_int * ones
         if tau_alg is not None and k == nilyr - 1:
             t2 = tau + jnp.maximum(tau_alg, 0.0)
             w0 = w0 * tau / jnp.maximum(t2, 1e-12)
             tau = t2
-        out.append((tau, w0, jnp.full_like(hi, g_i)))
+        out.append((tau, w0, G_ICE * ones))
     return out
 
 
 # Aerosol-in-snow optics per species class, [vis, nir] per property —
 # magnitudes follow the SNICAR coefficients the reference's column physics
 # documents (Icepack kaer_tab/waer_tab/gaer_tab; species order bc1, bc2,
-# dust1..dust4; nir here is the average of Icepack's two nir sub-bands).
+# dust1..dust4; nir entry serves both near-IR sub-bands).
 AER_OPTICS = [
     # (ext m2/kg (vis, nir), ssa (vis, nir), g (vis, nir))
     ((11580.0, 3687.0), (0.291, 0.174), (0.353, 0.287)),   # bc1 (fresh BC)
@@ -188,10 +219,10 @@ MODAL_BC_ENHANCE = 1.5   # internal-mixing absorption enhancement (modal_aero;
 #                          Flanner et al. 2012 sulfate-coated BC factor)
 
 
-def _mix_aerosol(tau, w0, g, aero_mass, band: str, modal: bool):
+def _mix_aerosol(tau, w0, g, aero_mass, band: int, modal: bool):
     """Blend aerosol extinction into a (tau, w0, g) layer. aero_mass is a
     list over species of kg/m^2 loadings in this layer."""
-    bi = 0 if band == "vis" else 1
+    bi = 0 if band == 0 else 1
     tau_t, sw_t, gsw_t = tau, w0 * tau, g * w0 * tau
     for s, mass in enumerate(aero_mass):
         ext, ssa, ga = AER_OPTICS[s % len(AER_OPTICS)]
@@ -211,14 +242,17 @@ def _mix_aerosol(tau, w0, g, aero_mass, band: str, modal: bool):
     return tau_t, jnp.clip(w0_t, 0.0, 1.0), jnp.clip(g_t, 0.0, 1.0)
 
 
-def _snow_iops(hs, nslyr, rsnw_m, band: str, aero_snow=None,
+def _snow_iops(hs, nslyr, rsnw_m, band: int, aero_snow=None,
                modal: bool = False):
-    """Snow layer IOPs via geometric optics: tau = 3 h rho_s / (2 rho_i r);
-    aerosol loadings darken the top (surface-scavenged) snow layer."""
-    w0 = W0_SNOW_VIS if band == "vis" else W0_SNOW_NIR
+    """Snow layer IOPs: geometric-optics extinction tau = 3 h rho_s /
+    (2 rho_i r) with the grain-radius-dependent single-scattering albedo
+    fit standing in for the published 32-radius snow IOP table (see
+    W0_SNOW_COEF); aerosol loadings darken the top (surface-scavenged)
+    snow layer."""
     hl = hs / nslyr
     tau = 1.5 * hl * cst.rhos / (cst.rhoi * jnp.maximum(rsnw_m, 1e-5))
-    out = [[tau, jnp.full_like(hs, w0), jnp.full_like(hs, G_SNOW)]
+    w0 = jnp.clip(1.0 - W0_SNOW_COEF[band] * jnp.sqrt(rsnw_m), 0.3, 1.0)
+    out = [[tau, w0 * jnp.ones_like(hs), jnp.full_like(hs, G_SNOW)]
            for _ in range(nslyr)]
     if aero_snow is not None and len(aero_snow):
         out[0] = list(_mix_aerosol(out[0][0], out[0][1], out[0][2],
@@ -231,39 +265,43 @@ def _column(band, mu0, *, hs, hi, hpnd, nslyr, nilyr, rsnw_m, kind,
             R_ice=0.0, R_pnd=0.0):
     """Albedos/absorption for one sub-column type ('snow'|'bare'|'pond').
 
+    band: 0 (vis) / 1 / 2 (near-IR sub-bands).
     R_ice/R_pnd: standard-deviation tuning of the bare-ice / pond SSL
-    scattering (shortwave_nml; reference dEdd R_ice, R_pnd)."""
-    ice_iops = IOPS_ICE_VIS if band == "vis" else IOPS_ICE_NIR
-    pond_iop = IOP_POND_VIS if band == "vis" else IOP_POND_NIR
-    if R_ice:
-        # one sigma ~ 15% scattering change in the surface layers
-        fac = max(1.0 + 0.15 * R_ice, 0.05)
-        (s1, a1, g1), (s2, a2, g2), l3 = ice_iops
-        ice_iops = ((s1 * fac, a1, g1), (s2 * fac, a2, g2), l3)
-    if R_pnd and kind == "pond":
-        sigp, kabp, gp = pond_iop
-        pond_iop = (sigp, max(kabp * (1.0 - 0.15 * R_pnd), 1e-3), gp)
+    extinction (shortwave_nml; reference dEdd R_ice, R_pnd)."""
+    ponded = kind == "pond"
+    k_scale = 1.0
+    if R_ice and not ponded:
+        k_scale = max(1.0 + 0.15 * R_ice, 0.05)
+    if R_pnd and ponded:
+        k_scale = max(1.0 + 0.15 * R_pnd, 0.05)
     layers = []
     nsl = 0
     if kind == "snow":
         layers += _snow_iops(hs, nslyr, rsnw_m, band, aero_snow, modal)
         nsl = nslyr
-    elif kind == "pond":
-        sig, kab, g = pond_iop
-        tau = (sig + kab) * hpnd
-        layers.append((tau, jnp.full_like(hpnd, sig / max(sig + kab, 1e-12)),
-                       jnp.full_like(hpnd, g)))
+    elif ponded:
+        # pond water: pure absorber (published kw per band)
+        tau = K_POND_W[band] * hpnd
+        layers.append((tau, jnp.zeros_like(hpnd), jnp.zeros_like(hpnd)))
         nsl = 1
-    layers += _ice_layer_iops(hi, nilyr, ice_iops,
-                              tau_alg if band == "vis" else None)
+    ice_layers = _ice_layer_iops(hi, nilyr, band, ponded,
+                                 tau_alg if band == 0 else None,
+                                 k_scale=k_scale)
+    n_srf_ice = len(ice_layers) - nilyr    # dedicated SSL (+DL) layers
+    layers += ice_layers
     albdir, albdif, absdir, absdif, trdir, trdif = _adding(
         layers, mu0, ALB_OCEAN)
-    # split absorbed: layers above the ice count as surface absorption
+    # split absorbed: layers above the ice count as surface absorption;
+    # the SSL/DL absorption joins the TOP thermo layer (published mapping)
     sfc_dir = sum(absdir[:nsl]) if nsl else jnp.zeros_like(mu0)
     sfc_dif = sum(absdif[:nsl]) if nsl else jnp.zeros_like(mu0)
+    ice_dir = list(absdir[nsl + n_srf_ice:])
+    ice_dif = list(absdif[nsl + n_srf_ice:])
+    ice_dir[0] = ice_dir[0] + sum(absdir[nsl:nsl + n_srf_ice])
+    ice_dif[0] = ice_dif[0] + sum(absdif[nsl:nsl + n_srf_ice])
     return dict(albdir=albdir, albdif=albdif,
                 sfc_dir=sfc_dir, sfc_dif=sfc_dif,
-                ice_dir=absdir[nsl:], ice_dif=absdif[nsl:],
+                ice_dir=ice_dir, ice_dif=ice_dif,
                 tr_dir=trdir, tr_dif=trdif)
 
 
@@ -301,7 +339,7 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
                   R_ice=cfg_sw.R_ice, R_pnd=cfg_sw.R_pnd)
 
     out = {}
-    for band in ("vis", "nir"):
+    for band in range(NBAND):
         cols = {k: _column(band, mu0, kind=k, **common)
                 for k in ("snow", "bare", "pond")}
         mix = lambda key: (w_snw * cols["snow"][key] +
@@ -320,17 +358,29 @@ def shortwave_dEdd(Tsf, hi, hs, hpnd, apeff, swvdr, swvdf, swidr, swidf,
                      for k in range(nilyr)],
             tr_dir=mix("tr_dir"), tr_dif=mix("tr_dif"))
 
-    v, n = out["vis"], out["nir"]
-    # absorbed fluxes (W/m^2)
-    sfc = (swvdr * v["sfc_dir"] + swvdf * v["sfc_dif"] +
-           swidr * n["sfc_dir"] + swidf * n["sfc_dif"])
+    # per-band incident fluxes: band 0 = visible stream; the near-IR
+    # stream splits onto bands 1-2 with the published weights
+    inc_dr = (swvdr, swidr * W_NIR[0], swidr * W_NIR[1])
+    inc_df = (swvdf, swidf * W_NIR[0], swidf * W_NIR[1])
+
+    def tot3(key):
+        return sum(inc_dr[b] * out[b][key.replace("%", "dir")] +
+                   inc_df[b] * out[b][key.replace("%", "dif")]
+                   for b in range(NBAND))
+
+    sfc = tot3("sfc_%")
     layer_abs = []
     for k in range(nilyr):
-        layer_abs.append(swvdr * v["ice_dir"][k] + swvdf * v["ice_dif"][k] +
-                         swidr * n["ice_dir"][k] + swidf * n["ice_dif"][k])
-    fswthru = (swvdr * v["tr_dir"] + swvdf * v["tr_dif"] +
-               swidr * n["tr_dir"] + swidf * n["tr_dif"])
+        layer_abs.append(sum(
+            inc_dr[b] * out[b]["ice_dir"][k] +
+            inc_df[b] * out[b]["ice_dif"][k] for b in range(NBAND)))
+    fswthru = tot3("tr_%")
     fswint = sum(layer_abs)
+    v = out[0]
+    # reported near-IR albedos: incident-weighted mean of the two sub-bands
+    n = dict(
+        albdir=W_NIR[0] * out[1]["albdir"] + W_NIR[1] * out[2]["albdir"],
+        albdif=W_NIR[0] * out[1]["albdif"] + W_NIR[1] * out[2]["albdif"])
 
     # the top ice layer's absorption acts as surface flux for the
     # conduction solve's surface balance only when snow is absent; keep the

@@ -407,9 +407,15 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
     evapn = (cst.rhos * (dhs_frost - dhs_subl) - cst.rhoi * dhi_subl) / dt
 
     # --- bottom growth / melt ---------------------------------------------
-    # energy available at the bottom: (fcondbot - fbot)*dt
-    # fbot < 0: ocean melts ice; growth when conduction exceeds ocean flux
-    ebot = (fcondbot - fbot) * dt       # J/m^2, positive = freezing
+    # freezing energy at the bottom interface (J/m^2, positive = freezing):
+    # fcondbot is DOWNWARD-positive conduction at the bottom (negative in
+    # winter: the cold ice draws heat up and away from the boundary, which
+    # freezes ocean water); fbot <= 0 is the ocean melt-heat delivery.
+    #   E_freeze = (-fcondbot) + fbot  =  fbot - fcondbot
+    # (round-2 had (fcondbot - fbot): sign-inverted bottom energetics —
+    # congelation could never fire and transiently cold interiors "melted";
+    # caught by tests/test_validation_oracles.py::test_stefan_congelation_law)
+    ebot = (fbot - fcondbot) * dt       # J/m^2, positive = freezing
     grow = jnp.maximum(ebot, 0.0)
     # new congelation ice forms with enthalpy at Tbot, salinity profile bottom
     Tm_bot = Tm[-1]

@@ -28,13 +28,15 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
 
-# Persistent compilation cache across test processes/runs: jax 0.9's cache
-# serializer handles this suite's executables (round-2's jaxlib segfaulted;
-# re-validated on 0.9 — cold 65s step compile, warm 10s). cice_tpu/__init__
-# sets a topology-namespaced cache dir on import; the suite now uses it
-# (round 2 exported CICE_TPU_NO_JIT_CACHE=1 here) so shared configs
-# compile once per suite, not once per test.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compilation cache under pytest: re-validated on jax 0.9
+# (round 3) — a full-suite run still ABORTS in cache deserialization
+# (get_executable_and_time SIGABRT, reproduced at
+# test_io_hdf5::test_driver_continue_from_hdf5 after ~50 green tests; the
+# cpu_aot_loader machine-feature-mismatch warnings are the tell). The
+# whole suite runs in one process, so the in-process jit cache
+# (driver._model_step_jit) already dedupes recompiles; the on-disk cache
+# only ever helped across processes and is kept for CLI/bench entries.
+os.environ["CICE_TPU_NO_JIT_CACHE"] = "1"
 
 import pytest  # noqa: E402
 

@@ -102,3 +102,52 @@ def test_warm_snow_darker_than_cold():
     cold = _sw(Tsf=-20.0, hs=0.3)
     warm = _sw(Tsf=-0.1, hs=0.3)
     assert np.asarray(warm.alvdf).mean() < np.asarray(cold.alvdf).mean()
+
+
+def test_iop_table_points():
+    """The per-layer-class IOPs are the published Briegleb & Light (2007,
+    NCAR/TN-472+STR Table 2) entries, with the SSL/DL as dedicated
+    radiation layers — guard against table regressions."""
+    from cice_tpu.columns import dedd as dd
+    hi = jnp.full((2, 2), 2.1)
+    layers = dd._ice_layer_iops(hi, 7, band=0, ponded=False)
+    assert len(layers) == 2 + 7          # SSL + DL + nilyr interior
+    # SSL layer: tau = 1000.1 * 0.05, w0 = 0.9999, g = 0.94 (visible)
+    np.testing.assert_allclose(np.asarray(layers[0][0]), 1000.1 * 0.05,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(layers[0][1]), 0.9999, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(layers[0][2]), 0.94, rtol=1e-6)
+    # DL layer: k = 100.2/m, w0 = 0.9980
+    np.testing.assert_allclose(np.asarray(layers[1][0]), 100.2 * 0.05,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(layers[1][1]), 0.9980, rtol=1e-6)
+    # interior slabs: k = 20.2/m over (hi - 0.1)/nilyr, w0 = 0.9901
+    np.testing.assert_allclose(np.asarray(layers[-1][0]), 20.2 * 2.0 / 7,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(layers[-1][1]), 0.9901, rtol=1e-6)
+    # near-IR band 2 SSL: w0 = 0.9088
+    lay_nir = dd._ice_layer_iops(hi, 7, band=2, ponded=False)
+    np.testing.assert_allclose(np.asarray(lay_nir[0][1]), 0.9088, rtol=1e-6)
+    # ponded-ice: SSL takes the pond-SSL class (no DL layer)
+    lay_p = dd._ice_layer_iops(hi, 7, band=0, ponded=True)
+    assert len(lay_p) == 1 + 7
+    np.testing.assert_allclose(np.asarray(lay_p[0][0]), 70.2 * 0.05,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lay_p[0][1]), 0.9972, rtol=1e-6)
+
+
+def test_band_albedo_magnitudes():
+    """Standard-case band albedos sit in the published windows (Briegleb &
+    Light 2007 validation cases): cold deep snow vis ~0.96-1.0 /
+    nir 0.6-0.9; thick bare ice vis 0.68-0.88 / nir 0.25-0.6; ponded ice
+    well below bare ice."""
+    snow = _sw(hs=0.3, Tsf=-20.0)
+    assert 0.94 <= float(np.asarray(snow.alvdf).mean()) <= 1.0
+    assert 0.55 <= float(np.asarray(snow.alidf).mean()) <= 0.92
+    bare = _sw(hi=2.0, hs=0.0, Tsf=-10.0)
+    assert 0.65 <= float(np.asarray(bare.alvdf).mean()) <= 0.90
+    assert 0.22 <= float(np.asarray(bare.alidf).mean()) <= 0.62
+    pond = _sw(hi=1.5, hpnd=0.25, apeff=1.0)
+    bb = lambda o: float((0.5 * (np.asarray(o.alvdf) +
+                                 np.asarray(o.alidf))).mean())
+    assert bb(pond) < bb(bare) - 0.1

@@ -44,7 +44,11 @@ def test_stefan_congelation_law():
     z = jnp.zeros(shape)
 
     ndays = 20
-    for _ in range(24 * ndays):
+
+    import jax
+
+    @jax.jit
+    def hour(Tsf, hin, hsn, qice, qsno):
         ts, qsno_new, qice_new = tv.temperature_changes(
             dt, nilyr, nslyr, Tsf=Tsf, qsno=qsno, qice=qice, salin=salin,
             Tm=Tm, hilyr=hin / nilyr, hslyr=hsn / nslyr, Tbot=Tbot,
@@ -59,8 +63,10 @@ def test_stefan_congelation_law():
             salin=salin, Tbot=Tbot, fbot=z, fsurf=ts.fsurf,
             fcondtop=ts.fcondtop, fcondbot=ts.fcondbot, flat=z,
             sss=jnp.full(shape, 34.0))
-        hin, hsn, qice, qsno = th.hin, th.hsn, th.qice, th.qsno
-        Tsf = ts.Tsf
+        return ts.Tsf, th.hin, th.hsn, th.qice, th.qsno, th
+
+    for _ in range(24 * ndays):
+        Tsf, hin, hsn, qice, qsno, th = hour(Tsf, hin, hsn, qice, qsno)
 
     k_ice = 2.03                                 # fresh-ice conductivity
     Leff = cst.rhoi * cst.Lfresh
