@@ -66,6 +66,7 @@ OPTION_SETS = {
              "zbgc.tr_bgc_Am": True, "zbgc.tr_bgc_Sil": True,
              "zbgc.tr_bgc_DMS": True, "zbgc.tr_bgc_PON": True,
              "zbgc.tr_bgc_DON": True, "zbgc.tr_bgc_Fe": True,
+             "zbgc.tr_bgc_C": True, "zbgc.n_doc": 2, "zbgc.n_dic": 1,
              "zbgc.n_algae": 3},
     "zaero": {"zbgc.z_tracers": True, "tracers.tr_brine": True,
               "domain.nblyr": 7, "zbgc.tr_zaero": True, "zbgc.n_zaero": 3},

@@ -99,6 +99,9 @@ def z_tracer_names(zcfg) -> list[str]:
         names.append("bgc_PON")
     if zcfg.tr_bgc_DON:
         names.append("bgc_DON")
+    if zcfg.tr_bgc_C:
+        names += [f"bgc_DOC{i+1}" for i in range(zcfg.n_doc)]
+        names += [f"bgc_DIC{i+1}" for i in range(zcfg.n_dic)]
     if zcfg.tr_bgc_Fe:
         names += ["bgc_Fed", "bgc_Fep"]
     if zcfg.tr_bgc_hum:
@@ -127,11 +130,20 @@ def mobility_type(zcfg, name: str) -> float:
         za = (zcfg.zaerotype_bc1, zcfg.zaerotype_bc2, zcfg.zaerotype_dust1,
               zcfg.zaerotype_dust2, zcfg.zaerotype_dust3, zcfg.zaerotype_dust4)
         return za[min(idx, len(za) - 1)]
+    if name.startswith("bgc_DOC"):
+        dtypes = (zcfg.doctype_s, zcfg.doctype_l, zcfg.doctype_s)
+        return dtypes[min(int(name[7:]) - 1, 2)]
+    if name.startswith("bgc_DIC"):
+        return zcfg.dictype_1
     return table.get(name, 0.0)
 
 
 def ocean_concentration(zcfg, name: str) -> float:
     """Mixed-layer default for a dissolved tracer (ice_forcing_bgc defaults)."""
+    if name.startswith("bgc_DOC"):
+        return float(zcfg.doc_data)
+    if name.startswith("bgc_DIC"):
+        return float(zcfg.dic_data)
     attr = _DISSOLVED_OCEAN_ATTRS.get(name)
     return float(getattr(zcfg, attr)) if attr else 0.0
 
@@ -314,6 +326,7 @@ def algal_network(zcfg, dt, trc: Dict[str, jnp.ndarray], PAR, T_layer):
     if Sil is not None:
         out["bgc_Sil"] = jnp.maximum(Sil - tot_upSil, 0.0)
 
+    don_remin = 0.0
     if "bgc_DON" in trc:
         don_src = zcfg.f_don_protein * graze_spill
         kn = zcfg.kn_bac_protein / secday * dt
@@ -322,6 +335,36 @@ def algal_network(zcfg, dt, trc: Dict[str, jnp.ndarray], PAR, T_layer):
             trc["bgc_DON"] + don_src - don_remin, 0.0)
         if "bgc_Am" in out and Am is not None:
             out["bgc_Am"] = out["bgc_Am"] + zcfg.f_don_Am_protein * don_remin
+
+    # --- carbon chain (tr_bgc_C: DOC pools -> DIC; reference zbgc DOC/DIC
+    # families, ug_case_settings.rst:802-960). Carbon rides the nitrogen
+    # network through the per-class C:N ratios: algal growth fixes DIC,
+    # spilled losses feed the DOC pools, bacterial degradation respires
+    # DOC back to DIC.
+    if "bgc_DOC1" in trc:
+        R_C2N = _per_class(zcfg, ("ratio_C2N_diatoms", "ratio_C2N_sp",
+                                  "ratio_C2N_phaeo"))
+        # mean C:N of the community losses (class-weighted is overkill for
+        # the spill terms; use the diatom-weighted leading ratio)
+        c_spill = R_C2N[0] * (graze_spill + mort_to_pools) \
+            + zcfg.ratio_C2N_proteins * (don_remin if "bgc_DON" in trc
+                                         else 0.0)
+        f_doc = (zcfg.f_doc_s, zcfg.f_doc_l, max(
+            1.0 - zcfg.f_doc_s - zcfg.f_doc_l, 0.0))
+        kn_doc = (zcfg.kn_bac_s, zcfg.kn_bac_l, zcfg.kn_bac_s)
+        doc_resp = 0.0
+        for i in range(3):
+            nm = f"bgc_DOC{i+1}"
+            if nm not in trc:
+                continue
+            remin = kn_doc[i] / secday * dt * jnp.maximum(trc[nm], 0.0)
+            out[nm] = jnp.maximum(trc[nm] + f_doc[i] * c_spill - remin, 0.0)
+            doc_resp = doc_resp + zcfg.fr_resp_s * remin
+        if "bgc_DIC1" in trc:
+            # photosynthetic DIC drawdown by the realized N growth
+            c_fix = R_C2N[0] * (tot_upNit + tot_upAm)
+            DIC = jnp.maximum(trc["bgc_DIC1"], 0.0)
+            out["bgc_DIC1"] = jnp.maximum(DIC + doc_resp - c_fix, 0.0)
     if "bgc_PON" in trc:
         pon_src = mort_to_pools + (1.0 - zcfg.f_don_protein) * graze_spill
         out["bgc_PON"] = jnp.maximum(trc["bgc_PON"] + pon_src, 0.0)

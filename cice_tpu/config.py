@@ -285,6 +285,9 @@ class ZbgcConfig:
     tr_bgc_PON: bool = False       # passive particulate N
     tr_bgc_DON: bool = False       # dissolved organic N
     tr_bgc_Fe: bool = False        # dissolved + particulate iron
+    tr_bgc_C: bool = False         # carbon: DOC pools + DIC
+    n_doc: int = 2                 # DOC classes (saccharides, lipids[, 3rd])
+    n_dic: int = 1                 # DIC classes
     restore_bgc: bool = False
     bgc_flux_type: str = "Jin2006"
     mu_max: float = 1.44           # max specific growth (1/day)
@@ -396,6 +399,21 @@ class ZbgcConfig:
     f_don_Am_protein: float = 1.0  # remineralized DON fraction to NH4
     kn_bac_protein: float = 0.2    # bacterial DON degradation (1/day)
     t_iron_conv: float = 3065.0    # pFe->dFe desorption time (days)
+    # carbon chain (tr_bgc_C; reference zbgc_nml DOC/DIC surface)
+    ratio_C2N_diatoms: float = 7.0     # algal C:N (mol/mol)
+    ratio_C2N_sp: float = 7.0
+    ratio_C2N_phaeo: float = 5.0
+    ratio_C2N_proteins: float = 5.0    # C:N of the DON pool
+    f_doc_s: float = 0.4           # spilled-carbon fraction to saccharides
+    f_doc_l: float = 0.4           # ... to lipids (remainder exits as DIC)
+    kn_bac_s: float = 0.03         # bacterial DOC degradation (1/day)
+    kn_bac_l: float = 0.03
+    fr_resp_s: float = 0.75        # respired fraction of DOC degradation
+    doctype_s: float = 0.5         # mobility types
+    doctype_l: float = 0.5
+    dictype_1: float = -1.0
+    doc_data: float = 16.2         # default ocean DOC (mmol C/m^3)
+    dic_data: float = 1950.0       # default ocean DIC (mmol C/m^3)
 
 
 @dataclass(frozen=True)

@@ -8,7 +8,13 @@ additionally buys is *decomposition-invariant* sums; we provide that via
 pairwise/compensated and integer-fixed-point modes:
 
   bfbflag = 'off'      plain sum (fastest; deterministic on a fixed mesh)
+            'lsum4'    float32 accumulation (reference's low-precision
+                       local-sum variant, ice_global_reductions.F90:99-750)
             'lsum8'    float64 accumulation
+            'lsum16'   quad-precision analogue: double-double (two-float64)
+                       accumulation — the reference uses REAL*16 local sums;
+                       TPU/XLA has no native float128, so the compensated
+                       double-double carries the same ~32 significant digits
             'ddpdd'    compensated (Kahan/Knuth two-sum) summation
             'reprosum' integer fixed-point accumulation (exact, layout
                        invariant; reference ice_reprosum.F90:262)
@@ -30,8 +36,12 @@ def global_sum(field: jnp.ndarray, *, weight: jnp.ndarray | None = None,
         x = jnp.where(mask, x, jnp.zeros_like(x))
     if bfbflag == "off":
         return jnp.sum(x)
+    if bfbflag == "lsum4":
+        return jnp.sum(x.astype(jnp.float32)).astype(field.dtype)
     if bfbflag == "lsum8":
         return jnp.sum(x.astype(jnp.float64)).astype(field.dtype)
+    if bfbflag == "lsum16":
+        return _double_double_sum(x).astype(field.dtype)
     if bfbflag == "ddpdd":
         return _compensated_sum(x).astype(field.dtype)
     if bfbflag == "reprosum":
@@ -58,6 +68,34 @@ def _compensated_sum(x: jnp.ndarray) -> jnp.ndarray:
     (s, c), _ = jax.lax.scan(body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)),
                              row_sums)
     return s + c
+
+
+def _double_double_sum(x: jnp.ndarray) -> jnp.ndarray:
+    """Double-double (Dekker/Knuth two-sum) accumulation: ~106 bits of
+    significand, the float128-free analogue of the reference's lsum16
+    REAL*16 local sums (ice_global_reductions.F90). Scans row partials in
+    f64 with an exact error term carried alongside."""
+    xd = x.astype(jnp.float64)
+    rows = xd.reshape(-1, xd.shape[-1])
+
+    def body(carry, r):
+        hi, lo = carry
+        # row reduced by Kahan within the row first
+        def inner(c, v):
+            s, comp = c
+            t = s + v
+            comp = comp + jnp.where(jnp.abs(s) >= jnp.abs(v),
+                                    (s - t) + v, (v - t) + s)
+            return (t, comp), None
+        (rs, rc), _ = jax.lax.scan(inner, (jnp.zeros(()), jnp.zeros(())), r)
+        # two-sum of (hi) and row total
+        t = hi + rs
+        e = jnp.where(jnp.abs(hi) >= jnp.abs(rs), (hi - t) + rs,
+                      (rs - t) + hi)
+        return (t, lo + e + rc), None
+
+    (hi, lo), _ = jax.lax.scan(body, (jnp.zeros(()), jnp.zeros(())), rows)
+    return hi + lo
 
 
 def _fixedpoint_sum(x: jnp.ndarray, frac_bits: int = 32) -> jnp.ndarray:

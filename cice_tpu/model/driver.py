@@ -118,7 +118,11 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
                    ("bgc_DMSPp", 0.1), ("bgc_DMSPd", cfg.zbgc.dms_data),
                    ("bgc_DMS", cfg.zbgc.dms_data), ("bgc_PON", 0.1),
                    ("bgc_DON", 1.0), ("bgc_Fed", cfg.zbgc.fed_data),
-                   ("bgc_Fep", 0.1), ("bgc_hum", cfg.zbgc.hum_data)):
+                   ("bgc_Fep", 0.1), ("bgc_hum", cfg.zbgc.hum_data),
+                   ("bgc_DOC1", cfg.zbgc.doc_data),
+                   ("bgc_DOC2", cfg.zbgc.doc_data),
+                   ("bgc_DOC3", cfg.zbgc.doc_data),
+                   ("bgc_DIC1", cfg.zbgc.dic_data)):
         _init_bgc(nm, v0)
     # z-tracer companions: mobile fraction starts fully mobile; aerosols
     # start clean

@@ -98,6 +98,11 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
             specs.append(TracerSpec("bgc_PON", DEP_AICE))
         if z.tr_bgc_DON:
             specs.append(TracerSpec("bgc_DON", DEP_AICE))
+        if z.tr_bgc_C:
+            for i in range(z.n_doc):
+                specs.append(TracerSpec(f"bgc_DOC{i+1}", DEP_AICE))
+            for i in range(z.n_dic):
+                specs.append(TracerSpec(f"bgc_DIC{i+1}", DEP_AICE))
         if z.tr_bgc_Fe:
             specs.append(TracerSpec("bgc_Fed", DEP_AICE))
             specs.append(TracerSpec("bgc_Fep", DEP_AICE))

@@ -643,7 +643,9 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         ocean = {"bgc_Nit": z.nit_data, "bgc_Am": z.amm_data,
                  "bgc_Sil": z.sil_data, "bgc_DMSPd": z.dms_data,
                  "bgc_DMS": z.dms_data, "bgc_DON": 0.0,
-                 "bgc_Fed": z.fed_data}
+                 "bgc_Fed": z.fed_data,
+                 **{f"bgc_DOC{i+1}": z.doc_data for i in range(z.n_doc)},
+                 **{f"bgc_DIC{i+1}": z.dic_data for i in range(z.n_dic)}}
         bout = step_bgc_skl_net(
             z, dt, aicen=state.aicen,
             trc={k: trc[k] for k in bgc_keys},

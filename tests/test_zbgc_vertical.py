@@ -201,3 +201,32 @@ def test_model_smoke_with_z_tracers():
         assert bool(jnp.all(v >= -1e-6)), nm
     # deposition accumulated some aerosol where there is ice
     assert float(m.state.trcrn["zaero1"].max()) > 0.0
+
+
+def test_carbon_chain():
+    """DOC/DIC family (tr_bgc_C, reference zbgc DOC/DIC pools): algal
+    growth draws DIC down, losses feed DOC, bacterial degradation respires
+    DOC back toward DIC."""
+    cfg, kw = _setup(solve=True, **{
+        "zbgc.n_algae": 1, "zbgc.tr_bgc_C": True, "zbgc.n_doc": 2,
+        "zbgc.n_dic": 1, "zbgc.tr_bgc_DON": True})
+    dt = 3600.0
+    shape = (2, 7, 4, 5)
+    trc = {"bgc_N": jnp.full(shape, 0.5), "bgc_Nit": jnp.full(shape, 10.0),
+           "bgc_DON": jnp.full(shape, 2.0),
+           "bgc_DOC1": jnp.full(shape, 10.0),
+           "bgc_DOC2": jnp.full(shape, 10.0),
+           "bgc_DIC1": jnp.full(shape, 1950.0)}
+    frac = {k: jnp.ones(shape) for k in trc}
+    out = step_zbgc(cfg.zbgc, dt, trc=trc, frac=frac, **kw)
+    for nm in trc:
+        assert bool(jnp.isfinite(out.trc[nm]).all()), nm
+        assert float(out.trc[nm].min()) >= 0.0, nm
+    # growth happened -> DIC drawn below its (closed-layer) initial value
+    interior = out.trc["bgc_DIC1"][:, 2:5]
+    assert float(interior.mean()) < 1950.0
+    # names/registry carry the family
+    names = z_tracer_names(cfg.zbgc)
+    assert "bgc_DOC1" in names and "bgc_DOC2" in names \
+        and "bgc_DIC1" in names
+    assert mobility_type(cfg.zbgc, "bgc_DIC1") == -1.0
