@@ -4,36 +4,44 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Primary metric: grid-point·subcycles per second of the full B-grid EVP
-dynamics solve (stress + momentum + halo semantics) at gx1 size
-(ny=384, nx=320, ndte=120) on a LAND-MASKED grid — the north-star metric
-from BASELINE.json / SURVEY.md §6.
+Primary metric (round-3): grid-point·subcycles per second of the full
+B-grid EVP dynamics solve (stress + momentum + halo semantics) on the
+**gx1pop displaced-pole fixture grid** (320x384, ndte=120, realistic
+~65% ocean fraction from the format-true POP kmt) — the north-star
+metric from BASELINE.json / SURVEY.md §6 measured on the real thing
+instead of round-2's rect stand-in (VERDICT r2 Weak #4).
 
-Measurement methodology (round-2 fix): STEADY-STATE device throughput.
-Round 1 timed each solve with a host block_until_ready per call; on the
-axon-tunnel backend the host completion notification for multi-ms
-computations lands on a ~25-30 ms polling backoff tier, so every blocked
-measurement of a >1 ms computation reads ~30 ms regardless of device
-time (measured: trivial op 0.1 ms blocked; EVP solve 35 ms blocked vs
-4.4 ms chained). A production run streams steps with no host sync, so
-the honest number is N device-side-chained solves / block once:
-that is what this benchmark reports. This reconciles VERDICT.md round-1
-weakness #1: the 189M (driver) and 480M (builder) numbers were both
-latency artifacts of the same real ~3.3G pt·sub/s device throughput.
+Measurement methodology (round-2 fix, kept): STEADY-STATE device
+throughput. Round 1 timed each solve with a host block_until_ready per
+call; on the axon-tunnel backend the host completion notification for
+multi-ms computations lands on a ~25-30 ms polling backoff tier, so
+every blocked measurement of a >1 ms computation reads ~30 ms regardless
+of device time. A production run streams steps with no host sync, so the
+honest number is N device-side-chained solves / block once.
 
 sol_fraction: measured / speed-of-light, where speed-of-light is the
 HBM-roofline time for the XLA subcycle loop's ideal working set:
 (26 const reads + 14 state reads + 14 state writes) f32 planes per
-subcycle streamed at full HBM bandwidth (v5e: 819 GB/s).
+subcycle streamed at full HBM bandwidth (v5e: 819 GB/s). Dense compute
+covers land points too, so the roofline is land-fraction-agnostic.
 
 vs_baseline: ratio against the reference-proxy throughput 1.47e7
 pt·sub/s (gx1 perf_suite anchor magnitude: 32 Fortran ranks at ~1 s per
 dynamics step; BASELINE.md — the reference publishes no absolute
 numbers).
 
-Also reported (extra JSON keys): full coupled model step (therm1/2 +
-EVP + remap transport + ridging + shortwave + OML — ice_step_mod.F90
-sequence) milliseconds and grid-points/s at gx1 size, steady-state.
+Extra JSON keys:
+  evp_algos_ms     {xla_loop, fused_pallas, wide_halo} steady-state ms on
+                   the gx1pop grid (wide_halo on the 1-device mesh: the
+                   shard_map overhead datum; its multi-chip value is the
+                   k-subcycles-per-exchange latency trade, PARITY.md)
+  evp_rect_*       round-2's rect-grid numbers for cross-round anchoring
+  coupled_step_ms  full coupled step (therm1/2 + EVP + remap + ridging +
+                   shortwave + OML) on the gx1pop grid, steady-state
+  phase_ms         per-phase steady-state breakdown of the coupled step
+                   (therm1, therm2, dyn+ridge, transport) — the TimeLoop/
+                   Dynamics/Column timer-decomposition contract
+                   (ice_timers.F90:42-89, SURVEY §5.1)
 """
 
 import json
@@ -45,6 +53,7 @@ os.environ.setdefault("XLA_FLAGS", "")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -70,24 +79,34 @@ def device_bw_gbps():
 
 
 def chained(step, init, n):
-    """Steady-state: chain n device-side dependent calls, block once."""
+    """Steady-state: chain n device-side dependent calls, block once (on
+    the WHOLE output tree: per-buffer readiness on the async tunnel
+    backend can land before the executable finishes)."""
     out = step(init)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])  # warmup+compile
+    jax.block_until_ready(out)                    # warmup + compile
     t0 = time.perf_counter()
-    cur = init
+    cur = out
     for _ in range(n):
         cur = step(cur)
-    jax.block_until_ready(jax.tree_util.tree_leaves(cur)[0])
+    jax.block_until_ready(cur)
     return (time.perf_counter() - t0) / n
 
 
-def bench_evp(ny, nx, ndte):
+def gx1pop_grid():
+    """The format-true gx1 displaced-pole grid from the POP fixture."""
+    from cice_tpu.io.fixtures import ensure_baseline_fixtures
+    fx = ensure_baseline_fixtures(verbose=False)["gx1"]
     cfg = Config().with_overrides(**{
-        "grid.nx_global": nx, "grid.ny_global": ny,
-        "dynamics.ndte": ndte, "dynamics.coriolis": "latitude",
-    })
-    # land-masked grid: 'default' closes the domain with coastline + island
-    grid = rectgrid(nx, ny, kmt_type="default", dtype=jnp.float32)
+        "grid.nx_global": 320, "grid.ny_global": 384,
+        "grid.grid_format": "pop_bin", "grid.grid_type": "displaced_pole",
+        "grid.grid_file": fx["grid"], "grid.kmt_file": fx["kmt"],
+        "grid.ew_boundary_type": "cyclic",
+        "dynamics.ndte": 120, "dynamics.coriolis": "latitude"})
+    from cice_tpu.core.grid import make_grid
+    return cfg, make_grid(cfg)
+
+
+def _evp_problem(cfg, grid):
     key = jax.random.PRNGKey(0)
     z = jnp.zeros(grid.shape, jnp.float32)
     tm = grid.tmask.astype(jnp.float32)
@@ -98,34 +117,86 @@ def bench_evp(ny, nx, ndte):
                     uvel=z, vvel=z, strairxT=z + 0.1, strairyT=z + 0.05,
                     uocn_T=z, vocn_T=z, ss_tltx_T=z, ss_tlty_T=z)
     p = evp_params(cfg.dynamics, cfg.setup.dt)
-    strength = ice_strength(jnp.stack([aice / 5] * 5), jnp.stack([vice / 5] * 5),
-                            aice, vice, cfg.dynamics)
+    strength = ice_strength(jnp.stack([aice / 5] * 5),
+                            jnp.stack([vice / 5] * 5), aice, vice,
+                            cfg.dynamics)
     z3 = jnp.zeros((4,) + grid.shape, jnp.float32)
-
-    solve = jax.jit(lambda uv: evp_solve(
-        grid, p, prep, strength, z3, z3, z3, uocn=uv[0], vocn=uv[1])[:2])
-    dt_s = chained(solve, (z, z), n=20)
-    return dt_s, float(tm.mean())
+    return p, prep, strength, z3, z, float(tm.mean())
 
 
-def bench_coupled(ny, nx):
-    """Full coupled model step at gx1 size, steady-state."""
+def bench_evp_algos(cfg, grid, algos=("xla_loop",)):
+    """Steady-state EVP ms per algorithm on `grid`."""
+    p, prep, strength, z3, z, ocean_frac = _evp_problem(cfg, grid)
+    out = {}
+    for algo in algos:
+        try:
+            if algo == "xla_loop":
+                fn = jax.jit(lambda uv: evp_solve(
+                    grid, p, prep, strength, z3, z3, z3,
+                    uocn=uv[0], vocn=uv[1])[:2])
+            elif algo == "fused_pallas":
+                from cice_tpu.kernels.evp_pallas import evp_solve_fused
+                fn = jax.jit(lambda uv: evp_solve_fused(
+                    grid, p, prep, strength, z3, z3, z3,
+                    uocn=uv[0], vocn=uv[1])[:2])
+            elif algo == "wide_halo":
+                from cice_tpu.parallel.evp_wide import evp_solve_wide
+                from cice_tpu.parallel.mesh import make_mesh
+                mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+                fn = jax.jit(lambda uv: evp_solve_wide(
+                    grid, p, prep, strength, z3, z3, z3,
+                    uocn=uv[0], vocn=uv[1], mesh=mesh, k_fuse=8)[:2])
+            else:
+                continue
+            out[algo] = round(chained(fn, (z, z), n=20) * 1e3, 3)
+        except Exception as e:  # pragma: no cover
+            out[algo] = f"{type(e).__name__}: {e}"[:120]
+    return out, ocean_frac
+
+
+def bench_coupled(cfg, grid):
+    """Full coupled model step + per-phase breakdown, steady-state."""
     from cice_tpu.model.driver import Model
-    from cice_tpu.model.step import model_step
+    from cice_tpu.model.step import (model_step, step_therm1,
+                                     step_dyn_horiz)
     from cice_tpu.model.forcing import get_forcing
+    from cice_tpu.columns.thermo_itd import step_therm2
+    from cice_tpu.dynamics.remap_exact import horizontal_remap_exact
 
-    cfg = Config().with_overrides(**{
-        "grid.nx_global": nx, "grid.ny_global": ny,
-        "grid.grid_format": "rect", "grid.kmt_type": "default",
-        "forcing.atm_data_type": "box2001",
-        "forcing.ocn_data_type": "box2001",
-        "dynamics.ndte": 120,
-    })
-    m = Model(cfg)
+    m = Model(cfg, grid=grid)
     fc = get_forcing(cfg, m.grid, 0.0, 1.0, m.state.aice, m.forcing)
-    step = jax.jit(lambda s: model_step(m.static, m.grid, s, fc,
-                                        cfg.setup.dt)[0])
-    return chained(step, m.state, n=5)
+    dt = cfg.setup.dt
+    step = jax.jit(lambda s: model_step(m.static, m.grid, s, fc, dt)[0])
+    total = chained(step, m.state, n=5)
+
+    phases = {}
+    # therm1 (column hot loop #1: vertical solves + shortwave + BL)
+    t1 = jax.jit(lambda s: step_therm1(m.static, m.grid, s, fc, dt)[0])
+    phases["therm1"] = chained(t1, m.state, n=5)
+    # therm2 (ITD remap/rebin + frazil + lateral melt)
+    hin_max = np.asarray(m.static.hin_max)
+
+    def t2fn(s):
+        r = step_therm2(cfg, m.grid, s.aicen, s.vicen, s.vsnon, s.trcrn,
+                        hicen_old=jnp.ones_like(s.aicen), frzmlt=s.frzmlt,
+                        Tf=fc.Tf, sst=s.sst, dt=dt, hin_max=hin_max,
+                        registry=m.static.registry)
+        return s.replace(aicen=r.aicen, vicen=r.vicen, vsnon=r.vsnon,
+                         trcrn=r.trcrn)
+    phases["therm2"] = chained(jax.jit(t2fn), m.state, n=5)
+    # dynamics (EVP solve + prep + deformations)
+    z = jnp.zeros(m.grid.shape, m.state.aicen.dtype)
+
+    def dynfn(s):
+        return step_dyn_horiz(m.static, m.grid, s, fc, z + 0.1, z, dt)[0]
+    phases["dyn"] = chained(jax.jit(dynfn), m.state, n=5)
+    # transport (exact incremental remapping)
+
+    def trfn(s):
+        return horizontal_remap_exact(m.grid, s, m.static.registry, fc.Tf,
+                                      dt, grid_ice=cfg.grid.grid_ice)[0]
+    phases["transport"] = chained(jax.jit(trfn), m.state, n=5)
+    return total, {k: round(v * 1e3, 2) for k, v in phases.items()}
 
 
 def main():
@@ -133,7 +204,11 @@ def main():
     ndte = 120
     bw_gbps, kind = device_bw_gbps()
 
-    dt_evp, ocean_frac = bench_evp(ny, nx, ndte)
+    # --- primary: gx1pop displaced-pole fixture grid --------------------
+    cfg, grid = gx1pop_grid()
+    algos_ms, ocean_frac = bench_evp_algos(
+        cfg, grid, algos=("xla_loop", "fused_pallas", "wide_halo"))
+    dt_evp = algos_ms["xla_loop"] / 1e3
     ptsub = ny * nx * ndte / dt_evp
 
     # HBM roofline: (26+14) reads + 14 writes f32 planes per subcycle
@@ -142,21 +217,38 @@ def main():
     sol_fraction = sol_ms / (dt_evp * 1e3)
 
     extras = {}
+    # rect stand-in numbers for cross-round comparability (BENCH_r02)
     try:
-        dt_step = bench_coupled(ny, nx)
+        cfg_r = Config().with_overrides(**{
+            "grid.nx_global": nx, "grid.ny_global": ny,
+            "dynamics.ndte": ndte, "dynamics.coriolis": "latitude"})
+        grid_r = rectgrid(nx, ny, kmt_type="default", dtype=jnp.float32)
+        rect_ms, rect_ocean = bench_evp_algos(cfg_r, grid_r,
+                                              algos=("xla_loop",))
+        extras["evp_rect_ms"] = rect_ms["xla_loop"]
+        extras["evp_rect_ocean_fraction"] = round(rect_ocean, 3)
+    except Exception as e:  # pragma: no cover
+        extras["evp_rect_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    try:
+        cfg_c = cfg.with_overrides(**{
+            "forcing.atm_data_type": "box2001",
+            "forcing.ocn_data_type": "box2001"})
+        dt_step, phase_ms = bench_coupled(cfg_c, grid)
         extras["coupled_step_ms"] = round(dt_step * 1e3, 2)
         extras["coupled_step_pts_per_s"] = round(ny * nx / dt_step, 1)
-    except Exception as e:  # pragma: no cover - keep the primary metric alive
+        extras["phase_ms"] = phase_ms
+    except Exception as e:  # pragma: no cover - keep the primary metric
         extras["coupled_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
     result = {
-        "metric": "evp_gx1_gridpoint_subcycles_per_s",
+        "metric": "evp_gx1pop_gridpoint_subcycles_per_s",
         "value": round(ptsub, 1),
         "unit": "pt*subcycle/s",
         "vs_baseline": round(ptsub / REF_PROXY_PTSUB_PER_S, 3),
         "evp_ms_steady": round(dt_evp * 1e3, 3),
         "sol_fraction": round(sol_fraction, 3),
-        "evp_algorithm": "xla_loop",
+        "evp_algos_ms": algos_ms,
         "ocean_fraction": round(ocean_frac, 3),
         "device": kind,
         "hbm_gbps_assumed": bw_gbps,

@@ -580,7 +580,8 @@ def _test_baseline(cfg, label="baseline") -> bool:
     ok &= float(m.state.aice.max()) <= 1.0 + 1e-6
     # a 5-day global run must carry ice in both hemispheres
     ok &= d.get("extent_nh", 0.0) > 0.0 and d.get("extent_sh", 0.0) > 0.0
-    bdir = os.path.join(fixtures_root(), "baselines")
+    bdir = os.environ.get("CICE_TPU_BASELINE_DIR") or \
+        os.path.join(fixtures_root(), "baselines")
     os.makedirs(bdir, exist_ok=True)
     with open(os.path.join(bdir, f"{label}.json"), "w") as f:
         json.dump({"final": d, "series": m.diag_log,
@@ -590,6 +591,28 @@ def _test_baseline(cfg, label="baseline") -> bool:
           f"extent_nh={d.get('extent_nh', 0):.3e} "
           f"extent_sh={d.get('extent_sh', 0):.3e} "
           f"archived -> {bdir}/{label}.json")
+    # cross-round regression anchor (cice.setup --bcmp semantics): compare
+    # the diagnostics series against a COMMITTED baseline dir when given
+    # (repo baselines/rNN); report-only unless strict — physics fixes
+    # between rounds legitimately change the climate (then the new series
+    # becomes the next committed baseline, like the reference's bgen)
+    cmp_dir = os.environ.get("CICE_TPU_BCMP_DIR")
+    if cmp_dir:
+        ref_path = os.path.join(cmp_dir, f"{label}.json")
+        if os.path.exists(ref_path):
+            with open(ref_path) as f:
+                base = json.load(f)["series"]
+            rtol = float(os.environ.get("CICE_TPU_BCMP_RTOL", "1e-3"))
+            errs = compare_series(base, m.diag_log, rtol=rtol)
+            verdict = "PASS" if not errs else "DIFF"
+            print(f"    bcmp[{label}] vs {ref_path}: {verdict} "
+                  f"({len(errs)} deltas at rtol={rtol})")
+            for i, k, va, vb in errs[:5]:
+                print(f"      step {i} {k}: baseline {va!r} vs run {vb!r}")
+            if os.environ.get("CICE_TPU_BCMP_STRICT"):
+                ok &= not errs
+        else:
+            print(f"    bcmp[{label}]: no committed baseline at {ref_path}")
     return ok
 
 

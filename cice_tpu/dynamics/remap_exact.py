@@ -467,9 +467,6 @@ def pentagon_cell_moments(verts, edgearea=None):
     segs = [((xcl, ycl), (xcr, ycr)), ((xcr, ycr), (xdr, ydr)),
             ((xdr, ydr), (xdm, ydm)), ((xdm, ydm), (xdl, ydl)),
             ((xdl, ydl), (xcl, ycl))]
-    p_idx = jnp.asarray(_P_IDX)
-    q_idx = jnp.asarray(_Q_IDX)
-    q_div = jnp.asarray(_Q_DIV, dtype)[:, None, None, None]
 
     tot = 0.0                                     # (10, R, ny, nx)
     for (x0, y0), (x1, y1) in segs:
@@ -487,10 +484,14 @@ def pentagon_cell_moments(verts, edgearea=None):
             x = x0 + dx * t
             y = y0 + dy * t
             w = -(gw * half) * dx                 # -dx weight of the 1-form
-            xp = jnp.stack([jnp.ones_like(x), x, x * x, x * x * x])
-            yq = jnp.stack([y, y * y, y * y * y, y * y * y * y])
-            # moment k: w * x^p(k) * y^(q(k)+1) / (q(k)+1)
-            tot = tot + w[None] * xp[p_idx] * yq[q_idx] * q_div
+            xp = [jnp.ones_like(x), x, x * x, x * x * x]
+            yq = [y, y * y, y * y * y, y * y * y * y]
+            # moment k: w * x^p(k) * y^(q(k)+1) / (q(k)+1) — explicit
+            # per-monomial products (a gather over the monomial axis
+            # materializes 60 planes per Gauss point on TPU; these 10
+            # elementwise products fuse into the accumulation)
+            tot = tot + jnp.stack(
+                [w * xp[p] * yq[q] * (1.0 / (q + 1.0)) for p, q in MONO])
 
     # per-candidate column differences then static translation matrices:
     # col -1: J_inf - J_m; col 0: J_m - J_p; col +1: J_p  (T rows use
@@ -527,11 +528,26 @@ def _table_arrays(table):
     return (ta.ttype, ta.par, ta.is1, ta.is2, ta.is3)
 
 
+def _onehot(idx, dtype):
+    """Static one-hot (NT, NT) selection matrix: row n picks plane idx[n].
+    Used as an einsum so NT-axis 'gathers' ride the MXU instead of
+    lowering to slow TPU gather ops."""
+    NT = len(idx)
+    M = _np.zeros((NT, NT), _np.float64)
+    M[_np.arange(NT), idx] = 1.0
+    return jnp.asarray(M, dtype)
+
+
+def _sel(M, a):
+    """a[:, idx] with idx baked into the one-hot matrix M."""
+    return jnp.einsum("np,cpyx->cnyx", M, a)
+
+
 def _chain_product(trm, base, ta: _TableArrays):
     """Old-state chain products: base * trcr * trcr[parent] * trcr[gparent]
     per flat tracer (reference state_to_work weight chains)."""
-    p1 = jnp.take(trm, jnp.asarray(ta.par), axis=1)
-    p2 = jnp.take(trm, jnp.asarray(ta.gpar), axis=1)
+    p1 = _sel(_onehot(ta.par, trm.dtype), trm)
+    p2 = _sel(_onehot(ta.gpar, trm.dtype), trm)
     m1 = jnp.asarray(ta.has_p, trm.dtype)[:, None, None]
     m2 = jnp.asarray(ta.has_g, trm.dtype)[:, None, None]
     return base[:, None] * trm * (m1 * p1 + (1.0 - m1)) * \
@@ -549,37 +565,66 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
     in physical units (scaled by areafac).
 
     The per-tracer dependency-chain recursion of the reference
-    (transport_integrals:3188) is evaluated as 3 staged, NT-vectorized
-    expressions with static parent-index gathers (depth <= 3)."""
+    (transport_integrals:3188) is evaluated with PRE-GATHERED parent and
+    grandparent reconstructions (the moment sums commute with the NT-axis
+    parent gather, so stage 2/3 become pure fused elementwise math —
+    no per-candidate gathers, no second-moment temporaries: the runtime
+    stays within ~1.3x of the fully unrolled per-tracer form while the
+    traced graph is ~25x smaller)."""
     sh_s = partial(shift, bc=grid.bc, loc=FIELD_LOC_CENTER,
                    ftype=FIELD_TYPE_SCALAR)
     sh_v = partial(shift, bc=grid.bc, loc=FIELD_LOC_CENTER,
                    ftype=FIELD_TYPE_VECTOR)
-    ttype, par, is1, is2, is3 = _table_arrays(table)
-    t1 = jnp.asarray(is1, mc.dtype)[:, None, None]
-    t2 = jnp.asarray(is2, mc.dtype)[:, None, None]
-    t3 = jnp.asarray(is3, mc.dtype)[:, None, None]
-    pidx = jnp.asarray(par)
+    ta = _TableArrays(table)
+    t1 = jnp.asarray(ta.is1, mc.dtype)[:, None, None]
+    t2 = jnp.asarray(ta.is2, mc.dtype)[:, None, None]
+    t3 = jnp.asarray(ta.is3, mc.dtype)[:, None, None]
+
+    if tc is not None:
+        # parent/grandparent reconstructions, gathered ONCE via one-hot
+        # MXU matmuls (a take would lower to a slow TPU gather)
+        Pp = _onehot(ta.par, mc.dtype)
+        Pg = _onehot(ta.gpar, mc.dtype)
+        tcp, txp, typ = _sel(Pp, tc), _sel(Pp, tx), _sel(Pp, ty)
+        tcg, txg, tyg = _sel(Pg, tc), _sel(Pg, tx), _sel(Pg, ty)
+
+    # Shift-inversion (HBM-traffic optimization): every contribution is
+    # LINEAR in the donor fields, and non-tripole ghost fills are zeros
+    # (f(0, M) = 0), so instead of shifting nine (ncat, NT) donor stacks
+    # per candidate we back-shift the ten moment planes and forward-shift
+    # the single result — ~2.5x less memory traffic. Tripole folds mix
+    # mirrored donors with unmirrored moments, so they keep direct shifts.
+    direct = grid.bc.tripole
 
     mflx = 0.0
     mtflx = 0.0
     for c, cand in enumerate(CANDS):
-        M = moments[c]
         dj, di = offsets[cand]
-        mc_c = sh_s(mc, dj, di)
-        mx_c = sh_v(mx, dj, di)
-        my_c = sh_v(my, dj, di)
+        if direct:
+            M = moments[c]
+            S_s = lambda a: sh_s(a, dj, di)
+            S_v = lambda a: sh_v(a, dj, di)
+            post = lambda u: u
+        else:
+            M = sh_s(moments[c], -dj, -di)
+            S_s = S_v = lambda a: a
+            post = lambda u: sh_s(u, dj, di)
+        mc_c = S_s(mc)
+        mx_c = S_v(mx)
+        my_c = S_v(my)
 
         def mom(p, q):
             return M[MIDX[(p, q)]]
 
         msum = mc_c * mom(0, 0) + mx_c * mom(1, 0) + my_c * mom(0, 1)
-        mflx = mflx + msum
+        mflx = mflx + post(msum)
 
         if tc is not None:
-            tc_c = sh_s(tc, dj, di)                     # (ncat, NT, ny, nx)
-            tx_c = sh_v(tx, dj, di)
-            ty_c = sh_v(ty, dj, di)
+            tc_c = S_s(tc)                              # (ncat, NT, ny, nx)
+            tx_c = S_v(tx)
+            ty_c = S_v(ty)
+            tcp_c, txp_c, typ_c = S_s(tcp), S_v(txp), S_v(typ)
+            tcg_c, txg_c, tyg_c = S_s(tcg), S_v(txg), S_v(tyg)
             mi = mc_c[1:][:, None]                      # (ncat, 1, ny, nx)
             mxi = mx_c[1:][:, None]
             myi = my_c[1:][:, None]
@@ -590,18 +635,29 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
             myysum = mi * mom(0, 2) + mxi * mom(1, 2) + myi * mom(0, 3)
             msum_i = msum[1:][:, None]
 
-            # stage 1: every tracer as if type 1 (first+second moments)
-            mts1 = msum_i * tc_c + mxsum * tx_c + mysum * ty_c
-            mtxs1 = mxsum * tc_c + mxxsum * tx_c + mxysum * ty_c
-            mtys1 = mysum * tc_c + mxysum * tx_c + myysum * ty_c
-            # stage 2: type-2 from the (type-1) parent's moment sums
-            g = lambda a: jnp.take(a, pidx, axis=1)
-            mts2 = g(mts1) * tc_c + g(mtxs1) * tx_c + g(mtys1) * ty_c
-            # stage 3: type-3 upwind from the (type-2) parent (reference
-            # uses only the parent's first moment sum here)
-            mts3 = g(mts2) * tc_c
+            def m1(a, b, c_):
+                """type-1 first-moment sum of a reconstruction (a,b,c)."""
+                return msum_i * a + mxsum * b + mysum * c_
+
+            # stage 1: every tracer as if type 1
+            mts1 = m1(tc_c, tx_c, ty_c)
+            # stage 2: parent's (type-1) moment sums contracted with this
+            # tracer's reconstruction — the parent's first/second moments
+            # evaluated via the pre-gathered parent reconstruction
+            mts1_p = m1(tcp_c, txp_c, typ_c)
+            mtx1_p = mxsum * tcp_c + mxxsum * txp_c + mxysum * typ_c
+            mty1_p = mysum * tcp_c + mxysum * txp_c + myysum * typ_c
+            mts2 = mts1_p * tc_c + mtx1_p * tx_c + mty1_p * ty_c
+            # stage 3: type-3 upwind from the (type-2) parent, whose own
+            # parent is the grandparent (reference uses only the first
+            # moment sum here)
+            mts1_g = m1(tcg_c, txg_c, tyg_c)
+            mtx1_g = mxsum * tcg_c + mxxsum * txg_c + mxysum * tyg_c
+            mty1_g = mysum * tcg_c + mxysum * txg_c + myysum * tyg_c
+            mts2_p = mts1_g * tcp_c + mtx1_g * txp_c + mty1_g * typ_c
+            mts3 = mts2_p * tc_c
             mts = t1 * mts1 + t2 * mts2 + t3 * mts3
-            mtflx = mtflx + mts
+            mtflx = mtflx + post(mts)
 
     mflx = sign * mflx * areafac[None]
     if tc is not None:
@@ -686,8 +742,8 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
     mm = am_new[1:][:, None]
     mm_pos = mm > 0.0
     w1 = div(mtflxe, mtflxn) * grid.tarear[None, None]
-    pidx = jnp.asarray(ta.par)
-    gidx = jnp.asarray(ta.gpar)
+    Pp = _onehot(ta.par, trm.dtype)
+    Pg = _onehot(ta.gpar, trm.dtype)
 
     def solve(denom, ok):
         return jnp.where(ok, (prods - w1) /
@@ -696,11 +752,11 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
     # stage 1: no parent
     val1 = solve(mm * jnp.ones_like(trm), mm_pos & jnp.ones_like(trm, bool))
     # stage 2: one (type-1) parent
-    tp = jnp.take(val1, pidx, axis=1)
+    tp = _sel(Pp, val1)
     val2 = solve(mm * tp, mm_pos & (jnp.abs(tp) > 0.0))
     # stage 3: type-2 parent + type-1 grandparent
-    tp2 = jnp.take(val2, pidx, axis=1)
-    gp = jnp.take(val1, gidx, axis=1)
+    tp2 = _sel(Pp, val2)
+    gp = _sel(Pg, val1)
     val3 = solve(mm * tp2 * gp,
                  mm_pos & (jnp.abs(tp2) > 0.0) & (jnp.abs(gp) > 0.0))
 

@@ -25,12 +25,12 @@ Supported: ew 'cyclic'/'open'/'closed', ns 'open'/'closed' (zero-ghost
 semantics provided by the zero padding); tripole/y-cyclic fall back to
 the XLA path.
 
-Measured (v5e-1, gx1 320x384, ndte=120, f32): 474 M pt·sub/s (k=8,
-tile_y=64, 1.75x halo redundancy) vs the XLA fori_loop's ~480 M. At this
-size both are bound by per-fusion dispatch overhead, not HBM or VPU: the
-same XLA loop hits 1.43 G pt·sub/s at 4x the grid (768x640), and
-fori_loop unroll=1..16 moves gx1 by <4% — ~15 fused kernels per subcycle
-at ~0.5 MB/operand simply cannot amortize launch cost at 123k points. The kernel's value is the subcycle/exchange ratio
+Measured (v5e-1, gx1pop displaced-pole fixture 320x384, ndte=120, f32,
+steady-state chained methodology — BENCH_r03): 5.95 ms/solve vs the XLA
+fori_loop's 6.14 ms, i.e. the kernel WINS by ~3% at production size
+(2.47 G vs 2.40 G pt·sub/s; round-2's 474M/480M header figures were the
+per-call-blocked latency artifacts the steady-state methodology
+reconciled). Its larger value is the subcycle/exchange ratio
 on MULTI-CHIP meshes: k fused subcycles per halo exchange cuts the
 per-subcycle ICI latency term by k (SURVEY §7.3 item 5), which the XLA
 loop cannot do (it must permute edges every subcycle). Design notes:

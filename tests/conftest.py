@@ -44,3 +44,18 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices8():
     return jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_executable_accumulation():
+    """Drop jit caches at module boundaries: XLA:CPU aborts (SIGABRT in
+    backend_compile_and_load) after ~140 accumulated whole-model
+    compilations in one process (reproduced twice at the same suite
+    position; the same test passes alone and in short prefixes). Bounding
+    live executables keeps a full-suite run inside one process viable;
+    within-module jit sharing (the expensive model_step reuse) is
+    preserved."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
