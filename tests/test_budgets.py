@@ -73,11 +73,13 @@ def test_water_budget_summer_melt_ponds():
 
 def test_heat_budget_residual_bounded():
     """The heat-budget table balances to within a few percent of the gross
-    flux terms (the reference's arbud print carries comparable residuals)."""
+    flux terms (the reference's arbud print carries comparable residuals).
+    Observed ~5% after the round-3 bottom-energetics fix (was bounded at
+    15% in round 2); 8% catches regressions of the round-2 kind."""
     buds = _run_budget({})
     for b in buds[1:]:
         gross = max(abs(b["dE"]), abs(b["heat_in"]), 1.0)
-        assert abs(b["heat_residual"]) <= 0.15 * gross, b
+        assert abs(b["heat_residual"]) <= 0.08 * gross, b
 
 
 def test_driver_abort_on_violation(monkeypatch):
