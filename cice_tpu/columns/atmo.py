@@ -131,7 +131,12 @@ def atmo_boundary_layer(Tsf, potT, uatm, vatm, wind, zlvl, Qa, rhoa,
         if atmiter_conv > 0.0:
             active = active & (jnp.abs(ustar - ustar_prev) > atmiter_conv)
 
-    tau = rhoa * ustar * rd * vmag   # |stress| / vmag factor folded below
+    # |stress| = rhoa*ustar^2 = rhoa*(rd*vmag)^2 along the wind direction:
+    # the vector form is rhoa*rd^2*vmag * (uatm, vatm) — the coefficient
+    # multiplies the wind COMPONENTS, not the full |U| again (a spare
+    # vmag factor here made 10 m/s winds pull 10x too hard and blew up
+    # the gx1 JRA55 dynamics once calc_strair used this path)
+    tau = rhoa * ustar * rd          # = rhoa * rd^2 * vmag
     strx = tau * uatm
     stry = tau * vatm
     shcoef = rhoa * ustar * cp * rh

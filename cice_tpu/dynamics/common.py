@@ -223,6 +223,9 @@ def visc_replpress(strength, DminArea, Delta, p: EvpParams):
 # B-grid momentum step (stepu, ice_dyn_shared.F90:847)
 # ---------------------------------------------------------------------------
 
+RHEO_AREA_MIN = 1.0e-3   # reference rheo_area_min (ice_dyn_shared.F90:67)
+
+
 def stepu_dense(uvel, vvel, strintx, strinty, prep: DynPrep, p: EvpParams,
                 uocn, vocn):
     """Momentum update given the internal stress divergence."""
@@ -236,8 +239,18 @@ def stepu_dense(uvel, vvel, strintx, strinty, prep: DynPrep, p: EvpParams,
     sgn = jnp.sign(jnp.where(prep.fm == 0, 1.0, prep.fm))
     ccb = prep.fm + sgn * vrel * cst.sinw
     ab2 = cca * cca + ccb * ccb
-    cc1 = strintx + prep.forcex + taux + prep.umassdti * (p.brlx * uold + p.revp * prep.uvel_init)
-    cc2 = strinty + prep.forcey + tauy + prep.umassdti * (p.brlx * vold + p.revp * prep.vvel_init)
+    # rheology cutoff (reference rheo_area_min, ice_dyn_shared.F90:67 —
+    # its rheofact zeroes the internal-stress divergence where
+    # aiU <= 1e-3): a near-massless fringe point pushed by its icy
+    # neighbors' stress has cca ~ umassdti ~ 0 and integrates to km/s
+    # velocities; without stress it relaxes to the local drift balance.
+    # The reference wires this through the C/CD solvers; we apply it to
+    # the B grid as well (delta: fringe robustness, PARITY.md)
+    rf = (prep.aiU > RHEO_AREA_MIN).astype(uold.dtype)
+    cc1 = rf * strintx + prep.forcex + taux + \
+        prep.umassdti * (p.brlx * uold + p.revp * prep.uvel_init)
+    cc2 = rf * strinty + prep.forcey + tauy + \
+        prep.umassdti * (p.brlx * vold + p.revp * prep.vvel_init)
     ab2 = jnp.where(prep.iceUmask, ab2, 1.0)
     rab2 = 1.0 / ab2          # one divide for the 2x2 solve, not two
     unew = jnp.where(prep.iceUmask, (cca * cc1 + ccb * cc2) * rab2, 0.0)

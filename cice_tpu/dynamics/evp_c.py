@@ -454,6 +454,15 @@ def c_subcycle_step(grid, p: EvpParams, prep: CPrep, strength, DminTarea,
 
         # --- divergence of stress at E (x) and N (y) --------------------
         strintxE, strintyN = c_stress_divergence(grid, spT, smT, s12U)
+        # rheology cutoff at near-massless face points (reference
+        # rheofactE/N, rheo_area_min=1e-3, ice_dyn_shared.F90:67 +
+        # div_stress_* multiplies): without it a fringe point pushed by
+        # its neighbors' stress with emassdti ~ 0 integrates to km/s
+        from .common import RHEO_AREA_MIN
+        strintxE = strintxE * (prep.aiE > RHEO_AREA_MIN).astype(
+            strintxE.dtype)
+        strintyN = strintyN * (prep.aiN > RHEO_AREA_MIN).astype(
+            strintyN.dtype)
 
         # --- momentum: u at E (stepu_C), v at N (stepv_C) ---------------
         # explicit transverse velocity via interpolation
@@ -633,6 +642,15 @@ def evp_cd_solve(grid: Grid, p: EvpParams, prep: CPrep, extra: CDPrepExtra,
             + (0.5 / grid.dyN) * (grid.dyU ** 2 * smU - dyU_w ** 2 * smU_w)
             + (1.0 / grid.dxN) * (dxT_n ** 2 * s12T_n -
                                   grid.dxT ** 2 * s12T))
+
+        # rheology cutoff (reference rheofactE/N; see the C-grid solver)
+        from .common import RHEO_AREA_MIN
+        rfE = (prep.aiE > RHEO_AREA_MIN).astype(strintxE.dtype)
+        rfN = (prep.aiN > RHEO_AREA_MIN).astype(strintyN.dtype)
+        strintxE = strintxE * rfE
+        strintyE = strintyE * rfE
+        strintyN = strintyN * rfN
+        strintxN = strintxN * rfN
 
         # --- momentum: implicit 2x2 at E and at N (stepuv_CD) -----------
         vrelE = prep.aiE * cst.rhow * prep.Cw * jnp.sqrt(

@@ -265,15 +265,23 @@ def implicit_solver(grid: Grid, cfg_dyn, prep: DynPrep, strength, *,
         ccb = prep.fm + sgn * vrel * cst.sinw
         cca_safe = jnp.where(mask, cca, 1.0)
 
+        # rheology cutoff at near-massless fringe points (reference
+        # rheo_area_min; see dynamics/common.py stepu_dense): the implicit
+        # operator is near-singular there (umassdti ~ vrel ~ 0 with finite
+        # neighbor stress), which stalls/diverges FGMRES
+        from .common import RHEO_AREA_MIN
+        rf = (prep.aiU > RHEO_AREA_MIN).astype(u.dtype)
+
         def matvec(x):
             du, dv = x
             sx, sy = vp_stress_divergence(grid, p, visc, du, dv,
                                           include_rep=False)
-            au = cca_safe * du - ccb * dv - sx
-            av = ccb * du + cca_safe * dv - sy
+            au = cca_safe * du - ccb * dv - rf * sx
+            av = ccb * du + cca_safe * dv - rf * sy
             return (jnp.where(mask, au, du), jnp.where(mask, av, dv))
 
         rx, ry = rep_pressure_force(grid, visc)
+        rx, ry = rf * rx, rf * ry
         bu = prep.forcex + vrel * prep.waterx + prep.umassdti * prep.uvel_init + rx
         bv = prep.forcey + vrel * prep.watery + prep.umassdti * prep.vvel_init + ry
         b = (jnp.where(mask, bu, 0.0), jnp.where(mask, bv, 0.0))

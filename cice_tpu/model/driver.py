@@ -101,13 +101,18 @@ def set_state_var(cfg, grid: Grid, state: State, Tf) -> State:
         # start with all area in the smallest floe-size bin
         trcrn["fsd"] = jnp.zeros_like(trcrn["fsd"]).at[:, 0].set(1.0)
     def _init_bgc(nm, v0):
-        # skl tracers are (ncat, ny, nx); z tracers are (ncat, nb, ny, nx)
+        # skl tracers are (ncat, ny, nx); z tracers are (ncat, nb, ny, nx).
+        # Fill against zeros_like so 4-D tracers keep their layer dim —
+        # where(mask[:, None], scalar, scalar) would collapse (ncat, nb,
+        # ny, nx) to (ncat, 1, ny, nx) (round-2 latent bug exposed by the
+        # packed ITD machinery's shape checks)
         if nm not in trcrn:
             return
         m = aicen > 0
         if trcrn[nm].ndim == 4:
             m = m[:, None]
-        trcrn[nm] = jnp.where(m, v0, 0.0).astype(dtp)
+        trcrn[nm] = jnp.where(m, jnp.asarray(v0, dtp),
+                              jnp.zeros_like(trcrn[nm])).astype(dtp)
 
     if "bgc_Nit" in trcrn:
         _init_bgc("bgc_Nit", cfg.zbgc.nit_data)

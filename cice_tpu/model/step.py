@@ -373,13 +373,15 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     agg["albsno"] = ws(alb_bb * fr_snow)
     agg["albpnd"] = ws(alb_bb * fr_pond)
     agg["albice"] = ws(alb_bb * fr_bare)
-    # per-category boundary-layer wind stress aggregated to the cell mean
-    # over ice (per unit ice area: dynamics rescales by aiU) — the
-    # reference aggregates icepack_atm_boundary strairxn the same way
-    # (ice_step_mod.F90:401-614); used by step_dyn_horiz when calc_strair
-    ai_safe = jnp.maximum(aice, cst.puny)
-    agg["strairx"] = ws(co.strx) / ai_safe
-    agg["strairy"] = ws(co.stry) / ai_safe
+    # per-category boundary-layer wind stress aggregated per unit CELL
+    # area (Σ aicen * strair_n — the reference's strairxT convention,
+    # icepack_step_therm1 via ice_step_mod.F90:401-614: "rotated on u grid
+    # and multiplied by aice", ice_dyn_evp.F90:252). The cell-area scaling
+    # is load-bearing: the momentum balance's water drag also scales with
+    # aiU, so a near-empty fringe cell feels dust-sized wind force; a
+    # per-ice-area stress there would amplify to ~30 m/s dust velocities
+    agg["strairx"] = ws(co.strx)
+    agg["strairy"] = ws(co.stry)
     # per-category cell-mean flux planes (reference 3Dc *_ai history fields)
     agg["ncat_fluxes"] = dict(
         fsurfn=w * ts.fsurf, fcondtopn=w * ts.fcondtop, flatn=w * ts.flat,

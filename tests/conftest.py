@@ -40,6 +40,66 @@ os.environ["CICE_TPU_NO_JIT_CACHE"] = "1"
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Tiered suite (reference quick_suite vs base_suite split,
+# configuration/scripts/tests/quick_suite.ts): tests measured > 25 s on the
+# 2-CPU reference runner are marked `slow` centrally here (compile-dominated
+# end-to-end runs). The default gate (`pytest tests -q`, see pytest.ini
+# addopts) runs everything else in < 10 min; `pytest tests -m slow` is the
+# nightly/second-CI-job tier. Durations source: full-suite runs recorded in
+# round 3 (PROGRESS notes).
+# ---------------------------------------------------------------------------
+_SLOW = {
+    "test_io_hdf5.py::test_driver_continue_from_hdf5",
+    "test_sharding.py::test_full_step_sharded",
+    "test_io_hdf5.py::test_history_hdf5_chunks_deflate",
+    "test_hbrine_bgc_net.py::test_model_with_brine_and_full_bgc",
+    "test_formdrag.py::test_model_runs_with_formdrag",
+    "test_evp_c.py::test_cdgrid_end_to_end_step",
+    "test_io_hdf5.py::test_restart_hdf5_bfb",
+    "test_fixtures.py::test_ncar_file_forcing_step",
+    "test_async_io.py::test_driver_io_async_run_bfb",
+    "test_salt_pond_options.py::test_model_smoke_sealvl_saltflux",
+    "test_restart.py::test_restart_bfb",
+    "test_restart.py::test_pointer_file",
+    "test_vp.py::test_precond_variants_agree",
+    "test_fixtures.py::test_jra55_file_forcing_step",
+    "test_evp_wide.py::test_model_step_wide_halo",
+    "test_evp_c.py::test_c_grid_coupler_exports_nonzero",
+    "test_budgets.py::test_water_budget_summer_melt_ponds",
+    "test_budgets.py::test_driver_abort_on_violation",
+    "test_vp.py::test_anderson_accelerates_picard",
+    "test_model_smoke.py::test_model_winter_grows_ice",
+    "test_budgets.py::test_water_budget_cold_growth",
+    "test_budgets.py::test_water_budget_update_ocn_f",
+    "test_coupling.py::test_import_export_round",
+    "test_model_smoke.py::test_model_runs_and_stays_physical",
+    "test_vp.py::test_vp_matches_converged_evp",
+    "test_snow_fsd.py::test_snow_fsd_end_to_end",
+    "test_vp.py::test_vp_residual_decreases",
+    "test_async_io.py::test_restart_cdf1_bfb",
+    "test_tripole_model.py::test_tripole_smoke",
+    "test_async_io.py::test_restart_async_bfb",
+    "test_new_components.py::test_prescribed_ice_mode",
+    "test_mushy.py::test_ktherm2_end_to_end",
+    "test_forcing_files.py::test_model_runs_from_forcing_files",
+    "test_aero_iso_bgc.py::test_tracers_end_to_end",
+    "test_evp_wide.py::test_mesh_shape_invariance",
+    "test_model_smoke.py::test_model_no_dynamics_mode",
+    "test_evp_pallas.py::test_pallas_k_fuse_invariance",
+    "test_remap_exact.py::test_translation_accuracy",
+    "test_transport.py::test_remap_less_diffusive_than_upwind",
+    "test_budgets.py::test_heat_budget_residual_bounded",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        key = "::".join([os.path.basename(str(item.fspath)), item.name])
+        base = key.split("[")[0]
+        if key in _SLOW or base in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def devices8():

@@ -80,11 +80,13 @@ def _thick_args(nilyr=4, shape=(4, 4)):
     qs = [z - 1.1e8]
     salin = [z + 5.0] * nilyr
     Tm = [z - 0.3] * nilyr
-    # growth regime: conduction out of the bottom exceeds the ocean heat
-    # flux (ebot = (fcondbot - fbot)*dt > 0 freezes congelation ice)
+    # growth regime: upward conduction away from the bottom boundary
+    # (fcondbot strongly negative in the downward-positive convention)
+    # exceeds the ocean melt-heat delivery |fbot|:
+    # ebot = (fbot - fcondbot)*dt > 0 freezes congelation ice
     return dict(hin=z + 1.0, hsn=z + 0.0, qice=qi, qsno=qs, Tm=Tm,
-                salin=salin, Tbot=z - 1.8, fbot=z - 60.0,
-                fsurf=z - 5.0, fcondtop=z - 5.0, fcondbot=z - 10.0,
+                salin=salin, Tbot=z - 1.8, fbot=z - 10.0,
+                fsurf=z - 5.0, fcondtop=z - 5.0, fcondbot=z - 60.0,
                 flat=z, sss=z + 34.0)
 
 
