@@ -26,11 +26,11 @@ semantics provided by the zero padding); tripole/y-cyclic fall back to
 the XLA path.
 
 Measured (v5e-1, gx1pop displaced-pole fixture 320x384, ndte=120, f32,
-steady-state chained methodology — BENCH_r03): 5.95 ms/solve vs the XLA
-fori_loop's 6.14 ms, i.e. the kernel WINS by ~3% at production size
-(2.47 G vs 2.40 G pt·sub/s; round-2's 474M/480M header figures were the
-per-call-blocked latency artifacts the steady-state methodology
-reconciled). Its larger value is the subcycle/exchange ratio
+steady-state chained methodology — BENCH_r03): 5.89-6.38 ms/solve vs the
+XLA fori_loop's 6.14-6.29 ms across repeat runs, i.e. the kernel ties to
+narrowly wins (±3%) at production size (round-2's 474M/480M header
+figures were the per-call-blocked latency artifacts the steady-state
+methodology reconciled). Its larger value is the subcycle/exchange ratio
 on MULTI-CHIP meshes: k fused subcycles per halo exchange cuts the
 per-subcycle ICI latency term by k (SURVEY §7.3 item 5), which the XLA
 loop cannot do (it must permute edges every subcycle). Design notes:
