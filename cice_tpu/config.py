@@ -201,6 +201,9 @@ class DynamicsConfig:
                                     # (reference ice_transport_driver.F90:61)
     monotonicity_check: bool = False  # remap tracer-bounds check w/ abort
                                       # (reference l_monotonicity_check)
+    remap_kernel: str = "auto"      # tracer-flux engine for 'remap':
+                                    # 'auto' (fused Pallas kernel on TPU,
+                                    # XLA elsewhere) | 'xla' | 'fused_pallas'
     # implicit (VP) solver — reference ice_dyn_vp.F90 namelist section
     maxits_nonlin: int = 10
     precond: str = "pgmres"         # 'pgmres' | 'diag' | 'ident'

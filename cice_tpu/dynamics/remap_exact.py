@@ -169,16 +169,15 @@ def state_to_tracers(state: State, registry, table) -> Tuple[jnp.ndarray,
     ncat = aicen.shape[0]
     am = jnp.concatenate([state.aice0[None], aicen], axis=0)
     w = jnp.where(aicen > cst.puny, 1.0 / jnp.maximum(aicen, cst.puny), 0.0)
-    planes = [state.vicen * w, state.vsnon * w]         # hi, hs
+    # whole-block concat along the flat-tracer axis (per-layer slicing +
+    # restacking lowers to thousands of small strided copies on TPU —
+    # ~7x slower than these contiguous block copies)
+    blocks = [(state.vicen * w)[:, None], (state.vsnon * w)[:, None]]
     for spec in registry:
         t = state.trcrn[spec.name]
         off = cst.rhos * cst.Lfresh if spec.name == "qsno" else 0.0
-        if t.ndim == 4:          # (ncat, nl, ny, nx)
-            for lay in range(t.shape[1]):
-                planes.append(t[:, lay] + off)
-        else:
-            planes.append(t + off)
-    trm = jnp.stack(planes, axis=1)                     # (ncat, NT, ny, nx)
+        blocks.append(t + off if t.ndim == 4 else (t + off)[:, None])
+    trm = jnp.concatenate(blocks, axis=1)               # (ncat, NT, ny, nx)
     assert trm.shape[1] == len(table)
     return am, trm
 
@@ -201,10 +200,9 @@ def tracers_to_state(am, trm, state: State, registry, tmask, Tf) -> State:
         nl = _spec_nlayers(spec)
         off = cst.rhos * cst.Lfresh if spec.name == "qsno" else 0.0
         if nl:
-            layers = [jnp.where(alive, trm[:, k + lay] - off, 0.0)
-                      for lay in range(nl)]
+            tr_new[spec.name] = jnp.where(alive[:, None],
+                                          trm[:, k:k + nl] - off, 0.0)
             k += nl
-            tr_new[spec.name] = jnp.stack(layers, axis=1)
         else:
             val = jnp.where(alive, trm[:, k] - off, 0.0)
             if spec.name == "Tsfcn":
@@ -226,18 +224,24 @@ def limited_gradient(bc, phi, phimask, cnx, cny):
     sh = partial(shift, bc=bc, loc=FIELD_LOC_CENTER, ftype=FIELD_TYPE_SCALAR)
     shm = partial(shift, bc=bc, loc=FIELD_LOC_CENTER, ftype=FIELD_TYPE_SCALAR)
 
-    nbrs = {}
+    # running min/max over the 8 masked neighbors + home value (stacking
+    # the 9 planes materializes a 9x temporary; these chains fuse)
+    pmn = phi
+    pmx = phi
+    axis_nbrs = {}
     for (dj, di) in ((1, -1), (1, 0), (1, 1), (0, -1), (0, 1),
                      (-1, -1), (-1, 0), (-1, 1)):
         pm = shm(phimask, dj, di)
-        nbrs[(dj, di)] = pm * sh(phi, dj, di) + (1.0 - pm) * phi
+        v = pm * sh(phi, dj, di) + (1.0 - pm) * phi
+        if dj == 0 or di == 0:
+            axis_nbrs[(dj, di)] = v
+        pmn = jnp.minimum(pmn, v)
+        pmx = jnp.maximum(pmx, v)
 
-    gx = (nbrs[(0, 1)] - nbrs[(0, -1)]) * 0.5
-    gy = (nbrs[(1, 0)] - nbrs[(-1, 0)]) * 0.5
-
-    allv = jnp.stack([nbrs[k] for k in nbrs] + [phi])
-    pmn = jnp.min(allv, axis=0) - phi
-    pmx = jnp.max(allv, axis=0) - phi
+    gx = (axis_nbrs[(0, 1)] - axis_nbrs[(0, -1)]) * 0.5
+    gy = (axis_nbrs[(1, 0)] - axis_nbrs[(-1, 0)]) * 0.5
+    pmn = pmn - phi
+    pmx = pmx - phi
 
     # deviations at the 4 cell corners relative to (cnx, cny)
     w1 = (0.5 - cnx) * gx + (0.5 - cny) * gy
@@ -468,7 +472,7 @@ def pentagon_cell_moments(verts, edgearea=None):
             ((xdr, ydr), (xdm, ydm)), ((xdm, ydm), (xdl, ydl)),
             ((xdl, ydl), (xcl, ycl))]
 
-    tot = 0.0                                     # (10, R, ny, nx)
+    acc = [0.0] * len(MONO)                       # per-monomial (R, ny, nx)
     for (x0, y0), (x1, y1) in segs:
         dx = x1 - x0
         dy = y1 - y0
@@ -487,11 +491,12 @@ def pentagon_cell_moments(verts, edgearea=None):
             xp = [jnp.ones_like(x), x, x * x, x * x * x]
             yq = [y, y * y, y * y * y, y * y * y * y]
             # moment k: w * x^p(k) * y^(q(k)+1) / (q(k)+1) — explicit
-            # per-monomial products (a gather over the monomial axis
-            # materializes 60 planes per Gauss point on TPU; these 10
-            # elementwise products fuse into the accumulation)
-            tot = tot + jnp.stack(
-                [w * xp[p] * yq[q] * (1.0 / (q + 1.0)) for p, q in MONO])
+            # per-monomial products into 10 independent accumulation
+            # chains; a jnp.stack per Gauss point materializes a
+            # (10, R, ny, nx) temporary 15 times (~0.9 GB of HBM churn)
+            for k, (p, q) in enumerate(MONO):
+                acc[k] = acc[k] + w * xp[p] * yq[q] * (1.0 / (q + 1.0))
+    tot = jnp.stack(acc)                          # (10, R, ny, nx)
 
     # per-candidate column differences then static translation matrices:
     # col -1: J_inf - J_m; col 0: J_m - J_p; col +1: J_p  (T rows use
@@ -634,6 +639,14 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
             mxysum = mi * mom(1, 1) + mxi * mom(2, 1) + myi * mom(1, 2)
             myysum = mi * mom(0, 2) + mxi * mom(1, 2) + myi * mom(0, 3)
             msum_i = msum[1:][:, None]
+            # materialize the 6 (ncat, 1) coefficient planes: without this
+            # barrier XLA's kLoop fusion re-evaluates the whole
+            # moment x mass-reconstruction chain once per NT element of
+            # the broadcast product below (~127 ops/element measured on
+            # v5e); the planes are ~2.5 MB each, the recompute is 25x
+            (msum_i, mxsum, mysum, mxxsum, mxysum, myysum) = \
+                jax.lax.optimization_barrier(
+                    (msum_i, mxsum, mysum, mxxsum, mxysum, myysum))
 
             def m1(a, b, c_):
                 """type-1 first-moment sum of a reconstruction (a,b,c)."""
@@ -666,11 +679,13 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
 
 
 def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
-                 edgearea_e=None, edgearea_n=None):
+                 edgearea_e=None, edgearea_n=None, flux_kernel: str = "xla"):
     """Mass/tracer transports across N and E edges (positive = north/east).
 
     dxs/dys: scaled departure displacements at U points. edgearea_*:
-    physical prescribed edge areas (C/CD grids; Bentsen adjustment)."""
+    physical prescribed edge areas (C/CD grids; Bentsen adjustment).
+    flux_kernel: 'xla' (dense masked XLA path) or 'fused_pallas' (the
+    one-pass TPU kernel for the tracer transports, kernels/remap_pallas)."""
     shu = partial(shift, bc=grid.bc, loc=FIELD_LOC_NECORNER,
                   ftype=FIELD_TYPE_VECTOR)
 
@@ -686,11 +701,13 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     ea_n = None if edgearea_n is None else edgearea_n / grid.narea
     mom_n = pentagon_cell_moments([v_cl, v_cr, v_dr, v_dm, v_dl],
                                   edgearea=ea_n)
+    use_fused = flux_kernel == "fused_pallas" and tc is not None
+    tcn = None if use_fused else tc
     # donor offsets: T row = cell (i, j+1) side (north), B row = (i, j)
     offs_n = {("T", -1): (1, -1), ("T", 0): (1, 0), ("T", 1): (1, 1),
               ("B", -1): (0, -1), ("B", 0): (0, 0), ("B", 1): (0, 1)}
     mflxn, mtflxn = _family_fluxes(grid, mom_n, offs_n, mc, mx, my,
-                                   tc, tx, ty, table, grid.narea * grid.npm,
+                                   tcn, tx, ty, table, grid.narea * grid.npm,
                                    sign=-1.0)
 
     # ---- E edges: frame x = north (xi), y = east (eta);
@@ -710,9 +727,21 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     offs_e = {("T", -1): (-1, 1), ("T", 0): (0, 1), ("T", 1): (1, 1),
               ("B", -1): (-1, 0), ("B", 0): (0, 0), ("B", 1): (1, 0)}
     mflxe, mtflxe = _family_fluxes(grid, mom_e, offs_e, mc, mx, my,
-                                   tc, tx, ty, table, grid.earea * grid.epm,
+                                   tcn, tx, ty, table, grid.earea * grid.epm,
                                    sign=-1.0)
+    if use_fused:
+        from ..kernels.remap_pallas import tracer_fluxes_fused
+        mtflxe, mtflxn = tracer_fluxes_fused(
+            grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
+            interpret=flux_kernel_interpret())
     return mflxe, mflxn, mtflxe, mtflxn
+
+
+def flux_kernel_interpret() -> bool:
+    """Pallas interpret mode: required off-TPU (tests on the CPU
+    backend exercise the kernel logic through the interpreter)."""
+    import jax
+    return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +869,8 @@ def check_monotonicity(tmin, tmax, am_new, trm_new, table, tol=None):
 def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
                            grid_ice: str = "B", l_dp_midpt: bool = False,
                            conserv_check: bool = False,
-                           monotonicity_check: bool = False):
+                           monotonicity_check: bool = False,
+                           flux_kernel: str = "xla"):
     """Exact incremental remapping of the full ice state.
 
     Returns (new_state, diag) where diag carries jnp scalars:
@@ -873,9 +903,13 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     if monotonicity_check:
         tmn, tmx = monotonicity_bounds(grid, am, trm, table)
 
+    if flux_kernel == "fused_pallas" and (grid.bc.tripole or
+                                          grid.bc.y_cyclic):
+        flux_kernel = "xla"
     mflxe, mflxn, mtflxe, mtflxn = remap_fluxes(
         grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
-        edgearea_e=edgearea_e, edgearea_n=edgearea_n)
+        edgearea_e=edgearea_e, edgearea_n=edgearea_n,
+        flux_kernel=flux_kernel)
 
     am_new, trm_new, neg = update_fields(grid, am, trm, mflxe, mflxn,
                                          mtflxe, mtflxn, table)

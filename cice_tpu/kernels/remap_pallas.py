@@ -1,0 +1,201 @@
+"""Fused incremental-remapping tracer-flux Pallas kernel.
+
+The exact-remap transport step (dynamics/remap_exact.py, the TPU-native
+redesign of ice_transport_remap.F90 transport_integrals:3188) spends most
+of its time in `_family_fluxes`: for each of 6 donor candidates x 2 edge
+families it evaluates the tracer dependency-chain moment sums over the
+full (ncat, NT, ny, nx) tracer stack and accumulates a spatially shifted
+result. Under XLA each candidate becomes its own kLoop fusion that
+re-reads the tracer reconstruction stacks and re-writes the 61 MB
+accumulator — ~12 passes that measured ~9 ms of the 30 ms remap on a
+v5e-1 at gx1 size, with another ~4 ms of one-hot `dot_general` parent
+gathers whose layout choice (NT padded 25->32, minor-dim ny) taxes every
+downstream op.
+
+This kernel performs the whole candidate x family accumulation in ONE
+pass over the tracer stacks:
+
+ - inputs are pre-ghosted (1 ring; cyclic-x wrap or zero, matching
+   core/halo.shift ghost semantics) and lane-aligned in XLA,
+ - the grid is (ncat, y-tiles); each step DMAs the category's tracer
+   window (tc|tx|ty planes), mass reconstruction planes and the
+   per-candidate pentagon moments into VMEM,
+ - donor access is a static row slice + lane roll inside VMEM,
+ - the per-tracer dependency recursion (reference tracer_type 1/2/3
+   chains) is resolved at TRACE time: `table` is static, so each flat
+   tracer's type picks its exact expression — no type masks, no gathers;
+   parent/grandparent planes are memoized VMEM reads,
+ - the 6-candidate accumulation lives in registers/VMEM and is written
+   once, scaled by sign * areafac.
+
+HBM traffic: read 3 tracer stacks + moments once, write 2 flux stacks
+once (~0.5 GB at gx1) vs the XLA path's ~7 GB.
+
+Supported: ew 'cyclic'/'open'/'closed', ns 'open'/'closed', f32.
+Tripole / y-cyclic / f64 use the XLA path (remap_exact._family_fluxes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# candidate donor offsets (dj, di), in remap_exact.CANDS order
+# (("T",-1),("T",0),("T",1),("B",-1),("B",0),("B",1));
+# N family: T row = cell north of the edge, B row = the cell itself;
+# E family frame x = north: T = east column, B = home column.
+OFFS_N = ((1, -1), (1, 0), (1, 1), (0, -1), (0, 0), (0, 1))
+OFFS_E = ((-1, 1), (0, 1), (1, 1), (-1, 0), (0, 0), (1, 0))
+
+_NMOM = 10
+
+
+def _roll_x(a, di):
+    return jnp.roll(a, -di, axis=-1) if di else a
+
+
+def _kernel_body(trbuf, massbuf, mombuf, out_ref, *, NT, TY, ttype, par,
+                 gpar):
+    """One (category, y-tile) step: accumulate both families' tracer
+    moment sums over the 6 donor candidates."""
+    for fam, offs in enumerate((OFFS_N, OFFS_E)):
+        acc = [None] * NT
+        for ci, (dj, di) in enumerate(offs):
+            memo = {}
+
+            def d(k, dj=dj, di=di, memo=memo):
+                """Donor plane k of the tracer window (static slice+roll)."""
+                if k not in memo:
+                    memo[k] = _roll_x(trbuf[k, 1 + dj:1 + dj + TY, :], di)
+                return memo[k]
+
+            mi = _roll_x(massbuf[0, 1 + dj:1 + dj + TY, :], di)
+            mxi = _roll_x(massbuf[1, 1 + dj:1 + dj + TY, :], di)
+            myi = _roll_x(massbuf[2, 1 + dj:1 + dj + TY, :], di)
+            m = [mombuf[fam * 6 * _NMOM + ci * _NMOM + k, 1:1 + TY, :]
+                 for k in range(_NMOM)]
+            # MONO order: 00,10,01,20,11,02,30,21,12,03
+            (m00, m10, m01, m20, m11, m02, m30, m21, m12, m03) = m
+            C1 = mi * m00 + mxi * m10 + myi * m01   # msum_i
+            C2 = mi * m10 + mxi * m20 + myi * m11   # mxsum
+            C3 = mi * m01 + mxi * m11 + myi * m02   # mysum
+            C4 = mi * m20 + mxi * m30 + myi * m21   # mxxsum
+            C5 = mi * m11 + mxi * m21 + myi * m12   # mxysum
+            C6 = mi * m02 + mxi * m12 + myi * m03   # myysum
+
+            for n in range(NT):
+                tcn, txn, tyn = d(n), d(NT + n), d(2 * NT + n)
+                tt = int(ttype[n])
+                if tt == 1:
+                    mts = C1 * tcn + C2 * txn + C3 * tyn
+                elif tt == 2:
+                    p = int(par[n])
+                    tcp, txp, typ = d(p), d(NT + p), d(2 * NT + p)
+                    mts = ((C1 * tcp + C2 * txp + C3 * typ) * tcn +
+                           (C2 * tcp + C4 * txp + C5 * typ) * txn +
+                           (C3 * tcp + C5 * txp + C6 * typ) * tyn)
+                else:
+                    p, g = int(par[n]), int(gpar[n])
+                    tcp, txp, typ = d(p), d(NT + p), d(2 * NT + p)
+                    tcg, txg, tyg = d(g), d(NT + g), d(2 * NT + g)
+                    m1g = C1 * tcg + C2 * txg + C3 * tyg
+                    mxg = C2 * tcg + C4 * txg + C5 * tyg
+                    myg = C3 * tcg + C5 * txg + C6 * tyg
+                    mts = (m1g * tcp + mxg * txp + myg * typ) * tcn
+                acc[n] = mts if acc[n] is None else acc[n] + mts
+
+        af = mombuf[2 * 6 * _NMOM + fam, 1:1 + TY, :]
+        for n in range(NT):
+            out_ref[0, fam * NT + n] = -(acc[n] * af)   # sign = -1
+
+
+def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
+                        *, tile_y: int = 16, interpret: bool = False):
+    """Tracer mass*tracer transports across N and E edges in one fused
+    kernel pass. Returns (mtflxe, mtflxn), each (ncat, NT, ny, nx),
+    numerically matching remap_exact._family_fluxes (sign=-1, areafac =
+    narea*npm / earea*epm).
+
+    mom_n / mom_e: (6, 10, ny, nx) per-candidate translated pentagon
+    moments (pentagon_cell_moments output, CANDS order)."""
+    bc = grid.bc
+    if bc.tripole or bc.y_cyclic:
+        raise ValueError("fused remap kernel: tripole/y-cyclic unsupported")
+    ncat, NT, ny, nx = tc.shape
+    f32 = jnp.float32
+    TY = max(8, (tile_y // 8) * 8)
+    ntiles = math.ceil(ny / TY)
+    TYW = TY + 8                      # DMA window (sublane-aligned slack)
+    nyg = ntiles * TY + 8             # 1 top ghost + ny + bottom ghost/pad
+    nxg = -(-(nx + 2) // 128) * 128
+
+    def ghost(a):
+        """(…, ny, nx) -> (…, nyg, nxg): 1 ghost ring (wrap-x if cyclic,
+        zeros otherwise; zero y ghosts = open/closed shift semantics),
+        zero-padded to the aligned frame."""
+        if bc.x_cyclic:
+            a = jnp.concatenate([a[..., -1:], a, a[..., :1]], axis=-1)
+        else:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(1, 1)])
+        pad = [(0, 0)] * (a.ndim - 2) + [(1, nyg - ny - 1),
+                                         (0, nxg - nx - 2)]
+        return jnp.pad(a, pad)
+
+    tr_pack = ghost(jnp.concatenate([tc, tx, ty], axis=1).astype(f32))
+    mass_pack = ghost(jnp.stack(
+        [mc[1:], mx[1:], my[1:]], axis=1).astype(f32))
+    af_n = (grid.narea * grid.npm).astype(f32)
+    af_e = (grid.earea * grid.epm).astype(f32)
+    mom_pack = ghost(jnp.concatenate([
+        mom_n.reshape(6 * _NMOM, ny, nx).astype(f32),
+        mom_e.reshape(6 * _NMOM, ny, nx).astype(f32),
+        af_n[None], af_e[None]], axis=0))
+
+    from ..dynamics.remap_exact import _TableArrays
+    ta = _TableArrays(table)
+
+    def kernel(tr_hbm, mass_hbm, mom_hbm, out_ref, trbuf, massbuf, mombuf,
+               s0, s1, s2):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        row0 = pl.multiple_of(t * TY, 8)
+        cps = [pltpu.make_async_copy(
+                   tr_hbm.at[c, :, pl.ds(row0, TYW), :], trbuf, s0),
+               pltpu.make_async_copy(
+                   mass_hbm.at[c, :, pl.ds(row0, TYW), :], massbuf, s1),
+               pltpu.make_async_copy(
+                   mom_hbm.at[:, pl.ds(row0, TYW), :], mombuf, s2)]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        _kernel_body(trbuf, massbuf, mombuf, out_ref, NT=NT, TY=TY,
+                     ttype=ta.ttype, par=ta.par, gpar=ta.gpar)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncat, ntiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
+        out_specs=pl.BlockSpec((1, 2 * NT, TY, nxg),
+                               lambda c, t: (c, 0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncat, 2 * NT, ntiles * TY, nxg),
+                                       f32),
+        scratch_shapes=[
+            pltpu.VMEM((3 * NT, TYW, nxg), f32),
+            pltpu.VMEM((3, TYW, nxg), f32),
+            pltpu.VMEM((2 * 6 * _NMOM + 2, TYW, nxg), f32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(tr_pack, mass_pack, mom_pack)
+
+    dt = tc.dtype
+    mtflxn = out[:, :NT, :ny, 1:1 + nx].astype(dt)
+    mtflxe = out[:, NT:, :ny, 1:1 + nx].astype(dt)
+    return mtflxe, mtflxn

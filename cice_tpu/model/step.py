@@ -689,12 +689,26 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             if cfg.dynamics.ktransport >= 1:
                 if cfg.dynamics.advection == "remap":
                     from ..dynamics.remap_exact import horizontal_remap_exact
+                    fk = cfg.dynamics.remap_kernel
+                    if fk == "auto":
+                        # fused kernel only where it is the measured win
+                        # and compiles natively: real TPU, f32 state, no
+                        # explicit-comm mesh (GSPMD sharding would split
+                        # the pallas_call)
+                        import jax as _jax
+                        fk = ("fused_pallas"
+                              if (_jax.default_backend() == "tpu"
+                                  and ms.mesh is None
+                                  and _jax.device_count() == 1
+                                  and cfg.dtype == "float32")
+                              else "xla")
                     state, td = horizontal_remap_exact(
                         grid, state, registry, fc.Tf, dt_dyn,
                         grid_ice=cfg.grid.grid_ice,
                         l_dp_midpt=cfg.dynamics.l_dp_midpt,
                         conserv_check=cfg.setup.conserv_check,
-                        monotonicity_check=cfg.dynamics.monotonicity_check)
+                        monotonicity_check=cfg.dynamics.monotonicity_check,
+                        flux_kernel=fk)
                     for k, v in td.items():
                         prev = tchecks.get(k)
                         tchecks[k] = v if prev is None else \
