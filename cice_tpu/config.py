@@ -222,6 +222,12 @@ class DynamicsConfig:
     start_andacc: int = 0
     use_mean_vrel: bool = True
 
+    def __post_init__(self):
+        if self.remap_kernel not in ("auto", "xla", "fused_pallas"):
+            raise ValueError(
+                f"dynamics.remap_kernel={self.remap_kernel!r}: expected "
+                "'auto', 'xla' or 'fused_pallas'")
+
 
 @dataclass(frozen=True)
 class ShortwaveConfig:

@@ -739,9 +739,50 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
 
 def flux_kernel_interpret() -> bool:
     """Pallas interpret mode: required off-TPU (tests on the CPU
-    backend exercise the kernel logic through the interpreter)."""
+    backend exercise the kernel logic through the interpreter; the
+    test conftest opts in via CICE_TPU_PALLAS_INTERPRET=1).
+
+    An explicit 'fused_pallas' request without the opt-in never gets
+    here — horizontal_remap_exact falls back to the XLA path with a
+    warning instead of silently running orders-of-magnitude slower."""
+    import os
+
     import jax
-    return jax.default_backend() != "tpu"
+    return (jax.default_backend() != "tpu"
+            and os.environ.get("CICE_TPU_PALLAS_INTERPRET") == "1")
+
+
+#: VMEM budget for the fused kernel's scratch + output block (bytes).
+#: v5e cores have ~16 MB VMEM; leave headroom for Mosaic's own buffers.
+FUSED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fused_kernel_eligible(grid: Grid, NT: int, dtype, *,
+                          tile_y: int = 16) -> tuple:
+    """(ok, reason) for the fused Pallas tracer-flux kernel.
+
+    Checks the boundary topology (tripole/y-cyclic unsupported), dtype
+    (f32 only — anything else would silently lose precision in the
+    kernel's internal f32 cast), and the VMEM scratch footprint, which
+    scales as O(NT*nx): with many tracers on a wide grid the three
+    scratch stacks + output block exceed the ~16 MB/core VMEM and the
+    Mosaic compile fails. Mirrors kernels/remap_pallas geometry."""
+    import numpy as _np
+    if grid.bc.tripole or grid.bc.y_cyclic:
+        return False, "tripole/y-cyclic boundary"
+    if _np.dtype(dtype) != _np.float32:
+        return False, f"dtype {_np.dtype(dtype).name} (kernel is f32-only)"
+    ny, nx = grid.shape
+    TY = max(8, (tile_y // 8) * 8)
+    TYW = TY + 8
+    nxg = -(-(nx + 2) // 128) * 128
+    scratch_planes = 3 * NT + 3 + (2 * 6 * 10 + 2)
+    vmem = 4 * (scratch_planes * TYW + 2 * NT * TY) * nxg
+    if vmem > FUSED_VMEM_BUDGET:
+        return False, (f"VMEM footprint {vmem / 2**20:.1f} MiB "
+                       f"(NT={NT}, nx={nx}) exceeds "
+                       f"{FUSED_VMEM_BUDGET / 2**20:.0f} MiB budget")
+    return True, ""
 
 
 # ---------------------------------------------------------------------------
@@ -903,9 +944,26 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     if monotonicity_check:
         tmn, tmx = monotonicity_bounds(grid, am, trm, table)
 
-    if flux_kernel == "fused_pallas" and (grid.bc.tripole or
-                                          grid.bc.y_cyclic):
-        flux_kernel = "xla"
+    if flux_kernel not in ("xla", "fused_pallas"):
+        raise ValueError(f"flux_kernel={flux_kernel!r}: expected 'xla' or "
+                         "'fused_pallas' ('auto' resolves in model/step)")
+    if flux_kernel == "fused_pallas":
+        import warnings
+
+        import jax as _jax
+        ok, why = fused_kernel_eligible(grid, len(table), trm.dtype)
+        if not ok:
+            warnings.warn(f"remap fused_pallas kernel unavailable ({why}); "
+                          "falling back to the XLA tracer-flux path")
+            flux_kernel = "xla"
+        elif (_jax.default_backend() != "tpu"
+              and not flux_kernel_interpret()):
+            warnings.warn(
+                "remap_kernel='fused_pallas' on a non-TPU backend would run "
+                "through the Pallas interpreter (orders of magnitude slower);"
+                " falling back to the XLA path. Set "
+                "CICE_TPU_PALLAS_INTERPRET=1 to force interpret mode.")
+            flux_kernel = "xla"
     mflxe, mflxn, mtflxe, mtflxn = remap_fluxes(
         grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
         edgearea_e=edgearea_e, edgearea_n=edgearea_n,

@@ -125,6 +125,10 @@ def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
     bc = grid.bc
     if bc.tripole or bc.y_cyclic:
         raise ValueError("fused remap kernel: tripole/y-cyclic unsupported")
+    if jnp.dtype(tc.dtype) != jnp.float32:
+        # silent f32 casting would lose precision in a double-precision
+        # run; callers must use the XLA path (remap_exact dispatch does)
+        raise ValueError(f"fused remap kernel is f32-only, got {tc.dtype}")
     ncat, NT, ny, nx = tc.shape
     f32 = jnp.float32
     TY = max(8, (tile_y // 8) * 8)

@@ -688,19 +688,25 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                                         strairy_T, dt_dyn)
             if cfg.dynamics.ktransport >= 1:
                 if cfg.dynamics.advection == "remap":
-                    from ..dynamics.remap_exact import horizontal_remap_exact
+                    from ..dynamics.remap_exact import (
+                        build_flat_table, fused_kernel_eligible,
+                        horizontal_remap_exact)
                     fk = cfg.dynamics.remap_kernel
                     if fk == "auto":
                         # fused kernel only where it is the measured win
                         # and compiles natively: real TPU, f32 state, no
                         # explicit-comm mesh (GSPMD sharding would split
-                        # the pallas_call)
+                        # the pallas_call), and within the VMEM budget
+                        # (fused_kernel_eligible covers dtype/topology/VMEM)
                         import jax as _jax
                         fk = ("fused_pallas"
                               if (_jax.default_backend() == "tpu"
                                   and ms.mesh is None
                                   and _jax.device_count() == 1
-                                  and cfg.dtype == "float32")
+                                  and fused_kernel_eligible(
+                                      grid,
+                                      len(build_flat_table(registry)),
+                                      state.aicen.dtype)[0])
                               else "xla")
                     state, td = horizontal_remap_exact(
                         grid, state, registry, fc.Tf, dt_dyn,

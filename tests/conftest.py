@@ -38,6 +38,10 @@ jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
 # only ever helped across processes and is kept for CLI/bench entries.
 os.environ["CICE_TPU_NO_JIT_CACHE"] = "1"
 
+# Tests exercise the fused Pallas remap kernel through the interpreter on
+# the CPU backend; production code falls back to the XLA path instead.
+os.environ.setdefault("CICE_TPU_PALLAS_INTERPRET", "1")
+
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------
