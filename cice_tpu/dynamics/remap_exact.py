@@ -117,9 +117,18 @@ class FlatTracer:
 
 
 def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
-    """Flatten the tracer registry into the remap tracer table: hi, hs
-    first, then each registry tracer layer-by-layer, with reference
-    tracer_type / depend semantics (ice_transport_driver.F90:117-150)."""
+    """Flatten the tracer registry into the remap tracer table with
+    reference tracer_type / depend semantics
+    (ice_transport_driver.F90:117-150), GROUPED by tracer type (all
+    type-1 entries first, then type 2, then type 3; stable within each
+    group, hi/hs leading the type-1 block).
+
+    The grouping is a TPU layout decision: construct_fields and
+    update_fields batch their per-type passes as contiguous static
+    slices along the flat-tracer axis instead of NT-sized gathers (which
+    lower to slow TPU gather ops / one-hot matmuls). state_to_tracers /
+    tracers_to_state derive the packing order from the table itself, so
+    the order is an internal contract of this module."""
     entries: List[dict] = [
         dict(name="hi", layer=0, parent=-1),
         dict(name="hs", layer=0, parent=-1),
@@ -150,9 +159,32 @@ def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
     for e in entries:
         if e["parent"] >= 0:
             has_dep[e["parent"]] = True
-    return tuple(FlatTracer(e["name"], e["layer"], min(depth(k), 3),
-                            e["parent"], has_dep[k])
-                 for k, e in enumerate(entries))
+
+    types = [min(depth(k), 3) for k in range(len(entries))]
+    # stable permutation grouping by type; layers of one tracer share a
+    # type, so each tracer's layer run stays contiguous
+    perm = sorted(range(len(entries)), key=lambda k: types[k])
+    inv = {old: new for new, old in enumerate(perm)}
+    return tuple(FlatTracer(entries[o]["name"], entries[o]["layer"],
+                            types[o],
+                            inv[entries[o]["parent"]]
+                            if entries[o]["parent"] >= 0 else -1,
+                            has_dep[o])
+                 for o in perm)
+
+
+def _table_runs(table) -> List[Tuple[str, int, int]]:
+    """Contiguous (name, start, nlayers) runs of the flat table."""
+    runs: List[Tuple[str, int, int]] = []
+    k = 0
+    while k < len(table):
+        name = table[k].name
+        n = 1
+        while k + n < len(table) and table[k + n].name == name:
+            n += 1
+        runs.append((name, k, n))
+        k += n
+    return runs
 
 
 def _spec_nlayers(spec) -> int:
@@ -171,18 +203,27 @@ def state_to_tracers(state: State, registry, table) -> Tuple[jnp.ndarray,
     w = jnp.where(aicen > cst.puny, 1.0 / jnp.maximum(aicen, cst.puny), 0.0)
     # whole-block concat along the flat-tracer axis (per-layer slicing +
     # restacking lowers to thousands of small strided copies on TPU —
-    # ~7x slower than these contiguous block copies)
-    blocks = [(state.vicen * w)[:, None], (state.vsnon * w)[:, None]]
-    for spec in registry:
-        t = state.trcrn[spec.name]
-        off = cst.rhos * cst.Lfresh if spec.name == "qsno" else 0.0
-        blocks.append(t + off if t.ndim == 4 else (t + off)[:, None])
+    # ~7x slower than these contiguous block copies). Block order follows
+    # the table's type-grouped runs (see build_flat_table).
+    blocks = []
+    for name, _k0, nlay in _table_runs(table):
+        if name == "hi":
+            blocks.append((state.vicen * w)[:, None])
+        elif name == "hs":
+            blocks.append((state.vsnon * w)[:, None])
+        else:
+            t = state.trcrn[name]
+            off = cst.rhos * cst.Lfresh if name == "qsno" else 0.0
+            t = t + off
+            blocks.append(t if t.ndim == 4 else t[:, None])
+        assert blocks[-1].shape[1] == nlay, (name, nlay)
     trm = jnp.concatenate(blocks, axis=1)               # (ncat, NT, ny, nx)
     assert trm.shape[1] == len(table)
     return am, trm
 
 
-def tracers_to_state(am, trm, state: State, registry, tmask, Tf) -> State:
+def tracers_to_state(am, trm, state: State, registry, tmask, Tf,
+                     table) -> State:
     """Unpack back into State (reference tracers_to_state:1015-1115):
     vicen = hi*aicen, vsnon = hs*aicen, snow enthalpy un-offset, vanished
     categories zeroed except Tsfcn -> Tf."""
@@ -192,23 +233,23 @@ def tracers_to_state(am, trm, state: State, registry, tmask, Tf) -> State:
     # from aice after cleanup)
     aicen = am[1:] * tmask[None]
     alive = aicen > 0.0
-    vicen = jnp.where(alive, trm[:, 0] * aicen, 0.0)
-    vsnon = jnp.where(alive, trm[:, 1] * aicen, 0.0)
+    nlayers = {spec.name: _spec_nlayers(spec) for spec in registry}
+    vicen = vsnon = None
     tr_new = {}
-    k = 2
-    for spec in registry:
-        nl = _spec_nlayers(spec)
-        off = cst.rhos * cst.Lfresh if spec.name == "qsno" else 0.0
-        if nl:
-            tr_new[spec.name] = jnp.where(alive[:, None],
-                                          trm[:, k:k + nl] - off, 0.0)
-            k += nl
+    for name, k, nrun in _table_runs(table):
+        if name == "hi":
+            vicen = jnp.where(alive, trm[:, k] * aicen, 0.0)
+        elif name == "hs":
+            vsnon = jnp.where(alive, trm[:, k] * aicen, 0.0)
+        elif nlayers[name]:
+            off = cst.rhos * cst.Lfresh if name == "qsno" else 0.0
+            tr_new[name] = jnp.where(alive[:, None],
+                                     trm[:, k:k + nrun] - off, 0.0)
         else:
-            val = jnp.where(alive, trm[:, k] - off, 0.0)
-            if spec.name == "Tsfcn":
+            val = jnp.where(alive, trm[:, k], 0.0)
+            if name == "Tsfcn":
                 val = jnp.where(alive, val, Tf[None])
-            k += 1
-            tr_new[spec.name] = val
+            tr_new[name] = val
     return state.replace(aicen=aicen, vicen=vicen, vsnon=vsnon,
                          trcrn=tr_new)
 
@@ -285,13 +326,19 @@ def construct_fields(grid: Grid, am, trm, table, hm):
     # (type 1 about the mass centroid; type 2 about its type-1 parent's
     # mass*tracer centroid; type 3 upwind) instead of one call per flat
     # tracer — the traced graph shrinks ~NT-fold, numerics identical.
+    # The flat table is type-grouped (build_flat_table), so each pass is
+    # a contiguous static slice and the results concat back in table
+    # order with NO permutation gather (an NT-axis take lowers to slow
+    # TPU gathers; measured ~4 ms of the 7 ms construct_fields at gx1).
     ttype, _par, is1, is2, is3 = _table_arrays(table)
-    idx1 = _np.where(is1)[0]
-    idx2 = _np.where(is2)[0]
-    idx3 = _np.where(is3)[0]
+    K1 = int(is1.sum())
+    K2 = int(is2.sum())
+    K3 = int(is3.sum())
+    assert (ttype[:K1] == 1).all() and (ttype[K1:K1 + K2] == 2).all() \
+        and (ttype[K1 + K2:] == 3).all(), "flat table must be type-grouped"
 
     # --- type 1 (parents: mass centroid offsets) -----------------------
-    tm1 = trm[:, idx1]                               # (ncat, K1, ny, nx)
+    tm1 = trm[:, :K1]                                # (ncat, K1, ny, nx)
     cnx1 = mxav[1:][:, None]
     cny1 = myav[1:][:, None]
     gx1, gy1 = limited_gradient(bc, tm1, mmask_c[:, None], cnx1, cny1)
@@ -306,39 +353,42 @@ def construct_fields(grid: Grid, am, trm, table, hm):
     ctx1 = w2 * XXAV * dinv
     cty1 = w3 * XXAV * dinv
 
-    pieces_tc, pieces_tx, pieces_ty, order = [tc1], [gx1], [gy1], [idx1]
+    pieces_tc, pieces_tx, pieces_ty = [tc1], [gx1], [gy1]
 
     # --- type 2 (children of type-1 tracers) ---------------------------
-    if len(idx2):
-        parf2 = _np.array([table[k].parent for k in idx2])
-        pos1 = _np.zeros(len(table), dtype=_np.int64)
-        pos1[idx1] = _np.arange(len(idx1))
-        p2 = jnp.asarray(pos1[parf2])
-        tm2 = trm[:, idx2]
-        cnx2 = jnp.take(ctx1, p2, axis=1)
-        cny2 = jnp.take(cty1, p2, axis=1)
+    if K2:
+        parf2 = _np.array([table[k].parent for k in range(K1, K1 + K2)])
+        # parent-plane selection via a static one-hot MXU matmul (take
+        # would lower to a TPU gather)
+        P2 = jnp.asarray(_np.eye(K1)[parf2], trm.dtype)
+        sel2 = lambda a: jnp.einsum("np,cpyx->cnyx", P2, a)
+        tm2 = trm[:, K1:K1 + K2]
+        cnx2 = sel2(ctx1)
+        cny2 = sel2(cty1)
         pmask2 = mmask_c[:, None] * \
-            (jnp.abs(trm[:, parf2]) > cst.puny).astype(trm.dtype)
+            (jnp.abs(sel2(tm1)) > cst.puny).astype(trm.dtype)
         gx2, gy2 = limited_gradient(bc, tm2, pmask2, cnx2, cny2)
         tc2 = tm2 - gx2 * cnx2 - gy2 * cny2
         pieces_tc.append(tc2)
         pieces_tx.append(gx2)
         pieces_ty.append(gy2)
-        order.append(idx2)
 
     # --- type 3: upwind (reference) ------------------------------------
-    if len(idx3):
-        tm3 = trm[:, idx3]
+    if K3:
+        tm3 = trm[:, K1 + K2:]
         pieces_tc.append(tm3)
         pieces_tx.append(jnp.zeros_like(tm3))
         pieces_ty.append(jnp.zeros_like(tm3))
-        order.append(idx3)
 
-    inv = jnp.asarray(_np.argsort(_np.concatenate(order)))
-    tc = jnp.take(jnp.concatenate(pieces_tc, axis=1), inv, axis=1)
-    tx = jnp.take(jnp.concatenate(pieces_tx, axis=1), inv, axis=1)
-    ty = jnp.take(jnp.concatenate(pieces_ty, axis=1), inv, axis=1)
-    return mc, mx, my, tc, tx, ty
+    # one packed [tc|tx|ty] stack: the fused Pallas flux kernel consumes
+    # it directly (one pad instead of a 0.2 GB re-concat); tc/tx/ty are
+    # zero-copy slices of it for the XLA path and the tests
+    NT = len(table)
+    tstack = jnp.concatenate(pieces_tc + pieces_tx + pieces_ty, axis=1)
+    tc = tstack[:, :NT]
+    tx = tstack[:, NT:2 * NT]
+    ty = tstack[:, 2 * NT:]
+    return mc, mx, my, tc, tx, ty, tstack
 
 
 # ---------------------------------------------------------------------------
@@ -513,7 +563,8 @@ def pentagon_cell_moments(verts, edgearea=None):
 class _TableArrays:
     """Static per-tracer index/type vectors for the vectorized chain math
     (the reference's recursive tracer dependency walks become fixed-depth
-    gathers along the flat-tracer axis; depth <= 3)."""
+    gathers along the flat-tracer axis; depth <= 3). The table is
+    type-grouped (build_flat_table), recorded as block sizes K1/K2/K3."""
 
     def __init__(self, table):
         self.ttype = _np.array([ft.ttype for ft in table])
@@ -526,6 +577,11 @@ class _TableArrays:
         self.is1 = self.ttype == 1
         self.is2 = self.ttype == 2
         self.is3 = self.ttype == 3
+        self.K1 = int(self.is1.sum())
+        self.K2 = int(self.is2.sum())
+        self.K3 = int(self.is3.sum())
+        assert (_np.diff(self.ttype) >= 0).all(), \
+            "flat tracer table must be type-grouped (build_flat_table)"
 
 
 def _table_arrays(table):
@@ -548,15 +604,34 @@ def _sel(M, a):
     return jnp.einsum("np,cpyx->cnyx", M, a)
 
 
+def _block_onehots(ta: _TableArrays, dtype):
+    """Static one-hot selectors for the type-grouped blocks: P2 (K2, K1)
+    parents of type-2 tracers; P3p (K3, K2) type-2 parents of type-3
+    tracers (block-local); P3g (K3, K1) their type-1 grandparents."""
+    K1, K2, K3 = ta.K1, ta.K2, ta.K3
+    P2 = jnp.asarray(_np.eye(K1)[ta.par[K1:K1 + K2]], dtype) if K2 else None
+    P3p = jnp.asarray(_np.eye(K2)[ta.par[K1 + K2:] - K1], dtype) \
+        if K3 else None
+    P3g = jnp.asarray(_np.eye(K1)[ta.gpar[K1 + K2:]], dtype) if K3 else None
+    return P2, P3p, P3g
+
+
 def _chain_product(trm, base, ta: _TableArrays):
     """Old-state chain products: base * trcr * trcr[parent] * trcr[gparent]
-    per flat tracer (reference state_to_work weight chains)."""
-    p1 = _sel(_onehot(ta.par, trm.dtype), trm)
-    p2 = _sel(_onehot(ta.gpar, trm.dtype), trm)
-    m1 = jnp.asarray(ta.has_p, trm.dtype)[:, None, None]
-    m2 = jnp.asarray(ta.has_g, trm.dtype)[:, None, None]
-    return base[:, None] * trm * (m1 * p1 + (1.0 - m1)) * \
-        (m2 * p2 + (1.0 - m2))
+    per flat tracer (reference state_to_work weight chains). Uses the
+    type-grouped layout: chains build block-wise with small static
+    one-hot matmuls instead of two (NT, NT) gathers."""
+    K1, K2, K3 = ta.K1, ta.K2, ta.K3
+    P2, P3p, P3g = _block_onehots(ta, trm.dtype)
+    c1 = trm[:, :K1]
+    parts = [c1]
+    if K2:
+        c2 = trm[:, K1:K1 + K2] * _sel(P2, c1)
+        parts.append(c2)
+    if K3:
+        # chain3 = trcr * trcr[par] * trcr[gpar] = trcr * chain2[par]
+        parts.append(trm[:, K1 + K2:] * _sel(P3p, c2))
+    return base[:, None] * jnp.concatenate(parts, axis=1)
 
 
 def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
@@ -679,7 +754,8 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
 
 
 def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
-                 edgearea_e=None, edgearea_n=None, flux_kernel: str = "xla"):
+                 edgearea_e=None, edgearea_n=None, flux_kernel: str = "xla",
+                 tstack=None):
     """Mass/tracer transports across N and E edges (positive = north/east).
 
     dxs/dys: scaled departure displacements at U points. edgearea_*:
@@ -702,13 +778,13 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     mom_n = pentagon_cell_moments([v_cl, v_cr, v_dr, v_dm, v_dl],
                                   edgearea=ea_n)
     use_fused = flux_kernel == "fused_pallas" and tc is not None
-    tcn = None if use_fused else tc
-    # donor offsets: T row = cell (i, j+1) side (north), B row = (i, j)
-    offs_n = {("T", -1): (1, -1), ("T", 0): (1, 0), ("T", 1): (1, 1),
-              ("B", -1): (0, -1), ("B", 0): (0, 0), ("B", 1): (0, 1)}
-    mflxn, mtflxn = _family_fluxes(grid, mom_n, offs_n, mc, mx, my,
-                                   tcn, tx, ty, table, grid.narea * grid.npm,
-                                   sign=-1.0)
+    if not use_fused:
+        # donor offsets: T row = cell (i, j+1) side (north), B row = (i, j)
+        offs_n = {("T", -1): (1, -1), ("T", 0): (1, 0), ("T", 1): (1, 1),
+                  ("B", -1): (0, -1), ("B", 0): (0, 0), ("B", 1): (0, 1)}
+        mflxn, mtflxn = _family_fluxes(grid, mom_n, offs_n, mc, mx, my,
+                                       tc, tx, ty, table,
+                                       grid.narea * grid.npm, sign=-1.0)
 
     # ---- E edges: frame x = north (xi), y = east (eta);
     # CL = U(i,j-1) (south end), CR = U(i,j). The sign convention is
@@ -724,16 +800,20 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     ea_e = None if edgearea_e is None else edgearea_e / grid.earea
     mom_e = pentagon_cell_moments([v_cl, v_cr, v_dr, v_dm, v_dl],
                                   edgearea=ea_e)
-    offs_e = {("T", -1): (-1, 1), ("T", 0): (0, 1), ("T", 1): (1, 1),
-              ("B", -1): (-1, 0), ("B", 0): (0, 0), ("B", 1): (1, 0)}
-    mflxe, mtflxe = _family_fluxes(grid, mom_e, offs_e, mc, mx, my,
-                                   tcn, tx, ty, table, grid.earea * grid.epm,
-                                   sign=-1.0)
     if use_fused:
+        # the kernel produces BOTH the tracer and the mass (area)
+        # transports in one pass (the open-water row rides the moment
+        # buffer), so the XLA families are skipped entirely
         from ..kernels.remap_pallas import tracer_fluxes_fused
-        mtflxe, mtflxn = tracer_fluxes_fused(
+        mflxe, mflxn, mtflxe, mtflxn = tracer_fluxes_fused(
             grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
-            interpret=flux_kernel_interpret())
+            tstack=tstack, interpret=flux_kernel_interpret())
+    else:
+        offs_e = {("T", -1): (-1, 1), ("T", 0): (0, 1), ("T", 1): (1, 1),
+                  ("B", -1): (-1, 0), ("B", 0): (0, 0), ("B", 1): (1, 0)}
+        mflxe, mtflxe = _family_fluxes(grid, mom_e, offs_e, mc, mx, my,
+                                       tc, tx, ty, table,
+                                       grid.earea * grid.epm, sign=-1.0)
     return mflxe, mflxn, mtflxe, mtflxn
 
 
@@ -776,8 +856,8 @@ def fused_kernel_eligible(grid: Grid, NT: int, dtype, *,
     TY = max(8, (tile_y // 8) * 8)
     TYW = TY + 8
     nxg = -(-(nx + 2) // 128) * 128
-    scratch_planes = 3 * NT + 3 + (2 * 6 * 10 + 2)
-    vmem = 4 * (scratch_planes * TYW + 2 * NT * TY) * nxg
+    scratch_planes = 3 * NT + 3 + (2 * 6 * 10 + 5)
+    vmem = 4 * (scratch_planes * TYW + (2 * NT + 4) * TY) * nxg
     if vmem > FUSED_VMEM_BUDGET:
         return False, (f"VMEM footprint {vmem / 2**20:.1f} MiB "
                        f"(NT={NT}, nx={nx}) exceeds "
@@ -800,6 +880,8 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
                   ftype=FIELD_TYPE_SCALAR)
     div = lambda fe, fn: (fe - she(fe, 0, -1) + fn - she(fn, -1, 0))
     ta = _TableArrays(table)
+    K1, K2, K3 = ta.K1, ta.K2, ta.K3
+    P2, P3p, P3g = _block_onehots(ta, trm.dtype)
 
     # old mass*tracer chain products
     prods = _chain_product(trm, am[1:], ta)
@@ -811,29 +893,32 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
 
     mm = am_new[1:][:, None]
     mm_pos = mm > 0.0
-    w1 = div(mtflxe, mtflxn) * grid.tarear[None, None]
-    Pp = _onehot(ta.par, trm.dtype)
-    Pg = _onehot(ta.gpar, trm.dtype)
+    num = prods - div(mtflxe, mtflxn) * grid.tarear[None, None]
 
-    def solve(denom, ok):
-        return jnp.where(ok, (prods - w1) /
+    def solve(numb, denom, ok):
+        return jnp.where(ok, numb /
                          jnp.where(denom != 0.0, denom, 1.0), 0.0)
 
+    # new-value chains solve block-wise on the type-grouped layout
+    # (each stage's parents live in an earlier block — contiguous
+    # slices + small static one-hot matmuls, no (NT, NT) gathers)
     # stage 1: no parent
-    val1 = solve(mm * jnp.ones_like(trm), mm_pos & jnp.ones_like(trm, bool))
+    val1 = solve(num[:, :K1], mm, mm_pos)
+    parts = [val1]
     # stage 2: one (type-1) parent
-    tp = _sel(Pp, val1)
-    val2 = solve(mm * tp, mm_pos & (jnp.abs(tp) > 0.0))
+    if K2:
+        tp = _sel(P2, val1)
+        val2 = solve(num[:, K1:K1 + K2], mm * tp,
+                     mm_pos & (jnp.abs(tp) > 0.0))
+        parts.append(val2)
     # stage 3: type-2 parent + type-1 grandparent
-    tp2 = _sel(Pp, val2)
-    gp = _sel(Pg, val1)
-    val3 = solve(mm * tp2 * gp,
-                 mm_pos & (jnp.abs(tp2) > 0.0) & (jnp.abs(gp) > 0.0))
-
-    t1 = jnp.asarray(ta.is1, trm.dtype)[:, None, None]
-    t2 = jnp.asarray(ta.is2, trm.dtype)[:, None, None]
-    t3 = jnp.asarray(ta.is3, trm.dtype)[:, None, None]
-    trm_new = t1 * val1 + t2 * val2 + t3 * val3
+    if K3:
+        tp2 = _sel(P3p, val2)
+        gp = _sel(P3g, val1)
+        val3 = solve(num[:, K1 + K2:], mm * tp2 * gp,
+                     mm_pos & (jnp.abs(tp2) > 0.0) & (jnp.abs(gp) > 0.0))
+        parts.append(val3)
+    trm_new = jnp.concatenate(parts, axis=1)
     return am_new, trm_new, neg
 
 
@@ -921,7 +1006,8 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     table = build_flat_table(registry)
     am, trm = state_to_tracers(state, registry, table)
 
-    mc, mx, my, tc, tx, ty = construct_fields(grid, am, trm, table, grid.hm)
+    mc, mx, my, tc, tx, ty, tstack = construct_fields(grid, am, trm, table,
+                                                      grid.hm)
 
     if grid_ice in ("C", "CD") and state.uvelE is not None:
         # corner velocities for trajectories; Bentsen edge areas from the
@@ -967,7 +1053,7 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     mflxe, mflxn, mtflxe, mtflxn = remap_fluxes(
         grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
         edgearea_e=edgearea_e, edgearea_n=edgearea_n,
-        flux_kernel=flux_kernel)
+        flux_kernel=flux_kernel, tstack=tstack)
 
     am_new, trm_new, neg = update_fields(grid, am, trm, mflxe, mflxn,
                                          mtflxe, mtflxn, table)
@@ -990,5 +1076,5 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
         diag["mono_violation"] = jnp.zeros((), bool)
 
     new_state = tracers_to_state(am_new, trm_new, state, registry,
-                                 grid.tmask, Tf)
+                                 grid.tmask, Tf, table)
     return new_state, diag

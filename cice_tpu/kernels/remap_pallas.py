@@ -60,10 +60,18 @@ def _roll_x(a, di):
 
 def _kernel_body(trbuf, massbuf, mombuf, out_ref, *, NT, TY, ttype, par,
                  gpar):
-    """One (category, y-tile) step: accumulate both families' tracer
-    moment sums over the 6 donor candidates."""
+    """One (y-tile, category) step: accumulate both families' tracer
+    moment sums over the 6 donor candidates.
+
+    The parent moment-sum triple (s1, s2, s3) is memoized by parent
+    plane per candidate: reference tracer trees hang many children off
+    few parents (qice/sice layers all parent to hi), so the 15-op triple
+    amortizes to ~6 ops per type-2 child. Roll memoization stays
+    per-candidate: keeping rolled full windows alive across candidates
+    was measured to blow the Mosaic VMEM stack (16.6 MB > 16 MB)."""
     for fam, offs in enumerate((OFFS_N, OFFS_E)):
         acc = [None] * NT
+        maccC = macc0 = None
         for ci, (dj, di) in enumerate(offs):
             memo = {}
 
@@ -78,6 +86,14 @@ def _kernel_body(trbuf, massbuf, mombuf, out_ref, *, NT, TY, ttype, par,
             myi = _roll_x(massbuf[2, 1 + dj:1 + dj + TY, :], di)
             m = [mombuf[fam * 6 * _NMOM + ci * _NMOM + k, 1:1 + TY, :]
                  for k in range(_NMOM)]
+            # open-water (aice0) mass reconstruction: category-invariant,
+            # carried in the moment buffer tail
+            m0i = _roll_x(mombuf[2 * 6 * _NMOM + 2, 1 + dj:1 + dj + TY, :],
+                          di)
+            m0xi = _roll_x(mombuf[2 * 6 * _NMOM + 3, 1 + dj:1 + dj + TY, :],
+                           di)
+            m0yi = _roll_x(mombuf[2 * 6 * _NMOM + 4, 1 + dj:1 + dj + TY, :],
+                           di)
             # MONO order: 00,10,01,20,11,02,30,21,12,03
             (m00, m10, m01, m20, m11, m02, m30, m21, m12, m03) = m
             C1 = mi * m00 + mxi * m10 + myi * m01   # msum_i
@@ -87,49 +103,83 @@ def _kernel_body(trbuf, massbuf, mombuf, out_ref, *, NT, TY, ttype, par,
             C5 = mi * m11 + mxi * m21 + myi * m12   # mxysum
             C6 = mi * m02 + mxi * m12 + myi * m03   # myysum
 
+            # mass (area) transports: the category's and the open-water
+            # row's msum (C1 IS the category's)
+            ms0 = m0i * m00 + m0xi * m10 + m0yi * m01
+            maccC = C1 if maccC is None else maccC + C1
+            macc0 = ms0 if macc0 is None else macc0 + ms0
+
+            psum = {}
+
+            def parent_sums(p, dj=dj, di=di, psum=psum, C=(C1, C2, C3,
+                                                           C4, C5, C6)):
+                """(s1, s2, s3) moment sums of parent plane p's
+                reconstruction (first moment + x/y second moments)."""
+                if p not in psum:
+                    C1, C2, C3, C4, C5, C6 = C
+                    tcp, txp, typ = d(p), d(NT + p), d(2 * NT + p)
+                    psum[p] = (C1 * tcp + C2 * txp + C3 * typ,
+                               C2 * tcp + C4 * txp + C5 * typ,
+                               C3 * tcp + C5 * txp + C6 * typ)
+                return psum[p]
+
+            pg3 = {}
             for n in range(NT):
-                tcn, txn, tyn = d(n), d(NT + n), d(2 * NT + n)
                 tt = int(ttype[n])
                 if tt == 1:
-                    mts = C1 * tcn + C2 * txn + C3 * tyn
+                    mts = C1 * d(n) + C2 * d(NT + n) + C3 * d(2 * NT + n)
                 elif tt == 2:
-                    p = int(par[n])
-                    tcp, txp, typ = d(p), d(NT + p), d(2 * NT + p)
-                    mts = ((C1 * tcp + C2 * txp + C3 * typ) * tcn +
-                           (C2 * tcp + C4 * txp + C5 * typ) * txn +
-                           (C3 * tcp + C5 * txp + C6 * typ) * tyn)
+                    s1, s2, s3 = parent_sums(int(par[n]))
+                    mts = s1 * d(n) + s2 * d(NT + n) + s3 * d(2 * NT + n)
                 else:
                     p, g = int(par[n]), int(gpar[n])
-                    tcp, txp, typ = d(p), d(NT + p), d(2 * NT + p)
-                    tcg, txg, tyg = d(g), d(NT + g), d(2 * NT + g)
-                    m1g = C1 * tcg + C2 * txg + C3 * tyg
-                    mxg = C2 * tcg + C4 * txg + C5 * tyg
-                    myg = C3 * tcg + C5 * txg + C6 * tyg
-                    mts = (m1g * tcp + mxg * txp + myg * typ) * tcn
+                    if (p, g) not in pg3:
+                        g1, g2, g3 = parent_sums(g)
+                        pg3[(p, g)] = (g1 * d(p) + g2 * d(NT + p) +
+                                       g3 * d(2 * NT + p))
+                    mts = pg3[(p, g)] * d(n)
                 acc[n] = mts if acc[n] is None else acc[n] + mts
 
         af = mombuf[2 * 6 * _NMOM + fam, 1:1 + TY, :]
         for n in range(NT):
             out_ref[0, fam * NT + n] = -(acc[n] * af)   # sign = -1
+        out_ref[0, 2 * NT + fam] = -(maccC * af)
+        out_ref[0, 2 * NT + 2 + fam] = -(macc0 * af)
 
 
 def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
-                        *, tile_y: int = 16, interpret: bool = False):
+                        *, tstack=None, tile_y: int = 16,
+                        interpret: bool = False):
     """Tracer mass*tracer transports across N and E edges in one fused
     kernel pass. Returns (mtflxe, mtflxn), each (ncat, NT, ny, nx),
     numerically matching remap_exact._family_fluxes (sign=-1, areafac =
     narea*npm / earea*epm).
 
     mom_n / mom_e: (6, 10, ny, nx) per-candidate translated pentagon
-    moments (pentagon_cell_moments output, CANDS order)."""
+    moments (pentagon_cell_moments output, CANDS order). tstack: the
+    (ncat, 3*NT, ny, nx) pre-packed [tc|tx|ty] stack construct_fields
+    emits — passing it avoids a 0.2 GB concat on the hot path (the
+    XLA-side ghost/concat packing measured ~2.5 ms of the round-3
+    kernel's 5.6 ms at gx1).
+
+    The window DMAs are single-buffered: a double-buffered variant was
+    measured (round 4) to overflow the 16 MB VMEM at tile_y=16 and to
+    run SLOWER at tile_y=8 (more grid steps of fixed cost outweigh the
+    overlap). The category-invariant moment planes load once per tile
+    (category is the innermost grid dimension), cutting their DMA
+    traffic by ncat."""
     bc = grid.bc
     if bc.tripole or bc.y_cyclic:
         raise ValueError("fused remap kernel: tripole/y-cyclic unsupported")
-    if jnp.dtype(tc.dtype) != jnp.float32:
+    if tstack is None:
+        tstack = jnp.concatenate([tc, tx, ty], axis=1)
+    if jnp.dtype(tstack.dtype) != jnp.float32:
         # silent f32 casting would lose precision in a double-precision
         # run; callers must use the XLA path (remap_exact dispatch does)
-        raise ValueError(f"fused remap kernel is f32-only, got {tc.dtype}")
-    ncat, NT, ny, nx = tc.shape
+        raise ValueError(f"fused remap kernel is f32-only, got "
+                         f"{tstack.dtype}")
+    ncat, NT3, ny, nx = tstack.shape
+    NT = NT3 // 3
     f32 = jnp.float32
     TY = max(8, (tile_y // 8) * 8)
     ntiles = math.ceil(ny / TY)
@@ -149,7 +199,7 @@ def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
                                          (0, nxg - nx - 2)]
         return jnp.pad(a, pad)
 
-    tr_pack = ghost(jnp.concatenate([tc, tx, ty], axis=1).astype(f32))
+    tr_pack = ghost(tstack)
     mass_pack = ghost(jnp.stack(
         [mc[1:], mx[1:], my[1:]], axis=1).astype(f32))
     af_n = (grid.narea * grid.npm).astype(f32)
@@ -157,41 +207,55 @@ def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
     mom_pack = ghost(jnp.concatenate([
         mom_n.reshape(6 * _NMOM, ny, nx).astype(f32),
         mom_e.reshape(6 * _NMOM, ny, nx).astype(f32),
-        af_n[None], af_e[None]], axis=0))
+        af_n[None], af_e[None],
+        mc[0][None].astype(f32), mx[0][None].astype(f32),
+        my[0][None].astype(f32)], axis=0))
 
     from ..dynamics.remap_exact import _TableArrays
     ta = _TableArrays(table)
 
     def kernel(tr_hbm, mass_hbm, mom_hbm, out_ref, trbuf, massbuf, mombuf,
-               s0, s1, s2):
-        c = pl.program_id(0)
-        t = pl.program_id(1)
+               s_tr, s_mass, s_mom):
+        t = pl.program_id(0)
+        c = pl.program_id(1)
         row0 = pl.multiple_of(t * TY, 8)
         cps = [pltpu.make_async_copy(
-                   tr_hbm.at[c, :, pl.ds(row0, TYW), :], trbuf, s0),
+                   tr_hbm.at[c, :, pl.ds(row0, TYW), :], trbuf, s_tr),
                pltpu.make_async_copy(
-                   mass_hbm.at[c, :, pl.ds(row0, TYW), :], massbuf, s1),
-               pltpu.make_async_copy(
-                   mom_hbm.at[:, pl.ds(row0, TYW), :], mombuf, s2)]
+                   mass_hbm.at[c, :, pl.ds(row0, TYW), :], massbuf,
+                   s_mass)]
         for cp in cps:
             cp.start()
+
+        # the moment planes are category-invariant: with the category
+        # innermost in the grid, DMA them only on the first category of
+        # each tile (the scratch persists across grid steps); the stall
+        # happens ntiles times, not nsteps
+        @pl.when(c == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                mom_hbm.at[:, pl.ds(row0, TYW), :], mombuf, s_mom)
+            cp.start()
+            cp.wait()
+
         for cp in cps:
             cp.wait()
-        _kernel_body(trbuf, massbuf, mombuf, out_ref, NT=NT, TY=TY,
-                     ttype=ta.ttype, par=ta.par, gpar=ta.gpar)
+        _kernel_body(trbuf, massbuf, mombuf, out_ref,
+                     NT=NT, TY=TY, ttype=ta.ttype, par=ta.par,
+                     gpar=ta.gpar)
 
     out = pl.pallas_call(
         kernel,
-        grid=(ncat, ntiles),
+        grid=(ntiles, ncat),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3,
-        out_specs=pl.BlockSpec((1, 2 * NT, TY, nxg),
-                               lambda c, t: (c, 0, t, 0)),
-        out_shape=jax.ShapeDtypeStruct((ncat, 2 * NT, ntiles * TY, nxg),
+        out_specs=pl.BlockSpec((1, 2 * NT + 4, TY, nxg),
+                               lambda t, c: (c, 0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncat, 2 * NT + 4, ntiles * TY, nxg),
                                        f32),
         scratch_shapes=[
             pltpu.VMEM((3 * NT, TYW, nxg), f32),
             pltpu.VMEM((3, TYW, nxg), f32),
-            pltpu.VMEM((2 * 6 * _NMOM + 2, TYW, nxg), f32),
+            pltpu.VMEM((2 * 6 * _NMOM + 5, TYW, nxg), f32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -199,7 +263,15 @@ def tracer_fluxes_fused(grid, mom_n, mom_e, mc, mx, my, tc, tx, ty, table,
         interpret=interpret,
     )(tr_pack, mass_pack, mom_pack)
 
-    dt = tc.dtype
+    dt = tstack.dtype
     mtflxn = out[:, :NT, :ny, 1:1 + nx].astype(dt)
-    mtflxe = out[:, NT:, :ny, 1:1 + nx].astype(dt)
-    return mtflxe, mtflxn
+    mtflxe = out[:, NT:2 * NT, :ny, 1:1 + nx].astype(dt)
+    # mass (area) fluxes: open-water row (category-invariant, take c=0)
+    # + per-category planes -> (ncat+1, ny, nx)
+    mflxn = jnp.concatenate(
+        [out[0, 2 * NT + 2][None], out[:, 2 * NT]],
+        axis=0)[:, :ny, 1:1 + nx].astype(dt)
+    mflxe = jnp.concatenate(
+        [out[0, 2 * NT + 3][None], out[:, 2 * NT + 1]],
+        axis=0)[:, :ny, 1:1 + nx].astype(dt)
+    return mflxe, mflxn, mtflxe, mtflxn

@@ -73,7 +73,7 @@ def test_uniform_flow_constant_field_flux():
     ncat = cfg.domain.ncat
     am = jnp.full((ncat + 1,) + grid.shape, m0, F)
     trm = jnp.full((ncat, len(table)) + grid.shape, 1.0, F)
-    mc, mx, my, tc, tx, ty = rx.construct_fields(grid, am, trm, table,
+    mc, mx, my, tc, tx, ty, _ts = rx.construct_fields(grid, am, trm, table,
                                                  grid.hm)
     dt = 1800.0
     u, v = 0.4, -0.25
@@ -101,7 +101,7 @@ def test_flux_matches_rasterized_pentagon():
     ncat = cfg.domain.ncat
     am = jnp.asarray(0.3 + 0.5 * rng.random((ncat + 1,) + grid.shape))
     trm = jnp.ones((ncat, len(table)) + grid.shape, F)
-    mc, mx, my, tc, tx, ty = rx.construct_fields(grid, am, trm, table,
+    mc, mx, my, tc, tx, ty, _ts = rx.construct_fields(grid, am, trm, table,
                                                  grid.hm)
     dt = 1800.0
     dx_m = float(grid.dxU[0, 0])
@@ -173,7 +173,7 @@ def test_prescribed_edgearea_uniform():
     m0 = 0.5
     ncat = cfg.domain.ncat
     am = jnp.full((ncat + 1,) + grid.shape, m0, F)
-    mc, mx, my, tc, tx, ty = rx.construct_fields(
+    mc, mx, my, tc, tx, ty, _ts = rx.construct_fields(
         grid, am, jnp.ones((ncat, len(table)) + grid.shape, F), table,
         grid.hm)
     dt = 1800.0

@@ -49,9 +49,13 @@ def test_fused_matches_xla(ew, ns):
     ref = rx.remap_fluxes(grid, dxs, dys, mc, mx, my, tc, tx, ty, table)
     got = rx.remap_fluxes(grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
                           flux_kernel="fused_pallas")
-    # mass fluxes identical objects (same XLA path)
-    np.testing.assert_allclose(got[0], ref[0], rtol=0, atol=0)
-    np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=0)
+    # mass fluxes: now kernel-computed (round 4); fp reassociation only
+    for g, r, name in ((got[0], ref[0], "mflxe"), (got[1], ref[1],
+                                                   "mflxn")):
+        scale = float(np.max(np.abs(np.asarray(r)))) or 1.0
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-6 * scale,
+                                   err_msg=name)
     # tracer fluxes: same expression tree; fp reassociation differences
     # only (Pallas vs XLA fusion order). Tolerance is scaled by the field
     # magnitude — areafac puts values at ~1e7, so f32 reassociation noise
