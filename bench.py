@@ -203,7 +203,74 @@ def bench_coupled(cfg, grid):
                                       dt, grid_ice=cfg.grid.grid_ice,
                                       flux_kernel=fk)[0]
     phases["transport"] = chained(jax.jit(trfn), m.state, n=10)
-    return total, {k: round(v * 1e3, 2) for k, v in phases.items()}
+
+    # honest device steady-state for transport: a state-chained
+    # fori_loop inside ONE executable (no per-call host dispatch, no
+    # loop-invariant hoisting — the full state recirculates)
+    N = 20
+
+    def tr_loop(s0):
+        import jax.lax as lax
+
+        def body(i, s):
+            return horizontal_remap_exact(m.grid, s, m.static.registry,
+                                          fc.Tf, dt,
+                                          grid_ice=cfg.grid.grid_ice,
+                                          flux_kernel=fk)[0]
+        return lax.fori_loop(0, N, body, s0)
+    f = jax.jit(tr_loop)
+    out = f(m.state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(m.state))
+    transport_loop_ms = (time.perf_counter() - t0) / N * 1e3
+
+    return total, {k: round(v * 1e3, 2) for k, v in phases.items()}, \
+        transport_loop_ms
+
+
+def wide_halo_crossover_model(evp_ms, wide_1dev_ms, ndte, ny, nx):
+    """Latency model: when do k-subcycles-per-exchange (wide_halo) beat
+    GSPMD's per-subcycle exchange on a real multi-chip mesh?
+    (VERDICT r3 Weak #3 / next-round #2.)
+
+    Measured inputs: t_sub = per-subcycle EVP compute at 1 chip (from
+    the xla_loop bench) and the 1-device wide_halo run, whose excess
+    over xla_loop is the shard_map pad/copy overhead per exchange
+    (bandwidth-proportional: scales 1/D with the shard size).
+
+    Assumptions (documented, not measured — no multi-chip hardware in
+    this environment): ICI per-subcycle halo exchange costs alpha ~5 us
+    (4 edge messages, ~1-2 us/hop latency, bandwidth negligible for
+    1-row edges); a D-device mesh tiles (ny, nx) as close to square as
+    possible; wide halo width averages k/2 rows over a k-fuse window,
+    inflating per-subcycle compute by the ghost-band area ratio.
+
+    Returns {D: {"k_best", "gspmd_ms", "wide_ms"}} for the dynamics
+    step; wide wins where wide_ms < gspmd_ms."""
+    t_sub = evp_ms / ndte                     # ms, 1-chip subcycle
+    alpha = 5e-3                              # ms, per-subcycle exchange
+    # per-exchange shard_map overhead at 1-device shard size, ms
+    oh1 = max(wide_1dev_ms - evp_ms, 0.0) / (ndte / 8)
+    out = {}
+    for D in (4, 16, 64):
+        dy = int(round(D ** 0.5))
+        dx = max(D // dy, 1)
+        ty, tx = ny / dy, nx / dx
+        gspmd = ndte * (t_sub / D + alpha)
+        best = None
+        for k in (1, 2, 4, 8, 16, 24):
+            infl = (1 + (k / 2) * 2 / ty) * (1 + (k / 2) * 2 / tx)
+            wide = (ndte * t_sub / D * infl +
+                    (ndte / k) * (alpha + oh1 / D))
+            if best is None or wide < best[1]:
+                best = (k, wide)
+        out[str(D)] = {"k_best": best[0], "wide_ms": round(best[1], 3),
+                       "gspmd_ms": round(gspmd, 3),
+                       "wide_wins": best[1] < gspmd}
+    out["assumptions"] = {"alpha_ms": alpha, "oh1_ms_per_exchange":
+                          round(oh1, 3), "t_sub_ms": round(t_sub, 5)}
+    return out
 
 
 def main():
@@ -224,6 +291,9 @@ def main():
     sol_fraction = sol_ms / (dt_evp * 1e3)
 
     extras = {}
+    if isinstance(algos_ms.get("wide_halo"), (int, float)):
+        extras["wide_halo_crossover"] = wide_halo_crossover_model(
+            algos_ms["xla_loop"], algos_ms["wide_halo"], ndte, ny, nx)
     # rect stand-in numbers for cross-round comparability (BENCH_r02)
     try:
         cfg_r = Config().with_overrides(**{
@@ -241,10 +311,21 @@ def main():
         cfg_c = cfg.with_overrides(**{
             "forcing.atm_data_type": "box2001",
             "forcing.ocn_data_type": "box2001"})
-        dt_step, phase_ms = bench_coupled(cfg_c, grid)
+        dt_step, phase_ms, tr_loop_ms = bench_coupled(cfg_c, grid)
         extras["coupled_step_ms"] = round(dt_step * 1e3, 2)
         extras["coupled_step_pts_per_s"] = round(ny * nx / dt_step, 1)
         extras["phase_ms"] = phase_ms
+        extras["transport_ms_loop"] = round(tr_loop_ms, 2)
+        # transport speed-of-light: stage-level HBM traffic model (each
+        # pipeline stage streams its inputs once, writes its outputs
+        # once; plane = ny*nx f32). Stages (planes r+w): pack 161+80,
+        # reconstruct 330, departure 8, ghost/moment pack ~530 (incl.
+        # 1.23x alignment inflation), flux kernel DMA ~1220 (window
+        # overlap 1.5x + moment re-reads), update 272, unpack 161.
+        plane = ny * nx * 4.0
+        sol_bytes = (161 + 80 + 330 + 8 + 530 + 1220 + 272 + 161) * plane
+        tr_sol_ms = sol_bytes / (bw_gbps * 1e9) * 1e3
+        extras["transport_sol_fraction"] = round(tr_sol_ms / tr_loop_ms, 3)
     except Exception as e:  # pragma: no cover - keep the primary metric
         extras["coupled_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
