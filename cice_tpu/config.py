@@ -445,6 +445,13 @@ class ForcingConfig:
     calc_Tsfc: bool = True
     default_season: str = "winter"
     oceanmixed_ice: bool = True
+    # orbital-parameter mode (reference coupler attribute surface,
+    # ice_comp_nuopc.F90:87-96 orb_mode/orb_iyear/orb_eccen/...)
+    orb_mode: str = "fixed_year"    # 'fixed_year' | 'fixed_parameters'
+    orb_iyear: int = 2000
+    orb_eccen: float = 0.016708634  # used by 'fixed_parameters' (paleo)
+    orb_obliq: float = 23.4392911
+    orb_mvelp: float = 102.93735
     wave_spec_type: str = "none"
     restore_ice: bool = False
     restore_ocn: bool = False

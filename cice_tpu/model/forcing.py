@@ -33,10 +33,31 @@ from ..columns.orbit import OrbitalParams, compute_coszen
 from .flux import Forcing, zeros_forcing
 
 
-def default_coszen(grid, yday, params: OrbitalParams = OrbitalParams()):
+def orbital_from_cfg(cfg) -> OrbitalParams:
+    """Resolve orbital parameters from config — the reference's orb_mode
+    attribute surface (ice_comp_nuopc.F90:87-96): 'fixed_year' computes
+    (eccen, obliq, mvelp) for forcing.orb_iyear via orb_params;
+    'fixed_parameters' takes the explicit namelist values (how coupled
+    CESM drives paleo orbits)."""
+    f = cfg.forcing
+    mode = getattr(f, "orb_mode", "fixed_year")
+    if mode == "fixed_parameters":
+        return OrbitalParams(eccen=f.orb_eccen, obliq=f.orb_obliq,
+                             mvelp=f.orb_mvelp)
+    if mode != "fixed_year":
+        raise ValueError(f"orb_mode={mode!r}: expected 'fixed_year' or "
+                         "'fixed_parameters'")
+    from ..columns.orbit import orb_params
+    return orb_params(getattr(f, "orb_iyear", 2000))
+
+
+def default_coszen(grid, yday, params: OrbitalParams = OrbitalParams(),
+                   cfg=None):
     """Daily-mean cosine solar zenith + eccentricity factor on the T grid
     (reference compute_coszen ice_forcing.F90:2558; orbit from
     icepack_init_orbit — columns/orbit.py)."""
+    if cfg is not None:
+        params = orbital_from_cfg(cfg)
     return compute_coszen(grid.TLAT, grid.TLON, yday, params,
                           daily_mean=True)
 
@@ -169,7 +190,7 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
         fsw = get("fsw", None)
     else:
         # Shine (1984)-style clear-sky + cloud correction from coszen
-        coszen, eccf = default_coszen(grid, yday)
+        coszen, eccf = default_coszen(grid, yday, cfg=cfg)
         fsw = 1365.0 * eccf * 0.7 * coszen * (1.0 - 0.6 * cldf)
     fsw = jnp.maximum(fsw, 0.0)
     swvdr, swvdf, swidr, swidf = shortwave_bands(fsw.astype(dt))
@@ -195,7 +216,7 @@ def prepare_forcing(grid, cfg, raw: dict, fc: Forcing, yday: float) -> Forcing:
         # to local coordinates', ice_forcing.F90; no-op when ANGLET==0)
         ca, sa = jnp.cos(grid.ANGLET), jnp.sin(grid.ANGLET)
         uatm, vatm = uatm * ca + vatm * sa, vatm * ca - uatm * sa
-    coszen, _ = default_coszen(grid, yday)
+    coszen, _ = default_coszen(grid, yday, cfg=cfg)
     return fc.replace(
         Tair=TairK.astype(dt), potT=TairK.astype(dt), Qa=Qa.astype(dt),
         uatm=uatm.astype(dt), vatm=vatm.astype(dt), wind=wind.astype(dt),

@@ -57,6 +57,43 @@ def test_netcdf_roundtrip(tmp_path):
         assert "TLAT" in f.variables
 
 
+def test_netcdf_cf_metadata_and_axes(tmp_path):
+    """CF conventions + multi-dim axes in the netCDF writer (reference
+    io_netcdf/ice_history_write.F90:261-295: time:units/calendar/bounds,
+    time_bounds, cell_methods; 3Dc/4Di variables on nc/nkice dims with
+    NCAT/VGRDi coordinate variables)."""
+    cfg, grid, state, flux = _setup(tmp_path, histfreq=("1",),
+                                    histfreq_n=(1,))
+    h = History(cfg, grid)
+    cal = Calendar().advance(3600)
+    h.accum(state, flux)
+    files = h.maybe_write(cal, fmt="nc")
+    from scipy.io import netcdf_file
+    with netcdf_file(files[0], "r") as f:
+        assert f.Conventions == b"CF-1.0"
+        t = f.variables["time"]
+        assert t.units.startswith(b"days since 2005-01-01")
+        assert t.calendar == b"noleap"
+        assert t.bounds == b"time_bounds"
+        tb = f.variables["time_bounds"][0]
+        dt_days = cfg.setup.dt / 86400.0
+        np.testing.assert_allclose(tb[1] - tb[0], dt_days, rtol=1e-9)
+        np.testing.assert_allclose(t[0], tb[1], rtol=1e-9)
+        # 3Dc variable on a real nc dimension + NCAT coordinate
+        ncat = cfg.domain.ncat
+        aicen = f.variables["aicen"]
+        assert aicen.dimensions == ("time", "nc", "nj", "ni")
+        assert aicen[0].shape == (ncat, 16, 16)
+        np.testing.assert_allclose(aicen[0, 0], 0.5, rtol=1e-6)
+        assert f.variables["NCAT"].shape == (ncat,)
+        # 4Di profile variable
+        tinz = f.variables["Tinz"]
+        assert tinz.dimensions == ("time", "nc", "nkice", "nj", "ni")
+        assert f.variables["VGRDi"].shape == (cfg.domain.nilyr,)
+        # cell_methods on an averaged stream
+        assert f.variables["aice"].cell_methods == b"time: mean"
+
+
 def test_stream_trigger_monthly(tmp_path):
     cfg, grid, state, flux = _setup(tmp_path, histfreq=("m",), histfreq_n=(1,))
     h = History(cfg, grid)
@@ -123,16 +160,22 @@ def test_cmip_si_and_tensor_fields(tmp_path):
     names = {f.name for f in fields}
     # CMIP/SIMIP group
     assert {"sivol", "sifb", "sihc", "sidmassmelttop", "sidmasstranx",
-            "siitdconc001", "siflswdtop", "siforcecoriolx",
+            "siitdconc", "siflswdtop", "siforcecoriolx",
             "sisndmasssnf"} <= names
     # tensor + grid extras + aero/iso + fsd extras + per-cat groups
     assert {"e11", "e22", "e12", "s11", "s22", "s12"} <= names
     assert {"dxn", "earea", "nmask", "NLAT", "ELON"} <= names
     assert {"aerosnossl001", "aeroiceint002", "isosno001",
             "isoice002"} <= names
-    assert {"afsd001", "fsdperim", "wave_sig_ht"} <= names
-    assert {"apondn001", "simpconc", "ardgn001", "sirdgconc",
-            "rsnwn001", "rain_ai", "fswup"} <= names
+    assert {"afsd", "afsdn", "fsdperim", "wave_sig_ht"} <= names
+    assert {"apondn", "simpconc", "ardgn", "sirdgconc",
+            "rsnwn", "rain_ai", "fswup"} <= names
+    # true multi-dim axes (reference 3Dc/3Df/4Di/4Ds)
+    bydim = {f.name: f.dims for f in fields}
+    assert bydim["siitdconc"] == (("nc", cfg.domain.ncat),)
+    assert bydim["afsdn"] == (("nkfsd", 12), ("nc", cfg.domain.ncat))
+    assert bydim["Tinz"] == (("nc", cfg.domain.ncat),
+                             ("nkice", cfg.domain.nilyr))
     assert len(names) == len(fields), "duplicate history field names"
     # every extractor runs (accum evaluates the full stack)
     h = History(cfg, grid, fields=fields)

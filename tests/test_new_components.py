@@ -165,7 +165,8 @@ def test_cmip_history_fields():
         if f.name.startswith("si"):
             args = (st, fl, grid, fc) if f.needs_forcing else (st, fl, grid)
             arr = np.asarray(f.extract(*args))
-            assert arr.shape == (8, 8)
+            want = tuple(sz for _d, sz in f.dims) + (8, 8)
+            assert arr.shape == want, (f.name, arr.shape, want)
             assert np.all(np.isfinite(arr)), f.name
 
 
