@@ -119,16 +119,30 @@ def qc_compare(ha: np.ndarray, hb: np.ndarray,
 
 
 def load_history_series(history_dir: str, var: str = "hi") -> np.ndarray:
-    """Stack `var` from all npz history files in a case's history dir
-    (the reference reads 1825 daily iceh_inst files)."""
+    """Stack `var` from all history files in a case's history dir (the
+    reference reads 1825 daily iceh_inst netCDF files; both the npz and
+    the netCDF-3 writer outputs are accepted)."""
     files = sorted(glob.glob(os.path.join(history_dir, "*.npz")))
+    if files:
+        out = []
+        for f in files:
+            with np.load(f) as z:
+                if var in z:
+                    out.append(np.asarray(z[var]))
+        return np.stack(out)
+    files = sorted(glob.glob(os.path.join(history_dir, "*.nc")))
     if not files:
         raise FileNotFoundError(f"no history files in {history_dir}")
+    from scipy.io import netcdf_file
     out = []
-    for f in files:
-        with np.load(f) as z:
-            if var in z:
-                out.append(np.asarray(z[var]))
+    for fp in files:
+        with netcdf_file(fp, "r", mmap=False) as f:
+            if var in f.variables:
+                v = np.array(f.variables[var][0], np.float64)
+                miss = getattr(f.variables[var], "missing_value", None)
+                if miss is not None:
+                    v = np.where(np.isclose(v, float(miss)), 0.0, v)
+                out.append(v)
     return np.stack(out)
 
 

@@ -297,6 +297,8 @@ class ZbgcConfig:
     tr_bgc_C: bool = False         # carbon: DOC pools + DIC
     n_doc: int = 2                 # DOC classes (saccharides, lipids[, 3rd])
     n_dic: int = 1                 # DIC classes
+    n_fed: int = 1                 # dissolved iron classes (max 2,
+    n_fep: int = 1                 # particulate iron classes  icepack_max_fe)
     restore_bgc: bool = False
     bgc_flux_type: str = "Jin2006"
     mu_max: float = 1.44           # max specific growth (1/day)

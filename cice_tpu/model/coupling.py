@@ -30,7 +30,7 @@ from .driver import Model
 IMPORT_MAP = {
     "Sa_u": "uatm", "Sa_v": "vatm", "Sa_z": "zlvl",
     "Sa_tbot": "Tair", "Sa_ptem": "potT", "Sa_shum": "Qa",
-    "Sa_dens": "rhoa",
+    "Sa_dens": "rhoa", "Sa_pbot": "pbot",
     "Faxa_lwdn": "flw", "Faxa_rain": "frain", "Faxa_snow": "fsnow",
     "Faxa_swvdr": "swvdr", "Faxa_swvdf": "swvdf",
     "Faxa_swndr": "swidr", "Faxa_swndf": "swidf",
@@ -38,6 +38,12 @@ IMPORT_MAP = {
     "So_dhdx": "ss_tltx", "So_dhdy": "ss_tlty",
     "Fioo_q": "frzmlt_in", "So_hmix": "hmix",
 }
+
+# aerosol deposition routing (ice_import_export.F90 import of
+# Faxa_bcph(3)/Faxa_dstwet(4)/Faxa_dstdry(4) into faero_atm): species 1 =
+# hydrophobic BC (dry+first bcph class), 2 = hydrophilic BC, 3 = total
+# dust. Keys may be the stacked vectors or the per-class planes.
+AEROSOL_IMPORTS = ("Faxa_bcph", "Faxa_dstwet", "Faxa_dstdry")
 
 
 class CoupledIce:
@@ -60,6 +66,23 @@ class CoupledIce:
         if "Sa_u" in fields and "Sa_v" in fields:
             upd["wind"] = jnp.sqrt(jnp.asarray(fields["Sa_u"]) ** 2 +
                                    jnp.asarray(fields["Sa_v"]) ** 2)
+        if any(k in fields for k in AEROSOL_IMPORTS):
+            dt_np = self.model.cfg.np_dtype
+            z = jnp.zeros(self.model.grid.shape, dt_np)
+
+            def vec(key, n):
+                if key in fields:
+                    return jnp.asarray(fields[key], dt_np)
+                return jnp.zeros((n,) + self.model.grid.shape, dt_np)
+            bcph = vec("Faxa_bcph", 3)           # (3, ny, nx)
+            dst = vec("Faxa_dstwet", 4) + vec("Faxa_dstdry", 4)
+            n_aero = self.model.cfg.domain.n_aero
+            species = [bcph[0] + (bcph[1] if bcph.shape[0] > 1 else z),
+                       bcph[2] if bcph.shape[0] > 2 else z,
+                       dst.sum(0)]
+            upd["faero_atm"] = jnp.stack(
+                (species + [z] * n_aero)[:n_aero]) if n_aero else \
+                jnp.zeros((0,) + self.model.grid.shape, dt_np)
         self.model.forcing = fc.replace(**upd)
         if "Fioo_q" in fields:
             self.model.state = self.model.state.replace(
@@ -93,6 +116,29 @@ class CoupledIce:
             "Si_anidr": s(fl.alidr) if fl else aice * 0,
             "Si_anidf": s(fl.alidf) if fl else aice * 0,
         }
+        # states beyond the core set (ice_import_export.F90 export list):
+        # reference heights, total volumes, per-category fractions,
+        # representative floe diameter
+        out.update({
+            "Si_vice": st.vice, "Si_vsno": st.vsno,
+            "Si_ifrac_n": st.aicen,
+        })
+        if fl is not None:
+            out.update({"Si_tref": fl.Tref, "Si_qref": fl.Qref,
+                        "Si_u10": fl.Uref})
+        if "fsd" in st.trcrn:
+            from ..columns.fsd import fsd_bounds
+            ncat = st.aicen.shape[0]
+            nfsd = st.trcrn["fsd"].shape[1]
+            mid = jnp.asarray(fsd_bounds(nfsd)[2],
+                              aice.dtype)[None, :, None, None]
+            rmean = jnp.sum(st.trcrn["fsd"] * mid, axis=1)
+            out["Si_floediam"] = 2.0 * jnp.maximum(
+                (rmean * st.aicen).sum(0) / ai, 8.0)
+        else:
+            # reference exports a constant representative diameter when
+            # the FSD is off (ice_import_export.F90 floediam default)
+            out["Si_floediam"] = jnp.full_like(aice, 300.0)
         if fl is not None:
             out.update({
                 # atm fluxes (per ice area when scaled)
@@ -105,4 +151,9 @@ class CoupledIce:
                 "Fioi_salt": fl.fsalt, "Fioi_swpen": fl.fswthru,
                 "Fioi_taux": fl.strocnx, "Fioi_tauy": fl.strocny,
             })
+            faero = fl.ncat_fluxes.get("faero_ocn")
+            if faero is not None and faero.shape[0] >= 3:
+                # species routing mirrors the import side
+                out.update({"Fioi_bcpho": faero[0], "Fioi_bcphi": faero[1],
+                            "Fioi_flxdst": faero[2]})
         return out

@@ -54,6 +54,11 @@ class Forcing:
     ss_tltx: jnp.ndarray   # sea surface slope (m/m)
     ss_tlty: jnp.ndarray
     yday: jnp.ndarray      # day of year (scalar array; onset diagnostics)
+    pbot: jnp.ndarray      # surface air pressure (Pa; coupler Sa_pbot)
+    # per-species aerosol deposition (n_aero, ny, nx), kg/m^2/s; empty
+    # (0, ny, nx) means "use the standalone faero_default constants"
+    # (coupler Faxa_bcph/Faxa_dst* routing, ice_import_export.F90)
+    faero_atm: jnp.ndarray
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)
@@ -71,6 +76,8 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         uocn=z(), vocn=z(), sss=z(34.0), sst_data=z(-1.8),
         Tf=z(-1.8), qdp=z(), hmix=z(20.0), ss_tltx=z(), ss_tlty=z(),
         yday=jnp.zeros((), dtype),
+        pbot=z(101325.0),
+        faero_atm=jnp.zeros((0,) + tuple(shape), dtype),
     )
 
 

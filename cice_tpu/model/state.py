@@ -106,6 +106,11 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         if z.tr_bgc_Fe:
             specs.append(TracerSpec("bgc_Fed", DEP_AICE))
             specs.append(TracerSpec("bgc_Fep", DEP_AICE))
+            # second iron classes (reference icepack_max_fe = 2)
+            if getattr(z, "n_fed", 1) >= 2:
+                specs.append(TracerSpec("bgc_Fed2", DEP_AICE))
+            if getattr(z, "n_fep", 1) >= 2:
+                specs.append(TracerSpec("bgc_Fep2", DEP_AICE))
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.z_tracers:
         # vertically-resolved z tracers (zbgc_nml z_tracers): bulk
         # concentrations on the nblyr bio grid, conserved per unit brine

@@ -269,10 +269,15 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     # aerosol / isotope tracer physics (icepack_aerosol / icepack_isotope)
     if cfg.tracers.tr_aero and "aerosno" in trcrn:
         from ..columns.aero_iso import step_aerosols
-        sn_a, ic_a, _faero = step_aerosols(
+        # coupler-imported per-species deposition when present (empty
+        # faero_atm = standalone defaults; ice_import_export Faxa_bcph)
+        fa = (fc.faero_atm
+              if fc.faero_atm.shape[0] == cfg.domain.n_aero else None)
+        sn_a, ic_a, faero_ocn = step_aerosols(
             cfg, dt, aicen=an, vicen=vicen_out, vsnon=vsnon_out,
             aerosno=trcrn["aerosno"], aeroice=trcrn["aeroice"],
-            melts=th.melts, meltt=th.meltt, snoice=th.snoice, fsnow=fc.fsnow)
+            melts=th.melts, meltt=th.meltt, snoice=th.snoice,
+            fsnow=fc.fsnow, faero_atm=fa)
         trcrn["aerosno"], trcrn["aeroice"] = sn_a, ic_a
     if cfg.tracers.tr_iso and "isosno" in trcrn:
         from ..columns.aero_iso import step_isotopes
@@ -388,6 +393,10 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         fsensn=w * ts.fsens, melttn=w * th.meltt,
         # per-category pond water budget planes (f_dpnd_*n)
         **{k + "n": w * v for k, v in pond_diag.items()})
+    if cfg.tracers.tr_aero and "aerosno" in trcrn:
+        # per-species aerosol flux to ocean (kg/m^2/s) for the coupler
+        # exports Fioi_bcpho/bcphi/flxdst (ice_import_export.F90)
+        agg["ncat_fluxes"]["faero_ocn"] = faero_ocn
     # cell-mean pond water budget terms (f_dpnd_*)
     for k, v in pond_diag.items():
         agg[k] = ws(v)
@@ -645,7 +654,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         ocean = {"bgc_Nit": z.nit_data, "bgc_Am": z.amm_data,
                  "bgc_Sil": z.sil_data, "bgc_DMSPd": z.dms_data,
                  "bgc_DMS": z.dms_data, "bgc_DON": 0.0,
-                 "bgc_Fed": z.fed_data,
+                 "bgc_Fed": z.fed_data, "bgc_Fed2": z.fed_data,
                  **{f"bgc_DOC{i+1}": z.doc_data for i in range(z.n_doc)},
                  **{f"bgc_DIC{i+1}": z.dic_data for i in range(z.n_dic)}}
         bout = step_bgc_skl_net(

@@ -30,3 +30,35 @@ def test_import_export_round():
     # scaled exports are per-ice-area: zero where no ice
     sen = np.asarray(out["Faii_sen"])
     assert np.all(sen[a < 1e-11] == 0.0)
+
+
+def test_widened_field_surface():
+    """Round-4 coupler widening toward ice_import_export.F90's field
+    set: aerosol deposition routing (Faxa_bcph/dst* -> faero_atm ->
+    Fioi_bcpho/bcphi/flxdst), Sa_pbot, reference-height exports
+    Si_tref/Si_qref/Si_u10, volumes, per-category fractions, floe
+    diameter."""
+    cfg = box2001_config(16, 16).with_overrides(**{
+        "tracers.tr_aero": True, "domain.n_aero": 3})
+    ice = CoupledIce(cfg)
+    shp = ice.model.grid.shape
+    ice.import_fields({
+        "Sa_pbot": jnp.full(shp, 1.0e5),
+        "Faxa_bcph": jnp.full((3,) + shp, 1e-12),
+        "Faxa_dstwet": jnp.full((4,) + shp, 2e-12),
+        "Faxa_dstdry": jnp.full((4,) + shp, 1e-12)})
+    fc = ice.model.forcing
+    assert float(fc.pbot[0, 0]) == 1.0e5
+    assert fc.faero_atm.shape == (3,) + shp
+    # dust = sum of wet+dry classes
+    np.testing.assert_allclose(np.asarray(fc.faero_atm[2]), 12e-12,
+                               rtol=1e-5)
+    ice.step()
+    out = ice.export_fields()
+    for key in ("Si_tref", "Si_qref", "Si_u10", "Si_vice", "Si_vsno",
+                "Si_ifrac_n", "Si_floediam", "Fioi_bcpho", "Fioi_bcphi",
+                "Fioi_flxdst"):
+        assert key in out, key
+        assert np.isfinite(np.asarray(out[key])).all(), key
+    assert out["Si_ifrac_n"].shape == (cfg.domain.ncat,) + shp
+    assert float(np.asarray(out["Si_floediam"]).min()) > 0.0

@@ -1,0 +1,54 @@
+"""QC t-test end-to-end through the real model + history writer.
+
+The reference's acceptance protocol (QC/cice.t-test.py; ug_testing.rst:
+989-1085) feeds 5 years of daily `hi` netCDF files from two runs into a
+two-stage statistical test. This slow-tier test runs the shortened
+analogue VERDICT r3 Weak #7 asked for: two ~30-day runs differing only
+by a tiny non-BFB perturbation, daily netCDF history through the real
+writer, `cli.qc` verdict on the loaded series — retiring the risk that
+stage-1 N_eff handling breaks on real output files.
+"""
+
+import numpy as np
+import pytest
+
+from cice_tpu.config import Config
+from cice_tpu.cli.qc import load_history_series, qc_compare
+
+
+def _run_case(tmp_path, name, **over):
+    from cice_tpu.model.driver import Model
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": 24, "grid.ny_global": 24,
+        "grid.kmt_type": "default",
+        "setup.dt": 7200.0, "setup.npt": 360, "setup.npt_unit": "1",
+        "setup.histfreq": ("d",), "setup.histfreq_n": (1,),
+        "setup.hist_avg": True, "setup.history_format": "nc",
+        "setup.history_dir": str(tmp_path / name),
+        "setup.dump_last": False,
+        "forcing.atm_data_type": "seasonal",
+        "forcing.ocn_data_type": "default",
+        **over})
+    m = Model(cfg, enable_history=True)
+    m.run()
+    return load_history_series(str(tmp_path / name), "hi")
+
+
+@pytest.mark.slow
+def test_qc_end_to_end(tmp_path):
+    ha = _run_case(tmp_path, "base")
+    # perturbed run: a 1e-6 tweak of the cold-ice NIR albedo produces
+    # tiny non-BFB thermodynamic differences; the QC must PASS
+    hb = _run_case(tmp_path, "pert",
+                   **{"shortwave.albicei": 0.36 + 1e-6})
+    assert ha.shape[0] >= 28 and ha.shape == hb.shape
+    assert np.isfinite(ha).all() and np.isfinite(hb).all()
+    res = qc_compare(ha, hb)
+    print(res)
+    assert res.passed, str(res)
+    assert res.n_eff_mean >= 1.0
+
+    # discrimination: a systematically-biased series must FAIL stage 1
+    bias = hb + 0.25 * (ha.mean(axis=0) > 0.01)
+    res_bad = qc_compare(ha, bias)
+    assert not res_bad.stage1_passed, str(res_bad)
