@@ -454,7 +454,10 @@ class ForcingConfig:
     orb_eccen: float = 0.016708634  # used by 'fixed_parameters' (paleo)
     orb_obliq: float = 23.4392911
     orb_mvelp: float = 102.93735
-    wave_spec_type: str = "none"
+    wave_spec_type: str = "none"    # 'none'|'constant'|'profile'|'random'
+                                    # |'file' (wave-model spectrum dataset)
+    wave_spec_file: str = ""        # monthly 25-frequency E(f) file
+                                    # (reference get_wave_spec/wave_spec_file)
     restore_ice: bool = False
     restore_ocn: bool = False
     trestore: int = 90

@@ -299,3 +299,45 @@ def ispol_dataset(data_dir: str, shape) -> PointSeriesDataset:
         fields=dict(Tair="Tair", Qa="Qa", uatm="uatm", vatm="vatm",
                     fsw="fsw", flw="flw", fsnow="fsnow"),
         secint=6.0 * 3600.0, shape=shape)
+
+
+# ---------------------------------------------------------------------------
+# ocean-surface wave spectrum dataset (reference get_wave_spec,
+# ice_forcing.F90: wave_spec_type='file' reads `wave_spec_file`, a
+# monthly 25-frequency E(f) wave-model product fed to the FSD fracture)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WaveSpecDataset:
+    """Monthly (12, nfreq, ny, nx) — or static (nfreq, ny, nx) —
+    `efreq` spectra [m^2/Hz]; `at_month` returns the month's planes."""
+
+    path: str
+    shape: tuple
+    _data: np.ndarray | None = None
+
+    def _load(self) -> np.ndarray:
+        if self._data is None:
+            if self.path.endswith(".npz"):
+                with np.load(self.path) as z:
+                    self._data = np.asarray(z["efreq"], np.float32)
+            else:
+                from scipy.io import netcdf_file
+                with netcdf_file(self.path, "r", mmap=False) as f:
+                    self._data = np.array(f.variables["efreq"][:],
+                                          np.float32)
+            if self._data.shape[-2:] != tuple(self.shape):
+                raise ValueError(
+                    f"wave_spec_file grid {self._data.shape[-2:]} != "
+                    f"model grid {tuple(self.shape)}")
+        return self._data
+
+    def at_month(self, month: int) -> np.ndarray:
+        d = self._load()
+        if d.ndim == 3:
+            return d
+        return d[(month - 1) % d.shape[0]]
+
+
+def wave_spec_dataset(path: str, shape) -> WaveSpecDataset:
+    return WaveSpecDataset(path=path, shape=tuple(shape))

@@ -204,8 +204,12 @@ def mechred_fields() -> List[HistoryField]:
 
 
 def bgc_fields(cfg=None) -> List[HistoryField]:
-    """BGC group (ice_history_bgc.F90 subset for the skl model); optional
-    pools appear iff their tracer is registered."""
+    """BGC group for the skl model (ice_history_bgc.F90:935-1100 naming):
+    "X" = vertically-integrated skl content (mmol/m^2, cell mean),
+    "ml_X" = mixed-layer concentration the ice exchanges with,
+    "fX"/"fX_ai" = ice->ocean flux, "grow_net" = net specific growth.
+    Optional pools appear iff their tracer is registered."""
+    from ..columns.zbgc import SK_L
     fields = [
         _f("algalN", "mmol N/m^2", "skeletal-layer algal nitrogen",
            lambda s, fl, g: jnp.sum(s.trcrn["bgc_N"] * s.aicen, axis=0)),
@@ -215,18 +219,55 @@ def bgc_fields(cfg=None) -> List[HistoryField]:
     if cfg is None:
         return fields
     z = cfg.zbgc
-    opt = [("bgc_Am", "ammonium", "mmol N/m^3", z.tr_bgc_Am),
-           ("bgc_Sil", "silicate", "mmol Si/m^3", z.tr_bgc_Sil),
-           ("bgc_DMS", "DMS", "mmol S/m^3", z.tr_bgc_DMS),
-           ("bgc_DMSPd", "DMSPd", "mmol S/m^3", z.tr_bgc_DMS),
-           ("bgc_PON", "PON", "mmol N/m^2", z.tr_bgc_PON),
-           ("bgc_DON", "DON", "mmol N/m^3", z.tr_bgc_DON),
-           ("bgc_Fed", "dFe", "umol Fe/m^3", z.tr_bgc_Fe)]
-    for key, label, unit, on in opt:
-        if on:
-            fields.append(_f(label, unit, f"skeletal-layer {label}",
-                             (lambda k: lambda s, fl, g: _agg(
-                                 s.trcrn[k], s.aicen, s.aice))(key)))
+    # dissolved pools carry mmol/m^3 of the skeletal layer (x SK_L for
+    # per-area content); algae/particulates are already per-area
+    per_area = {"bgc_N", "bgc_N2", "bgc_N3", "bgc_PON", "bgc_DMSPp",
+                "bgc_Fep", "bgc_Fep2"}
+
+    def content(key):
+        def fn(s, fl, g):
+            t = s.trcrn[key]
+            sc = 1.0 if key in per_area else SK_L
+            return jnp.sum(t * sc * s.aicen, axis=0)
+        return fn
+
+    def mlval(v):
+        return lambda s, fl, g: jnp.full_like(s.aice, v)
+
+    def focn(key):
+        def fn(s, fl, g):
+            v = fl.ncat_fluxes.get(f"fbgc_{key[4:]}")
+            return jnp.zeros_like(s.aice) if v is None else v
+        return fn
+
+    groups = [("bgc_Nit", "Nit", "mmol N", z.tr_bgc_Nit, z.nit_data),
+              ("bgc_Am", "Am", "mmol N", z.tr_bgc_Am, z.amm_data),
+              ("bgc_Sil", "Sil", "mmol Si", z.tr_bgc_Sil, z.sil_data),
+              ("bgc_DMS", "DMS", "mmol S", z.tr_bgc_DMS, z.dms_data),
+              ("bgc_DMSPd", "DMSPd", "mmol S", z.tr_bgc_DMS, z.dms_data),
+              ("bgc_DMSPp", "DMSPp", "mmol S", z.tr_bgc_DMS, None),
+              ("bgc_PON", "PON", "mmol N", z.tr_bgc_PON, None),
+              ("bgc_DON", "DON", "mmol N", z.tr_bgc_DON, 0.0),
+              ("bgc_Fed", "Fed", "umol Fe", z.tr_bgc_Fe, z.fed_data),
+              ("bgc_Fep", "Fep", "umol Fe", z.tr_bgc_Fe, None)]
+    for key, name, u, on, ml in groups:
+        if not on:
+            continue
+        fields.append(_f(name, f"{u}/m^2", f"skl-layer {name} content",
+                         content(key)))
+        if ml is not None:
+            fields.append(_f(f"ml_{name}", f"{u}/m^3",
+                             f"mixed-layer {name}", mlval(ml)))
+        fields.append(_f(f"f{name}", f"{u}/m^2/s",
+                         f"{name} flux, ice to ocean", focn(key)))
+        fields.append(_f(f"f{name}_ai", f"{u}/m^2/s",
+                         f"{name} flux, ice to ocean (x ice area)",
+                         (lambda k: lambda s, fl, g:
+                          focn(k)(s, fl, g) * s.aice)(key)))
+    def grownet(s, fl, g):
+        v = fl.ncat_fluxes.get("grow_net")
+        return jnp.zeros_like(s.aice) if v is None else v
+    fields.append(_f("grow_net", "1/s", "net specific growth", grownet))
     return fields
 
 
@@ -246,6 +287,19 @@ def zbgc_fields(cfg) -> List[HistoryField]:
         return fn
 
     units = {"bgc_Fed": "umol Fe/m^2", "bgc_Fep": "umol Fe/m^2"}
+    nb = max(cfg.domain.nblyr, 1)
+    db = (("nkbio", nb),)
+
+    def prof(key):
+        # category-aggregated bulk concentration profile on the bio grid
+        def fn(s, fl, g):
+            return jnp.sum(s.trcrn[key] * s.aicen[:, None], axis=0) / \
+                jnp.maximum(s.aice, cst.puny)[None]
+        return fn
+
+    def prof1(key):
+        return lambda s, fl, g: s.trcrn[key][0]
+
     fields = []
     for nm in z_tracer_names(cfg.zbgc):
         u = units.get(nm, "mmol/m^2")
@@ -253,6 +307,13 @@ def zbgc_fields(cfg) -> List[HistoryField]:
             u = "kg/m^2"
         fields.append(_f(nm + "_int", u,
                          f"brine-column integrated {nm}", _integ(nm)))
+        # true 3Da bio-grid profiles (reference "bgc_X"/"bgc_X_cat1",
+        # ice_history_bgc.F90:3177,3294)
+        u3 = u.replace("/m^2", "/m^3")
+        fields.append(_f(nm, u3, f"bulk {nm}, bio grid", prof(nm),
+                         dims=db))
+        fields.append(_f(nm + "_cat1", u3, f"bulk {nm}, category 1",
+                         prof1(nm), dims=db))
     return fields
 
 

@@ -333,7 +333,27 @@ def get_forcing(cfg, grid, timesecs: float, yday: float, aice,
     elif ocn in ("clim", "ncar", "hycom") and cfg.forcing.ocn_data_dir:
         ds = _get_dataset(cfg, grid, "hycom" if ocn == "hycom" else "ocn")
         fc = file_ocn(grid, cfg, ds.at_time(year, sec_of_year), fc)
-    if cfg.forcing.wave_spec_type != "none":
+    wst = cfg.forcing.wave_spec_type
+    if wst == "file" and cfg.forcing.wave_spec_file:
+        # wave-model spectrum dataset (reference get_wave_spec with
+        # wave_spec_type='file'/wave_spec_file): E(f) read per month,
+        # Hs/Tp re-derived from the spectral moments
+        from ..io.forcing_files import wave_spec_dataset
+        key = (id(cfg), "wave")
+        if key not in _DATASETS:
+            _DATASETS[key] = wave_spec_dataset(cfg.forcing.wave_spec_file,
+                                               grid.shape)
+        month = int(yday // 30.4) % 12 + 1
+        dt_ = fc.wind.dtype
+        E = jnp.asarray(_DATASETS[key].at_month(month), dt_)
+        f, df = wave_frequencies(dt_)
+        m0 = jnp.sum(E * df[:, None, None], axis=0)
+        m1 = jnp.sum(E * (f * df)[:, None, None], axis=0)
+        hs = 4.0 * jnp.sqrt(m0)
+        Tp = jnp.where(m1 > 0.0, m0 / jnp.maximum(m1, 1e-12), 8.0)
+        fc = fc.replace(wave_spectrum=E, wave_hs=hs.astype(dt_),
+                        wave_Tp=Tp.astype(dt_))
+    elif wst != "none":
         fc = wave_spectrum_forcing(cfg, grid, aice, fc)
     return fc.replace(yday=jnp.asarray(yday, fc.wind.dtype))
 

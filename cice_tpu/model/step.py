@@ -665,6 +665,12 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             congel=(agg["congel"] / aice_safe)[None], ocean=ocean)
         trc.update(bout.trc)
         state = state.replace(trcrn=trc)
+        # ice->ocean bgc fluxes + net growth for history/coupler
+        # (reference flux_bio / grow_net diagnostics)
+        agg["ncat_fluxes"].update(
+            {f"fbgc_{k[4:]}": v for k, v in bout.flux_bgc_ocn.items()})
+        agg["ncat_fluxes"]["grow_net"] = jnp.sum(
+            bout.grow_net * state.aicen, axis=0) / aice_safe
 
     # pond reservoir change over the thermo phases (therm1 pond update +
     # therm2 lateral melt/ITD changes of the pond-bearing area): positive

@@ -31,11 +31,17 @@ jax.config.update("jax_enable_x64", True)  # f64 available for oracle tests
 # NO persistent compilation cache under pytest: re-validated on jax 0.9
 # (round 3) — a full-suite run still ABORTS in cache deserialization
 # (get_executable_and_time SIGABRT, reproduced at
-# test_io_hdf5::test_driver_continue_from_hdf5 after ~50 green tests; the
-# cpu_aot_loader machine-feature-mismatch warnings are the tell). The
-# whole suite runs in one process, so the in-process jit cache
+# test_io_hdf5::test_driver_continue_from_hdf5 after ~50 green tests).
+# ROOT CAUSE identified round 4 (tools/jit_cache_repro.py): XLA:CPU AOT
+# cache entries record compile-time tuning flags (+prefer-no-scatter,
+# +prefer-no-gather) as target MACHINE FEATURES; on reload
+# cpu_aot_loader's host-feature check rejects them as unsupported and
+# its own error text warns of "execution errors such as SIGILL" — i.e.
+# deserialized CPU executables are not feature-safe on this jaxlib.
+# The whole suite runs in one process, so the in-process jit cache
 # (driver._model_step_jit) already dedupes recompiles; the on-disk cache
-# only ever helped across processes and is kept for CLI/bench entries.
+# only ever helped across processes and is kept for TPU CLI/bench
+# entries (the TPU backend does not take this AOT loader path).
 os.environ["CICE_TPU_NO_JIT_CACHE"] = "1"
 
 # Tests exercise the fused Pallas remap kernel through the interpreter on

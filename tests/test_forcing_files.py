@@ -128,3 +128,42 @@ def test_model_runs_from_forcing_files(tmp_path):
     assert not np.isnan(a).any()
     # the dataset's air temperature actually reached the forcing
     assert float(m.forcing.Tair[0, 0]) < 256.0
+
+
+def test_wave_spectrum_from_file(tmp_path):
+    """wave_spec_type='file' reads a wave-model E(f) product (reference
+    get_wave_spec/wave_spec_file; VERDICT r3 Missing #6) and re-derives
+    Hs/Tp from spectral moments."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cice_tpu.config import Config
+    from cice_tpu.core.grid import rectgrid
+    from cice_tpu.model.forcing import get_forcing, wave_frequencies
+
+    ny = nx = 8
+    f, df = np.asarray(wave_frequencies()[0]), np.asarray(
+        wave_frequencies()[1])
+    # monthly file: month 1 flat spectrum, month 7 doubled
+    E = np.zeros((12, 25, ny, nx), np.float32)
+    E[:] = 0.05
+    E[6] = 0.10
+    path = tmp_path / "wave_spec.npz"
+    np.savez(path, efreq=E)
+
+    cfg = Config().with_overrides(**{
+        "grid.nx_global": nx, "grid.ny_global": ny,
+        "forcing.atm_data_type": "calm",
+        "forcing.wave_spec_type": "file",
+        "forcing.wave_spec_file": str(path)})
+    grid = rectgrid(nx, ny, kmt_type="none")
+    aice = jnp.zeros((ny, nx))
+    fc_jan = get_forcing(cfg, grid, 0.0, 5.0, aice)
+    fc_jul = get_forcing(cfg, grid, 0.0, 190.0, aice)
+    np.testing.assert_allclose(np.asarray(fc_jan.wave_spectrum[0]), 0.05)
+    np.testing.assert_allclose(np.asarray(fc_jul.wave_spectrum[0]), 0.10)
+    # Hs = 4 sqrt(m0) with m0 = sum E df
+    m0 = float((0.05 * df).sum())
+    np.testing.assert_allclose(np.asarray(fc_jan.wave_hs)[0, 0],
+                               4.0 * np.sqrt(m0), rtol=1e-5)
+    assert float(np.asarray(fc_jul.wave_hs)[0, 0]) > \
+        float(np.asarray(fc_jan.wave_hs)[0, 0])
