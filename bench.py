@@ -204,29 +204,40 @@ def bench_coupled(cfg, grid):
                                       flux_kernel=fk)[0]
     phases["transport"] = chained(jax.jit(trfn), m.state, n=10)
 
-    # honest device steady-state for transport: a state-chained
-    # fori_loop inside ONE executable (no per-call host dispatch, no
-    # loop-invariant hoisting — the full state recirculates)
+    # honest device steady-state: state-chained fori_loops inside ONE
+    # executable (no per-call host dispatch, no loop-invariant
+    # hoisting — the full state recirculates). The chained phase_ms
+    # above keeps cross-round comparability; these are the true device
+    # numbers.
+    import jax.lax as lax
     N = 20
 
-    def tr_loop(s0):
-        import jax.lax as lax
+    def timeit_loop(body):
+        f = jax.jit(lambda s0: lax.fori_loop(0, N, lambda i, s: body(s),
+                                             s0))
+        out = f(m.state)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(m.state))
+        return (time.perf_counter() - t0) / N * 1e3
 
-        def body(i, s):
-            return horizontal_remap_exact(m.grid, s, m.static.registry,
-                                          fc.Tf, dt,
-                                          grid_ice=cfg.grid.grid_ice,
-                                          flux_kernel=fk)[0]
-        return lax.fori_loop(0, N, body, s0)
-    f = jax.jit(tr_loop)
-    out = f(m.state)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(m.state))
-    transport_loop_ms = (time.perf_counter() - t0) / N * 1e3
+    transport_loop_ms = timeit_loop(
+        lambda s: horizontal_remap_exact(m.grid, s, m.static.registry,
+                                         fc.Tf, dt,
+                                         grid_ice=cfg.grid.grid_ice,
+                                         flux_kernel=fk)[0])
+    loop_ms = {
+        "total": round(timeit_loop(
+            lambda s: model_step(m.static, m.grid, s, fc, dt)[0]), 2),
+        "therm1": round(timeit_loop(
+            lambda s: step_therm1(m.static, m.grid, s, fc, dt)[0]), 2),
+        "therm2": round(timeit_loop(t2fn), 2),
+        "dyn": round(timeit_loop(dynfn), 2),
+        "transport": round(transport_loop_ms, 2),
+    }
 
     return total, {k: round(v * 1e3, 2) for k, v in phases.items()}, \
-        transport_loop_ms
+        transport_loop_ms, loop_ms
 
 
 def wide_halo_crossover_model(evp_ms, wide_1dev_ms, ndte, ny, nx):
@@ -311,10 +322,12 @@ def main():
         cfg_c = cfg.with_overrides(**{
             "forcing.atm_data_type": "box2001",
             "forcing.ocn_data_type": "box2001"})
-        dt_step, phase_ms, tr_loop_ms = bench_coupled(cfg_c, grid)
+        dt_step, phase_ms, tr_loop_ms, loop_ms = bench_coupled(cfg_c, grid)
         extras["coupled_step_ms"] = round(dt_step * 1e3, 2)
         extras["coupled_step_pts_per_s"] = round(ny * nx / dt_step, 1)
         extras["phase_ms"] = phase_ms
+        extras["phase_ms_loop"] = loop_ms
+        extras["coupled_step_ms_loop"] = loop_ms["total"]
         extras["transport_ms_loop"] = round(tr_loop_ms, 2)
         # transport speed-of-light: stage-level HBM traffic model (each
         # pipeline stage streams its inputs once, writes its outputs
