@@ -196,7 +196,7 @@ def bench_coupled(cfg, grid):
     # TPU/f32 — what model_step's 'auto' dispatch selects); round 3
     # measured the XLA path here by omission, overstating transport by
     # ~2x (VERDICT r3 Weak #1)
-    fk = "fused_pallas" if jax.default_backend() == "tpu" else "xla"
+    fk = "fused_full" if jax.default_backend() == "tpu" else "xla"
 
     def trfn(s):
         return horizontal_remap_exact(m.grid, s, m.static.registry, fc.Tf,

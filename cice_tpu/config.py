@@ -201,9 +201,11 @@ class DynamicsConfig:
                                     # (reference ice_transport_driver.F90:61)
     monotonicity_check: bool = False  # remap tracer-bounds check w/ abort
                                       # (reference l_monotonicity_check)
-    remap_kernel: str = "auto"      # tracer-flux engine for 'remap':
-                                    # 'auto' (fused Pallas kernel on TPU,
+    remap_kernel: str = "auto"      # transport engine for 'remap':
+                                    # 'auto' (fused Pallas kernels on TPU,
                                     # XLA elsewhere) | 'xla' | 'fused_pallas'
+                                    # (flux-only kernel) | 'fused_full'
+                                    # (construct+flux+update one-pass)
     # implicit (VP) solver — reference ice_dyn_vp.F90 namelist section
     maxits_nonlin: int = 10
     precond: str = "pgmres"         # 'pgmres' | 'diag' | 'ident'
@@ -223,10 +225,11 @@ class DynamicsConfig:
     use_mean_vrel: bool = True
 
     def __post_init__(self):
-        if self.remap_kernel not in ("auto", "xla", "fused_pallas"):
+        if self.remap_kernel not in ("auto", "xla", "fused_pallas",
+                                     "fused_full"):
             raise ValueError(
                 f"dynamics.remap_kernel={self.remap_kernel!r}: expected "
-                "'auto', 'xla' or 'fused_pallas'")
+                "'auto', 'xla', 'fused_pallas' or 'fused_full'")
 
 
 @dataclass(frozen=True)

@@ -577,6 +577,7 @@ class _TableArrays:
         self.is1 = self.ttype == 1
         self.is2 = self.ttype == 2
         self.is3 = self.ttype == 3
+        self.has_dep = _np.array([ft.has_dependents for ft in table])
         self.K1 = int(self.is1.sum())
         self.K2 = int(self.is2.sum())
         self.K3 = int(self.is3.sum())
@@ -753,15 +754,12 @@ def _family_fluxes(grid: Grid, moments, offsets, mc, mx, my, tc, tx, ty,
     return mflx, (mtflx if tc is not None else None)
 
 
-def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
-                 edgearea_e=None, edgearea_n=None, flux_kernel: str = "xla",
-                 tstack=None):
-    """Mass/tracer transports across N and E edges (positive = north/east).
-
-    dxs/dys: scaled departure displacements at U points. edgearea_*:
-    physical prescribed edge areas (C/CD grids; Bentsen adjustment).
-    flux_kernel: 'xla' (dense masked XLA path) or 'fused_pallas' (the
-    one-pass TPU kernel for the tracer transports, kernels/remap_pallas)."""
+def edge_moments(grid: Grid, dxs, dys, edgearea_e=None, edgearea_n=None):
+    """(mom_n, mom_e): per-candidate translated pentagon moments for the
+    N and E edge families (the geometry stage shared by every flux
+    engine). dxs/dys: scaled departure displacements at U points;
+    edgearea_*: prescribed physical edge areas (C/CD Bentsen
+    adjustment)."""
     shu = partial(shift, bc=grid.bc, loc=FIELD_LOC_NECORNER,
                   ftype=FIELD_TYPE_VECTOR)
 
@@ -777,14 +775,6 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     ea_n = None if edgearea_n is None else edgearea_n / grid.narea
     mom_n = pentagon_cell_moments([v_cl, v_cr, v_dr, v_dm, v_dl],
                                   edgearea=ea_n)
-    use_fused = flux_kernel == "fused_pallas" and tc is not None
-    if not use_fused:
-        # donor offsets: T row = cell (i, j+1) side (north), B row = (i, j)
-        offs_n = {("T", -1): (1, -1), ("T", 0): (1, 0), ("T", 1): (1, 1),
-                  ("B", -1): (0, -1), ("B", 0): (0, 0), ("B", 1): (0, 1)}
-        mflxn, mtflxn = _family_fluxes(grid, mom_n, offs_n, mc, mx, my,
-                                       tc, tx, ty, table,
-                                       grid.narea * grid.npm, sign=-1.0)
 
     # ---- E edges: frame x = north (xi), y = east (eta);
     # CL = U(i,j-1) (south end), CR = U(i,j). The sign convention is
@@ -800,6 +790,27 @@ def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
     ea_e = None if edgearea_e is None else edgearea_e / grid.earea
     mom_e = pentagon_cell_moments([v_cl, v_cr, v_dr, v_dm, v_dl],
                                   edgearea=ea_e)
+    return mom_n, mom_e
+
+
+def remap_fluxes(grid: Grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
+                 edgearea_e=None, edgearea_n=None, flux_kernel: str = "xla",
+                 tstack=None):
+    """Mass/tracer transports across N and E edges (positive = north/east).
+
+    dxs/dys: scaled departure displacements at U points. edgearea_*:
+    physical prescribed edge areas (C/CD grids; Bentsen adjustment).
+    flux_kernel: 'xla' (dense masked XLA path) or 'fused_pallas' (the
+    one-pass TPU kernel for the tracer transports, kernels/remap_pallas)."""
+    mom_n, mom_e = edge_moments(grid, dxs, dys, edgearea_e, edgearea_n)
+    use_fused = flux_kernel == "fused_pallas" and tc is not None
+    if not use_fused:
+        # donor offsets: T row = cell (i, j+1) side (north), B row = (i, j)
+        offs_n = {("T", -1): (1, -1), ("T", 0): (1, 0), ("T", 1): (1, 1),
+                  ("B", -1): (0, -1), ("B", 0): (0, 0), ("B", 1): (0, 1)}
+        mflxn, mtflxn = _family_fluxes(grid, mom_n, offs_n, mc, mx, my,
+                                       tc, tx, ty, table,
+                                       grid.narea * grid.npm, sign=-1.0)
     if use_fused:
         # the kernel produces BOTH the tracer and the mass (area)
         # transports in one pass (the open-water row rides the moment
@@ -862,6 +873,32 @@ def fused_kernel_eligible(grid: Grid, NT: int, dtype, *,
         return False, (f"VMEM footprint {vmem / 2**20:.1f} MiB "
                        f"(NT={NT}, nx={nx}) exceeds "
                        f"{FUSED_VMEM_BUDGET / 2**20:.0f} MiB budget")
+    return True, ""
+
+
+def fused_full_eligible(grid: Grid, NT: int, dtype, *,
+                        tile_y: int = 8) -> tuple:
+    """(ok, reason) for the full fused transport kernel
+    (kernels/remap_pallas.transport_fused). Same topology/dtype rules as
+    the flux kernel; the VMEM model is empirical — the Mosaic stack
+    holds the per-window reconstruction planes and limiter temporaries,
+    measured at ~(11*NT + 270) f32 plane-equivalents of (W, L) (19.97 MB
+    at NT=25, W=24, L=384; fits at W=16)."""
+    import numpy as _np
+    if grid.bc.tripole or grid.bc.y_cyclic:
+        return False, "tripole/y-cyclic boundary"
+    if _np.dtype(dtype) != _np.float32:
+        return False, f"dtype {_np.dtype(dtype).name} (kernel is f32-only)"
+    ny, nx = grid.shape
+    TY = max(8, (tile_y // 8) * 8)
+    W = TY + 8
+    L = -(-(nx + 6) // 128) * 128
+    vmem = 4 * (11 * NT + 270) * W * L
+    budget = 15 * 1024 * 1024
+    if vmem > budget:
+        return False, (f"VMEM estimate {vmem / 2**20:.1f} MiB "
+                       f"(NT={NT}, nx={nx}) exceeds "
+                       f"{budget / 2**20:.0f} MiB")
     return True, ""
 
 
@@ -1006,9 +1043,6 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     table = build_flat_table(registry)
     am, trm = state_to_tracers(state, registry, table)
 
-    mc, mx, my, tc, tx, ty, tstack = construct_fields(grid, am, trm, table,
-                                                      grid.hm)
-
     if grid_ice in ("C", "CD") and state.uvelE is not None:
         # corner velocities for trajectories; Bentsen edge areas from the
         # prognostic face velocities (reference horizontal_remap:629-668)
@@ -1030,33 +1064,52 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
     if monotonicity_check:
         tmn, tmx = monotonicity_bounds(grid, am, trm, table)
 
-    if flux_kernel not in ("xla", "fused_pallas"):
-        raise ValueError(f"flux_kernel={flux_kernel!r}: expected 'xla' or "
-                         "'fused_pallas' ('auto' resolves in model/step)")
-    if flux_kernel == "fused_pallas":
+    if flux_kernel not in ("xla", "fused_pallas", "fused_full"):
+        raise ValueError(f"flux_kernel={flux_kernel!r}: expected 'xla', "
+                         "'fused_pallas' or 'fused_full' ('auto' resolves "
+                         "in model/step)")
+    if flux_kernel in ("fused_pallas", "fused_full"):
         import warnings
 
         import jax as _jax
-        ok, why = fused_kernel_eligible(grid, len(table), trm.dtype)
+        elig = (fused_full_eligible if flux_kernel == "fused_full"
+                else fused_kernel_eligible)
+        ok, why = elig(grid, len(table), trm.dtype)
         if not ok:
-            warnings.warn(f"remap fused_pallas kernel unavailable ({why}); "
-                          "falling back to the XLA tracer-flux path")
+            warnings.warn(f"remap {flux_kernel} kernel unavailable ({why});"
+                          " falling back to the XLA tracer-flux path")
             flux_kernel = "xla"
         elif (_jax.default_backend() != "tpu"
               and not flux_kernel_interpret()):
             warnings.warn(
-                "remap_kernel='fused_pallas' on a non-TPU backend would run "
-                "through the Pallas interpreter (orders of magnitude slower);"
-                " falling back to the XLA path. Set "
+                f"remap_kernel={flux_kernel!r} on a non-TPU backend would "
+                "run through the Pallas interpreter (orders of magnitude "
+                "slower); falling back to the XLA path. Set "
                 "CICE_TPU_PALLAS_INTERPRET=1 to force interpret mode.")
             flux_kernel = "xla"
-    mflxe, mflxn, mtflxe, mtflxn = remap_fluxes(
-        grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
-        edgearea_e=edgearea_e, edgearea_n=edgearea_n,
-        flux_kernel=flux_kernel, tstack=tstack)
 
-    am_new, trm_new, neg = update_fields(grid, am, trm, mflxe, mflxn,
-                                         mtflxe, mtflxn, table)
+    if flux_kernel == "fused_full":
+        # one-pass kernel: reconstruction + fluxes + update fused; only
+        # the geometry (edge moments) stays in XLA
+        from ..kernels.remap_pallas import transport_fused
+        mom_n, mom_e = edge_moments(grid, dxs, dys, edgearea_e,
+                                    edgearea_n)
+        am_pre, trm_new = transport_fused(
+            grid, mom_n, mom_e, am, trm, table,
+            interpret=flux_kernel_interpret())
+        tmask = grid.tmask
+        neg = jnp.any((am_pre < -cst.puny) & tmask[None])
+        am_new = jnp.where(tmask[None], jnp.maximum(am_pre, 0.0), 0.0)
+    else:
+        mc, mx, my, tc, tx, ty, tstack = construct_fields(grid, am, trm,
+                                                          table, grid.hm)
+        mflxe, mflxn, mtflxe, mtflxn = remap_fluxes(
+            grid, dxs, dys, mc, mx, my, tc, tx, ty, table,
+            edgearea_e=edgearea_e, edgearea_n=edgearea_n,
+            flux_kernel=flux_kernel, tstack=tstack)
+
+        am_new, trm_new, neg = update_fields(grid, am, trm, mflxe, mflxn,
+                                             mtflxe, mtflxn, table)
 
     diag = {"oob": oob, "neg_mass": neg}
     if conserv_check:

@@ -704,25 +704,29 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             if cfg.dynamics.ktransport >= 1:
                 if cfg.dynamics.advection == "remap":
                     from ..dynamics.remap_exact import (
-                        build_flat_table, fused_kernel_eligible,
-                        horizontal_remap_exact)
+                        build_flat_table, fused_full_eligible,
+                        fused_kernel_eligible, horizontal_remap_exact)
                     fk = cfg.dynamics.remap_kernel
                     if fk == "auto":
-                        # fused kernel only where it is the measured win
-                        # and compiles natively: real TPU, f32 state, no
-                        # explicit-comm mesh (GSPMD sharding would split
-                        # the pallas_call), and within the VMEM budget
-                        # (fused_kernel_eligible covers dtype/topology/VMEM)
+                        # fused kernels only where they are the measured
+                        # win and compile natively: real TPU, f32 state,
+                        # no explicit-comm mesh (GSPMD sharding would
+                        # split the pallas_call), within VMEM budgets.
+                        # Preference: full fused transport (construct +
+                        # flux + update one-pass, ~3x the flux kernel's
+                        # win) > flux-only kernel > XLA.
                         import jax as _jax
-                        fk = ("fused_pallas"
-                              if (_jax.default_backend() == "tpu"
-                                  and ms.mesh is None
-                                  and _jax.device_count() == 1
-                                  and fused_kernel_eligible(
-                                      grid,
-                                      len(build_flat_table(registry)),
-                                      state.aicen.dtype)[0])
-                              else "xla")
+                        fk = "xla"
+                        if (_jax.default_backend() == "tpu"
+                                and ms.mesh is None
+                                and _jax.device_count() == 1):
+                            NTf = len(build_flat_table(registry))
+                            dt_ = state.aicen.dtype
+                            if fused_full_eligible(grid, NTf, dt_)[0]:
+                                fk = "fused_full"
+                            elif fused_kernel_eligible(grid, NTf,
+                                                       dt_)[0]:
+                                fk = "fused_pallas"
                     state, td = horizontal_remap_exact(
                         grid, state, registry, fc.Tf, dt_dyn,
                         grid_ice=cfg.grid.grid_ice,
