@@ -155,7 +155,12 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
     if mushy:
         from . import mushy as mush
 
-    snow = hslyr > cst.puny  # snow present mask (hs > puny => snow layers live)
+    # snow-present mask: hsn > hs_min (icepack lsnow threshold). Using
+    # puny here let hs ~ 1e-10 through, whose 1/hslyr conductances
+    # (~1e10) overflow the f32 tridiagonal elimination into NaN — the
+    # round-4 SH-collapse root cause (gx1 melt season thins snow into
+    # the sub-hs_min band)
+    snow = hslyr * nslyr > cst.hs_min
 
     # initial layer temperatures from enthalpy
     Tsn0 = [temp_from_enthalpy_snow(q) for q in qsno]

@@ -103,6 +103,11 @@ dragw = dragio * rhow
 
 # --- numerical -------------------------------------------------------------
 puny = 1.0e-11
+hs_min = 1.0e-4            # min snow depth for the conduction solve to
+                           # carry snow layers (icepack hs_min parameter;
+                           # thinner snow is a massless skin — without
+                           # this the 1/hslyr solve coefficients at
+                           # hs ~ 1e-10 overflow f32 and NaN the column)
 eps04 = 1.0e-4
 eps13 = 1.0e-13
 eps16 = 1.0e-16

@@ -518,7 +518,10 @@ def pentagon_cell_moments(verts, edgearea=None):
     col_a = {"inf": -_LARGE, "m": -0.5, "p": 0.5}
     av = jnp.asarray([col_a[r[1]] for r in _REGIONS], dtype)[:, None, None]
 
-    segs = [((xcl, ycl), (xcr, ycr)), ((xcr, ycr), (xdr, ydr)),
+    # the CL->CR segment lies on the edge line y=0, where the 1-form's
+    # G = x^p y^(q+1)/(q+1) vanishes identically — skip it (20% of the
+    # Gauss work)
+    segs = [((xcr, ycr), (xdr, ydr)),
             ((xdr, ydr), (xdm, ydm)), ((xdm, ydm), (xdl, ydl)),
             ((xdl, ydl), (xcl, ycl))]
 

@@ -364,7 +364,16 @@ def dyn_fields() -> List[HistoryField]:
         v = 0.5 * sp + jnp.where(which == 1, rad, -rad)
         return jnp.where(fl.strength > 1e-11, v / P, 0.0)
 
+    def sigP(s, fl, g):
+        # internal ice pressure: the replacement pressure recomputed from
+        # the final iterate's (strength, Delta) with the EVP capping form
+        # P_r = P*Delta/(Delta+deltamin) (reference f_sigP; visc_replpress
+        # ice_dyn_shared.F90:2446)
+        dmin = 1e-11
+        return fl.strength * fl.Delta / (fl.Delta + dmin)
+
     return [
+        _f("sigP", "N/m", "internal ice pressure", sigP),
         _f("divu", "%/day", "strain rate (divergence)",
            lambda s, fl, g: fl.divu * 8.64e6),
         _f("shear", "%/day", "strain rate (shear)",

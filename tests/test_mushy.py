@@ -188,3 +188,41 @@ def test_ktherm2_end_to_end():
         and not np.isnan(q).any()
     assert a.max() > 0.5                      # winter ice persists
     assert S.min() >= 0.0 and S.max() < 35.0  # physical salinity range
+
+
+def test_thin_snow_skin_no_overflow():
+    """hs between puny and hs_min (e.g. 1e-10 m) must NOT enter the
+    conduction solve as snow: 1/hslyr conductances (~1e10) overflow the
+    f32 tridiagonal into NaN (round-4 root cause of the gx1 SH-collapse;
+    icepack's lsnow threshold is hs_min=1e-4)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cice_tpu.columns.thermo_vertical import (bl99_salinity,
+                                                  enthalpy_ice,
+                                                  enthalpy_snow,
+                                                  melting_temps,
+                                                  temperature_changes)
+    nilyr, nslyr = 7, 1
+    salin = bl99_salinity(nilyr)
+    Tm = melting_temps(salin)
+    shp = (4, 4)
+    hin = jnp.full(shp, 0.32)
+    for hs in (0.0, 1e-10, 5e-5, 0.1):
+        hslyr = jnp.full(shp, hs / nslyr)
+        qice = [jnp.full(shp, float(enthalpy_ice(-2.0, float(Tm[k]))))
+                for k in range(nilyr)]
+        qsno = [jnp.full(shp, float(enthalpy_snow(-5.0)))
+                for _ in range(nslyr)]
+        out, qs_new, qi_new = temperature_changes(
+            3600.0, nilyr, nslyr, Tsf=jnp.zeros(shp), qsno=qsno, qice=qice,
+            salin=salin, Tm=Tm, hilyr=hin / nilyr, hslyr=hslyr,
+            Tbot=jnp.full(shp, -1.86), fswsfc=jnp.full(shp, 150.0),
+            Iswabs=[jnp.full(shp, 5.0)] * nilyr,
+            shcoef=jnp.full(shp, 10.0), lhcoef=jnp.full(shp, 5.0),
+            potT=jnp.full(shp, 275.0), Qa=jnp.full(shp, 4e-3),
+            rhoa=jnp.full(shp, 1.3), flw=jnp.full(shp, 300.0))
+        for nm, v in (("Tsf", out.Tsf), ("fcondtop", out.fcondtop),
+                      ("fcondbot", out.fcondbot)):
+            assert np.isfinite(np.asarray(v)).all(), (hs, nm)
+        for q in qi_new:
+            assert np.isfinite(np.asarray(q)).all(), hs
