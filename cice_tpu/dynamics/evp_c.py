@@ -381,9 +381,13 @@ def c_dyn_finish(grid: Grid, prep: CPrep, uvelE, vvelN, spT, smT, s12U,
     if strintyE is not None:
         out["strinty"] = 0.5 * (out["strinty"] + toU_E(strintyE))
         out["tauby"] = 0.5 * (out["tauby"] + toU_E(-vvelE * CbE))
+        out["strintyE"] = strintyE
+        out["taubyE"] = -vvelE * CbE
     if strintxN is not None:
         out["strintx"] = 0.5 * (out["strintx"] + toU_N(strintxN))
         out["taubx"] = 0.5 * (out["taubx"] + toU_N(-uvelN * CbN))
+        out["strintxN"] = strintxN
+        out["taubxN"] = -uvelN * CbN
     return out
 
 

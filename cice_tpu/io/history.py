@@ -1295,6 +1295,17 @@ def parity_extra_fields(cfg) -> List[HistoryField]:
            lambda s, fl, g: _mass(s) * _fcor(g) * s.vvel),
         _f("strcory", "N/m^2", "Coriolis stress y",
            lambda s, fl, g: -_mass(s) * _fcor(g) * s.uvel),
+        # EAP structure tensor (corner-mean; isotropic = 0.5/0 when
+        # kdyn != 2; reference ice_history f_a11/f_a12 from ice_dyn_eap)
+        _f("a11", "1", "structure tensor component a11",
+           lambda s, fl, g: s.a11.mean(0)),
+        _f("a12", "1", "structure tensor component a12",
+           lambda s, fl, g: s.a12.mean(0)),
+        _f("aice_init", "1", "ice area at start of the step",
+           lambda s, fl, g: fl.ncat_fluxes.get(
+               "aice_init", jnp.zeros_like(s.aice))
+           if fl.ncat_fluxes.get("aice_init") is not None
+           else jnp.zeros_like(s.aice)),
     ]
     if cfg.grid.grid_ice in ("C", "CD"):
         def spd(u, v):
@@ -1307,6 +1318,24 @@ def parity_extra_fields(cfg) -> List[HistoryField]:
                     * cst.rad_to_deg
                 return jnp.where(d < 0.0, d + 360.0, d)
             return fn
+        def _aux(key):
+            def fn(s, fl, g):
+                v = fl.ncat_fluxes.get(key)
+                return jnp.zeros_like(s.aice) if v is None else v
+            return fn
+        for key, long in (("strintxE", "internal stress x at E point"),
+                          ("strintyN", "internal stress y at N point"),
+                          ("strintyE", "internal stress y at E point"),
+                          ("strintxN", "internal stress x at N point"),
+                          ("taubxE", "seabed stress x at E point"),
+                          ("taubyN", "seabed stress y at N point"),
+                          ("taubyE", "seabed stress y at E point"),
+                          ("taubxN", "seabed stress x at N point"),
+                          ("strocnxE", "ocean stress x at E point"),
+                          ("strocnyE", "ocean stress y at E point"),
+                          ("strocnxN", "ocean stress x at N point"),
+                          ("strocnyN", "ocean stress y at N point")):
+            F.append(_f(key, "N/m^2", long, _aux(key)))
         F += [
             _f("uvelN", "m/s", "ice velocity u at N point",
                lambda s, fl, g: s.uvelN),

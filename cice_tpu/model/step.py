@@ -825,7 +825,15 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         ncat_fluxes={**agg["ncat_fluxes"], **fsd_tend,
                      **{k: dyn[k] for k in
                         ("dardg1ndt", "dardg2ndt", "dvirdgndt", "aparticn",
-                         "krdgn", "aredistn", "vredistn") if k in dyn}},
+                         "krdgn", "aredistn", "vredistn",
+                         # native E/N-point stress planes (C/CD history
+                         # fields strintxE/taubxN/strocnxE..., reference
+                         # ice_history grid-variant registrations)
+                         "strintxE", "strintyN", "strintyE", "strintxN",
+                         "taubxE", "taubyN", "taubyE", "taubxN",
+                         "strocnxE", "strocnyE", "strocnxN", "strocnyN")
+                        if k in dyn},
+                     "aice_init": aice_init},
         divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
         strintx=dyn["strintx"], strinty=dyn["strinty"],
         taubx=dyn["taubx"], tauby=dyn["tauby"], strength=dyn["strength"],
