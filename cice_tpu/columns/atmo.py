@@ -34,12 +34,17 @@ class AtmoCoeffs(NamedTuple):
 
 
 def saturated_specific_humidity_ice(TsfK, rhoa):
-    """q_sat over ice (kg/kg) — icepack qqqice/TTTice parameterization."""
-    return (cst.qqqice / jnp.maximum(rhoa, 1e-8)) * jnp.exp(-cst.TTTice / TsfK)
+    """q_sat over ice (kg/kg) — icepack qqqice/TTTice parameterization.
+    TsfK floored at 150 K: a negative absolute temperature (possible
+    only from degenerate unconverged columns) would flip the exp() to
+    +inf and NaN every consumer."""
+    return (cst.qqqice / jnp.maximum(rhoa, 1e-8)) * \
+        jnp.exp(-cst.TTTice / jnp.maximum(TsfK, 150.0))
 
 
 def saturated_specific_humidity_ocn(TsfK, rhoa):
-    return (cst.qqqocn / jnp.maximum(rhoa, 1e-8)) * jnp.exp(-cst.TTTocn / TsfK)
+    return (cst.qqqocn / jnp.maximum(rhoa, 1e-8)) * \
+        jnp.exp(-cst.TTTocn / jnp.maximum(TsfK, 150.0))
 
 
 def _psi_stable(hol):

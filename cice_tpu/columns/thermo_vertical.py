@@ -168,7 +168,7 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         Tin0 = [mush.temperature_mush(qice[k], salin[k]) for k in range(nilyr)]
     else:
         Tin0 = [temp_from_enthalpy_ice(qice[k], Tm[k]) for k in range(nilyr)]
-    Tsf = jnp.minimum(Tsf, 0.0)
+    Tsf = jnp.clip(Tsf, -100.0, 0.0)   # [Tmin, Tsmelt] physical window
 
     einit = sum(q * hslyr for q in qsno) + sum(q * hilyr for q in qice)
 
@@ -280,7 +280,13 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         # --- select case ----------------------------------------------------
         # melting if the cold solve wants Tsf > 0
         melting = Tsf_c > 0.0
-        Tsf = jnp.where(melting, 0.0, Tsf_c)
+        # physical bounds: the reference ABORTS at Tsf < Tmin (-100 C,
+        # icepack_therm_vertical 'Tsf < Tmin' check); we clamp instead —
+        # degenerate knife-edge columns (aicen ~ 1e-10) can random-walk
+        # the unclamped solve to -300 C, where the saturation-humidity
+        # exp() at negative absolute temperature goes inf (round-4 tx1
+        # NaN hunt)
+        Tsf = jnp.clip(jnp.where(melting, 0.0, Tsf_c), -100.0, 0.0)
         Tsn = [jnp.where(melting, m, c) for m, c in zip(Tsn_m, Tsn_c)]
         Tin = [jnp.where(melting, m, c) for m, c in zip(Tin_m, Tin_c)]
         # physical bounds
