@@ -217,9 +217,12 @@ def bench_coupled(cfg, grid):
                                              s0))
         out = f(m.state)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(m.state))
-        return (time.perf_counter() - t0) / N * 1e3
+        best = float("inf")
+        for _ in range(2):          # best-of-2: tunnel runs carry ~20%
+            t0 = time.perf_counter()    # single-shot variance
+            jax.block_until_ready(f(m.state))
+            best = min(best, (time.perf_counter() - t0) / N * 1e3)
+        return best
 
     transport_loop_ms = timeit_loop(
         lambda s: horizontal_remap_exact(m.grid, s, m.static.registry,
