@@ -138,9 +138,23 @@ def unpack_tracers(trm, registry):
     return out
 
 
+def _dep_onehot(didx):
+    """Static (NT, 3) one-hot dependency selector (precomputed host-side)."""
+    oh = np.zeros((len(didx), 3), np.float32)
+    oh[np.arange(len(didx)), np.asarray(didx)] = 1.0
+    return oh
+
+
 def _dep_weight(didx, wa, wv, ws):
-    """(NT, ...) per-flat-tracer merge weight selected by dependency."""
-    return jnp.take(jnp.stack([wa, wv, ws]), didx, axis=0)
+    """(NT, ...) per-flat-tracer merge weight selected by dependency.
+
+    One-hot einsum, NOT jnp.take: an NT-length gather along a 3-row axis
+    lowers to a serialized TPU gather (round-3/5 gotcha), while the
+    (NT,3)x(3,ny,nx) contraction is a single fused broadcast-multiply."""
+    oh = didx if isinstance(didx, np.ndarray) and didx.ndim == 2 \
+        else _dep_onehot(np.asarray(didx))
+    w3 = jnp.stack([wa, wv, ws])
+    return jnp.einsum("tk,k...->t...", jnp.asarray(oh, w3.dtype), w3)
 
 
 # ---------------------------------------------------------------------------
@@ -257,8 +271,10 @@ def linear_itd_remap(aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new,
     v = list(vicen)
     s = list(vsnon)
     didx, _ = flat_dep_table(registry)
-    didx = jnp.asarray(didx)
-    tr = list(pack_tracers(trcrn, registry))      # per-cat (NT, ny, nx)
+    didx = _dep_onehot(didx)
+    packed_in = not isinstance(trcrn, dict)
+    tr = list(trcrn) if packed_in \
+        else list(pack_tracers(trcrn, registry))  # per-cat (NT, ny, nx)
 
     for n in range(ncat - 1):
         hb_fixed = jnp.asarray(hin_max[n + 1], dt)
@@ -308,8 +324,9 @@ def linear_itd_remap(aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new,
         s[n] = s[n] - dsu + dsd
         s[n + 1] = s[n + 1] + dsu - dsd
 
+    trm = jnp.stack(tr)
     return (jnp.stack(a), jnp.stack(v), jnp.stack(s),
-            unpack_tracers(jnp.stack(tr), registry))
+            trm if packed_in else unpack_tracers(trm, registry))
 
 
 def vicen_safe_h(v, a):
@@ -325,8 +342,10 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
     v = list(vicen)
     s = list(vsnon)
     didx, _ = flat_dep_table(registry)
-    didx = jnp.asarray(didx)
-    tr = list(pack_tracers(trcrn, registry))      # per-cat (NT, ny, nx)
+    didx = _dep_onehot(didx)
+    packed_in = not isinstance(trcrn, dict)
+    tr = list(trcrn) if packed_in \
+        else list(pack_tracers(trcrn, registry))  # per-cat (NT, ny, nx)
 
     def move(frm, to, moving):
         """Move the masked parcels (whole category content) frm->to
@@ -352,8 +371,9 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
         moving = (a[n] > cst.puny) & (h < hin_max[n])
         move(n, n - 1, moving)
 
+    trm = jnp.stack(tr)
     return (jnp.stack(a), jnp.stack(v), jnp.stack(s),
-            unpack_tracers(jnp.stack(tr), registry))
+            trm if packed_in else unpack_tracers(trm, registry))
 
 
 def cleanup_itd(aicen, vicen, vsnon, trcrn, registry, *, puny=cst.puny,
@@ -366,19 +386,35 @@ def cleanup_itd(aicen, vicen, vsnon, trcrn, registry, *, puny=cst.puny,
     keep = (aicen > puny) & (vicen > 0.0)
     vice_rm = jnp.sum(jnp.where(keep, 0.0, vicen), axis=0)
     vsno_rm = jnp.sum(jnp.where(keep, 0.0, vsnon), axis=0)
+    packed_in = not isinstance(trcrn, dict)
+    if packed_in:
+        # packed (ncat, NT, ny, nx) stack: qice/qsno live at their layout
+        # offsets (therm2 packed chain)
+        _, layout = flat_dep_table(registry)
+        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        qice_m = qsno_m = None
+        if "qice" in off:
+            o, n = off["qice"]
+            qice_m = trcrn[:, o:o + n].mean(axis=1)
+        if "qsno" in off:
+            o, n = off["qsno"]
+            qsno_m = trcrn[:, o:o + n].mean(axis=1)
+    else:
+        qice_m = trcrn["qice"].mean(axis=1) if "qice" in trcrn else None
+        qsno_m = trcrn["qsno"].mean(axis=1) if "qsno" in trcrn else None
     eice_rm = esno_rm = None
-    if dt is not None and "qice" in trcrn and "qsno" in trcrn:
-        eice_rm = jnp.sum(jnp.where(keep, 0.0,
-                                    trcrn["qice"].mean(axis=1) * vicen),
-                          axis=0)
-        esno_rm = jnp.sum(jnp.where(keep, 0.0,
-                                    trcrn["qsno"].mean(axis=1) * vsnon),
-                          axis=0)
+    if dt is not None and qice_m is not None and qsno_m is not None:
+        eice_rm = jnp.sum(jnp.where(keep, 0.0, qice_m * vicen), axis=0)
+        esno_rm = jnp.sum(jnp.where(keep, 0.0, qsno_m * vsnon), axis=0)
     aicen = jnp.where(keep, aicen, 0.0)
     vicen = jnp.where(keep, vicen, 0.0)
     vsnon = jnp.where(keep, vsnon, 0.0)
-    trcrn = {k: jnp.where(keep[:, None] if v.ndim == 4 else keep, v, 0.0)
-             for k, v in trcrn.items()}
+    if packed_in:
+        trcrn = jnp.where(keep[:, None], trcrn, 0.0)
+    else:
+        trcrn = {k: jnp.where(keep[:, None] if v.ndim == 4 else keep,
+                              v, 0.0)
+                 for k, v in trcrn.items()}
     aice = jnp.sum(aicen, axis=0)
     scale = jnp.where(aice > 1.0, 1.0 / jnp.maximum(aice, puny), 1.0)
     aicen = aicen * scale[None]

@@ -145,6 +145,10 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
     dardg1n = jnp.zeros_like(aicen)
     dardg2n = jnp.zeros_like(aicen)
     dvirdgn = jnp.zeros_like(aicen)
+    araftn = jnp.zeros_like(aicen)     # receiver-side rafted area gains
+    vraftn = jnp.zeros_like(aicen)     # (reference araftn/vraftn snapshots,
+    #                                    ice_history_mechred.F90:338-344)
+    dpnd_ridge = jnp.zeros_like(divu)  # pond water on ridging donor area
     aparticn = None
     krdgn = None
 
@@ -209,6 +213,10 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         dv_r = jnp.sum(dv, axis=0)
         ds_r = jnp.sum(ds, axis=0)
 
+        # donor-state pond tracers (pre-merge) for the dpnd_ridge diagnostic
+        apnd_d = trcrn.get("apnd")
+        hpnd_d = trcrn.get("hpnd")
+
         from ..model.state import DEP_AICE, DEP_VICE, DEP_VSNO
         wts = {DEP_AICE: (a_rm, da, da_r), DEP_VICE: (v_rm, dv, dv_r),
                DEP_VSNO: (s_rm, ds, ds_r)}
@@ -234,6 +242,21 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         dardg1n = dardg1n + ardg
         dardg2n = dardg2n + da_r
         dvirdgn = dvirdgn + dv_r
+        # rafting split: thin donors (hi < MAXRAFT) are in the hrmin=2*hi
+        # doubling regime (ridge_shapes) — their receiver-side gains count
+        # as rafted ice (icepack mechred araften/vraften semantics)
+        hi_d = jnp.where(have, vicen / jnp.maximum(aicen, cst.puny), 0.0)
+        raft_d = (hi_d < MAXRAFT)[:, None]
+        araftn = araftn + jnp.sum(jnp.where(raft_d, da, 0.0), axis=0)
+        vraftn = vraftn + jnp.sum(jnp.where(raft_d, dv, 0.0), axis=0)
+        # pond water riding on ridged donor area drains to the ocean
+        # (reference dpnd_ridge, ice_history_pond.F90:574); apnd/hpnd are
+        # per-category pond fraction & depth, so the donor loses
+        # ardg * apnd * hpnd (m of water per cell area)
+        if apnd_d is not None and hpnd_d is not None:
+            dpnd_ridge = dpnd_ridge + jnp.sum(
+                ardg * jnp.clip(apnd_d, 0.0, 1.0)
+                * jnp.maximum(hpnd_d, 0.0), axis=0)
 
         aicen = a_rm + da_r
         vicen = v_rm + dv_r
@@ -256,5 +279,6 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
                  # area/volume this step (the reference's snapshot fields)
                  dardg1ndt=dardg1n / dt, dardg2ndt=dardg2n / dt,
                  dvirdgndt=dvirdgn / dt, aparticn=aparticn, krdgn=krdgn,
-                 aredistn=dardg2n, vredistn=dvirdgn)
+                 aredistn=dardg2n, vredistn=dvirdgn,
+                 araftn=araftn, vraftn=vraftn, dpnd_ridge=dpnd_ridge)
     return aicen, vicen, vsnon, trcrn, diags

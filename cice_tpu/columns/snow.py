@@ -114,14 +114,17 @@ def snow_redistribution(cfg_snow, dt, *, vsnon, aicen, alvl, wind):
     (bulk parameterization: a fraction ~snwlvlfac of level-ice snow moves
     to ridges per day of strong wind)."""
     if cfg_snow.snwredist == "none":
-        return vsnon
+        return vsnon, jnp.zeros_like(vsnon)
     blow = jnp.clip((wind - cfg_snow.windmin) / 10.0, 0.0, 1.0) * \
         dt / cst.secday
     frac_move = cfg_snow.snwlvlfac * blow
     lvl = jnp.clip(alvl, 0.0, 1.0)
     # snow leaves the level fraction; deposits uniformly on the deformed part
     dv = vsnon * frac_move * lvl
-    return vsnon - dv + dv * (1.0 - lvl)   # net: blown fraction lvl*dv lost to leads
+    # blown fraction lvl*dv is lost to leads/ocean — the reference's fsloss
+    # / sisndmasswind mass-loss diagnostic (ice_history_snow.F90:217-229)
+    lost = dv * lvl
+    return vsnon - dv + dv * (1.0 - lvl), lost
 
 
 def step_snow(cfg, dt, *, vsnon, aicen, trcrn, Tsno, melts, frain, fsnow,
@@ -133,7 +136,7 @@ def step_snow(cfg, dt, *, vsnon, aicen, trcrn, Tsno, melts, frain, fsnow,
     dict-copied tracers (reference step_snow ice_step_mod.F90:1184)."""
     t = cfg.tracers
     if not t.tr_snow:
-        return trcrn, jnp.zeros_like(aicen), vsnon
+        return trcrn, jnp.zeros_like(aicen), vsnon, jnp.zeros_like(aicen)
     trcrn = dict(trcrn)
     nslyr = cfg.domain.nslyr
     smice, smliq = trcrn["smice"], trcrn["smliq"]
@@ -172,13 +175,16 @@ def step_snow(cfg, dt, *, vsnon, aicen, trcrn, Tsno, melts, frain, fsnow,
     rhos_n = update_rhos_wind(cfg.snow, dt, rhos_cmp, wind[None])
 
     vsnon_n = vsnon
+    vsn_lost = jnp.zeros_like(aicen)
     if cfg.snow.snwredist != "none" and "alvl" in trcrn:
-        vsnon_n = snow_redistribution(cfg.snow, dt, vsnon=vsnon,
-                                      aicen=aicen, alvl=trcrn["alvl"],
-                                      wind=wind[None][0])
+        vsnon_n, vsn_lost = snow_redistribution(
+            cfg.snow, dt, vsnon=vsnon, aicen=aicen, alvl=trcrn["alvl"],
+            wind=wind[None][0])
 
     trcrn["smice"] = smice_n
     trcrn["smliq"] = smliq_n
     trcrn["rhos_cmp"] = jnp.where(mask3, rhos_n, rhos_cmp)
     trcrn["rsnw"] = jnp.where(mask3, rsnw_top, rsnw)
-    return trcrn, meltsliq, vsnon_n
+    # fsloss (kg/m^2/s, per category plane): wind-blown snow mass to ocean
+    fsloss = cst.rhos * vsn_lost / dt
+    return trcrn, meltsliq, vsnon_n, fsloss

@@ -34,6 +34,9 @@ class Therm2Out(NamedTuple):
     freshn: jnp.ndarray     # additional fresh water (kg/m^2/s)
     fsaltn: jnp.ndarray     # additional salt (kg/m^2/s)
     meltl: jnp.ndarray      # lateral melt (m)
+    dpnd_melt: jnp.ndarray  # pond water lost with laterally-melted ice (m
+                            # per cell area; reference dpnd_melt,
+                            # ice_history_pond.F90:572)
 
 
 def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
@@ -42,7 +45,9 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
 
     frzmlt > 0 (W/m^2) freezes new ice of thickness >= hfrazilmin in the
     thinnest category, with enthalpy of new ice at the freezing temperature
-    and initial salinity profile.
+    and initial salinity profile.  `trcrn` may be the tracer dict or the
+    packed (ncat, NT, ny, nx) stack (therm2 packed chain) — category-0
+    named rows are updated through the flat layout either way.
     """
     aice = jnp.sum(aicen, axis=0)
     aice0 = jnp.clip(1.0 - aice, 0.0, 1.0)
@@ -73,30 +78,53 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
     wv_old = jnp.where(vtot > cst.puny, v0 / jnp.maximum(vtot, cst.puny), 1.0)
     wv_new = 1.0 - wv_old
 
-    trcrn = dict(trcrn)
+    packed_in = not isinstance(trcrn, dict)
+    if packed_in:
+        from .itd import flat_dep_table
+        _, layout = flat_dep_table(registry)
+        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+
+        def get0(name):
+            o, n = off[name]
+            sl = trcrn[0, o:o + n]
+            return sl if n > 1 else sl[0]
+        has = off.__contains__
+    else:
+        trcrn = dict(trcrn)
+
+        def get0(name):
+            return trcrn[name][0]
+        has = trcrn.__contains__
 
     def set0(name, val0):
-        if name in trcrn:
+        nonlocal trcrn
+        if not has(name):
+            return
+        if packed_in:
+            o, n = off[name]
+            v = val0 if getattr(val0, "ndim", 2) == 3 else val0[None]
+            trcrn = trcrn.at[0, o:o + n].set(v)
+        else:
             trcrn[name] = trcrn[name].at[0].set(val0)
 
-    t = trcrn["Tsfcn"][0]
+    t = get0("Tsfcn")
     set0("Tsfcn", t * wa_old + Tf * wa_new)
-    q0 = trcrn["qice"][0]
+    q0 = get0("qice")
     set0("qice", q0 * wv_old[None] + qfrz * wv_new[None])
-    s0 = trcrn["sice"][0]
+    s0 = get0("sice")
     prof = jnp.asarray(salin, s0.dtype)[:, None, None] * jnp.ones_like(s0)
     set0("sice", s0 * wv_old[None] + prof * wv_new[None])
-    if "FY" in trcrn:
-        set0("FY", trcrn["FY"][0] * wa_old + 1.0 * wa_new)
-    if "alvl" in trcrn:
-        set0("alvl", trcrn["alvl"][0] * wa_old + 1.0 * wa_new)  # level ice
-    if "vlvl" in trcrn:
-        set0("vlvl", trcrn["vlvl"][0] * wv_old + 1.0 * wv_new)
+    if has("FY"):
+        set0("FY", get0("FY") * wa_old + 1.0 * wa_new)
+    if has("alvl"):
+        set0("alvl", get0("alvl") * wa_old + 1.0 * wa_new)  # level ice
+    if has("vlvl"):
+        set0("vlvl", get0("vlvl") * wv_old + 1.0 * wv_new)
     # iage: new ice has age 0 -> weighted dilution happens automatically
-    if "iage" in trcrn:
-        set0("iage", trcrn["iage"][0] * wv_old)
-    if "fbri" in trcrn:
-        set0("fbri", trcrn["fbri"][0] * wv_old + 1.0 * wv_new)  # brine-full
+    if has("iage"):
+        set0("iage", get0("iage") * wv_old)
+    if has("fbri"):
+        set0("fbri", get0("fbri") * wv_old + 1.0 * wv_new)  # brine-full
 
     aicen = aicen.at[0].set(atot)
     vicen = vicen.at[0].set(vtot)
@@ -128,8 +156,17 @@ def lateral_melt(aicen, vicen, vsnon, trcrn, *, frzmlt, Tbot, sst, Tf, dt,
     dt_i = 1.0 / dt
     vice_rm = jnp.sum(vicen, axis=0) * rside
     vsno_rm = jnp.sum(vsnon, axis=0) * rside
-    qice = trcrn["qice"]            # (ncat, nilyr, ny, nx)
-    qsno = trcrn["qsno"]
+    if isinstance(trcrn, dict):
+        qice = trcrn["qice"]        # (ncat, nilyr, ny, nx)
+        qsno = trcrn["qsno"]
+    else:                           # packed (ncat, NT, ny, nx) stack
+        from .itd import flat_dep_table
+        _, layout = flat_dep_table(registry)
+        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        o, n = off["qice"]
+        qice = trcrn[:, o:o + n]
+        o, n = off["qsno"]
+        qsno = trcrn[:, o:o + n]
     nilyr = qice.shape[1]
     nslyr = qsno.shape[1]
     eice = jnp.sum(qice.mean(axis=1) * vicen, axis=0) * rside   # J/m^2 (<0)
@@ -151,35 +188,61 @@ def lateral_melt(aicen, vicen, vsnon, trcrn, *, frzmlt, Tbot, sst, Tf, dt,
 def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
                 frzmlt, Tf, sst, dt, hin_max, registry) -> Therm2Out:
     """Lateral melt + frazil + ITD remap/rebin/cleanup
-    (reference step_therm2 ice_step_mod.F90:639)."""
+    (reference step_therm2 ice_step_mod.F90:639).
+
+    The whole chain runs on ONE packed (ncat, NT, ny, nx) tracer stack —
+    round 5: the per-stage pack/unpack cycles were ~40% of the phase's
+    HBM traffic (tools/therm_roofline.py)."""
+    from .itd import flat_dep_table, pack_tracers, unpack_tracers
     nilyr = cfg.domain.nilyr
+
+    _, layout = flat_dep_table(registry)
+    off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+    trp = pack_tracers(trcrn, registry)
 
     # ITD linear remap restoring category bounds after vertical growth/melt
     if cfg.thermo.kitd == 1:
         hicen_new = vicen_safe_h(vicen, aicen)
-        aicen, vicen, vsnon, trcrn = linear_itd_remap(
-            aicen, vicen, vsnon, trcrn, hin_max, hicen_old, hicen_new, registry)
-    aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
-                                       registry)
+        aicen, vicen, vsnon, trp = linear_itd_remap(
+            aicen, vicen, vsnon, trp, hin_max, hicen_old, hicen_new,
+            registry)
+    aicen, vicen, vsnon, trp = rebin(aicen, vicen, vsnon, trp, hin_max,
+                                     registry)
 
     # salt fluxes at ice_ref_salinity under saltflux_option='constant'
     # (the default; 'prognostic' uses the bl99/mushy salinity profile)
     sal_ref = (cfg.thermo.ice_ref_salinity
                if cfg.thermo.saltflux_option == "constant" else None)
-    aicen, vicen, vsnon, meltl, fhocn_l, fresh_l, fsalt_l = lateral_melt(
-        aicen, vicen, vsnon, trcrn, frzmlt=frzmlt, Tbot=Tf, sst=sst, Tf=Tf,
-        dt=dt, registry=registry, sal_ref=sal_ref)
+    # pond water riding on the laterally-melted area drains to the ocean
+    if "apnd" in off and "hpnd" in off:
+        apnd0 = trp[:, off["apnd"][0]]
+        hpnd0 = trp[:, off["hpnd"][0]]
+        pond_vol0 = jnp.sum(aicen * jnp.clip(apnd0, 0.0, 1.0)
+                            * jnp.maximum(hpnd0, 0.0), axis=0)
+    else:
+        apnd0 = hpnd0 = pond_vol0 = None
 
-    aicen, vicen, trcrn, frazil, fresh_f, fsalt_f = add_new_ice(
-        aicen, vicen, vsnon, trcrn, frzmlt=frzmlt, Tf=Tf, dt=dt,
+    aicen, vicen, vsnon, meltl, fhocn_l, fresh_l, fsalt_l = lateral_melt(
+        aicen, vicen, vsnon, trp, frzmlt=frzmlt, Tbot=Tf, sst=sst, Tf=Tf,
+        dt=dt, registry=registry, sal_ref=sal_ref)
+    if pond_vol0 is not None:
+        pond_vol1 = jnp.sum(aicen * jnp.clip(apnd0, 0.0, 1.0)
+                            * jnp.maximum(hpnd0, 0.0), axis=0)
+        dpnd_melt = jnp.maximum(pond_vol0 - pond_vol1, 0.0)
+    else:
+        dpnd_melt = jnp.zeros_like(meltl)
+
+    aicen, vicen, trp, frazil, fresh_f, fsalt_f = add_new_ice(
+        aicen, vicen, vsnon, trp, frzmlt=frzmlt, Tf=Tf, dt=dt,
         hin_max=hin_max, nilyr=nilyr, registry=registry, sal_ref=sal_ref)
 
-    aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
-                                       registry)
-    aicen, vicen, vsnon, trcrn, fclean = cleanup_itd(
-        aicen, vicen, vsnon, trcrn, registry, dt=dt,
+    aicen, vicen, vsnon, trp = rebin(aicen, vicen, vsnon, trp, hin_max,
+                                     registry)
+    aicen, vicen, vsnon, trp, fclean = cleanup_itd(
+        aicen, vicen, vsnon, trp, registry, dt=dt,
         sal_ref=(sal_ref if sal_ref is not None
                  else cfg.thermo.ice_ref_salinity))
+    trcrn = unpack_tracers(trp, registry)
 
     frz_onset = jnp.where(frazil > 0.0, 1.0, 0.0)
     return Therm2Out(aicen=aicen, vicen=vicen, vsnon=vsnon, trcrn=trcrn,
@@ -187,4 +250,5 @@ def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
                      fhocn=fhocn_l + fclean["fhocn"],
                      freshn=fresh_l + fresh_f + fclean["fresh"],
                      fsaltn=fsalt_l + fsalt_f + fclean["fsalt"], meltl=meltl,
-                     freshn_frazil=fresh_f, fsaltn_frazil=fsalt_f)
+                     freshn_frazil=fresh_f, fsaltn_frazil=fsalt_f,
+                     dpnd_melt=dpnd_melt)

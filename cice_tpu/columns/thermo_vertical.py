@@ -133,6 +133,8 @@ class TempSolveOut(NamedTuple):
     flwout: jnp.ndarray
     einit: jnp.ndarray      # initial column energy (J/m^2) for conservation
     efinal: jnp.ndarray
+    keff_top: jnp.ndarray   # surface-to-top-layer conductance (W/m^2/K) —
+                            # the reference's keffn_top history field
 
 
 def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
@@ -266,20 +268,32 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
         Tin_c = [xc[1 + nslyr + k] for k in range(nilyr)]
 
         # --- melting case: Tsf fixed at 0 ---------------------------------
-        sb2 = sb[1:]
-        dg2 = [d + 0.0 for d in dg[1:]]
-        sp2 = sp[1:]
-        rh2 = [r + 0.0 for r in rh[1:]]
-        # first row couples to fixed Tsf=Tsmelt: move to RHS
-        rh2[0] = rh2[0] - sb2[0] * cst.Tsmelt
-        sb2[0] = jnp.zeros_like(Tsf)
-        xm = tridiag_solve(sb2, dg2, sp2, rh2)
+        # the second tridiagonal roughly doubles the iteration's HBM
+        # traffic; it only matters where the cold solve wants Tsf > 0, so
+        # a device-side lax.cond skips it entirely when NO cell melts
+        # (polar-winter steps; the round-5 roofline found temp_solve at
+        # ~86% of the therm1 phase)
+        melting = Tsf_c > 0.0
+
+        def _melt_solve(_):
+            sb2 = sb[1:]
+            dg2 = [d + 0.0 for d in dg[1:]]
+            sp2 = sp[1:]
+            rh2 = [r + 0.0 for r in rh[1:]]
+            # first row couples to fixed Tsf=Tsmelt: move to RHS
+            rh2[0] = rh2[0] - sb2[0] * cst.Tsmelt
+            sb2[0] = jnp.zeros_like(Tsf)
+            xm = tridiag_solve(sb2, dg2, sp2, rh2)
+            return jnp.stack(xm)
+
+        def _no_melt(_):
+            return jnp.stack([jnp.zeros_like(Tsf)] * (nslyr + nilyr))
+
+        xm = jax.lax.cond(jnp.any(melting), _melt_solve, _no_melt, 0)
         Tsn_m = [xm[k] for k in range(nslyr)]
         Tin_m = [xm[nslyr + k] for k in range(nilyr)]
 
         # --- select case ----------------------------------------------------
-        # melting if the cold solve wants Tsf > 0
-        melting = Tsf_c > 0.0
         # physical bounds: the reference ABORTS at Tsf < Tmin (-100 C,
         # icepack_therm_vertical 'Tsf < Tmin' check); we clamp instead —
         # degenerate knife-edge columns (aicen ~ 1e-10) can random-walk
@@ -346,7 +360,7 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
     return TempSolveOut(Tsf=Tsf, Tsno=Tsn, Tice=Tin, fsurf=fsurf,
                         fcondtop=fcondtop, fcondbot=fcondbot, fsens=fsens,
                         flat=flat, flwout=flwout, einit=einit,
-                        efinal=efinal), qsno_new, qice_new
+                        efinal=efinal, keff_top=kh_sfc), qsno_new, qice_new
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +378,8 @@ class ThicknessOut(NamedTuple):
     congel: jnp.ndarray   # congelation growth (m)
     snoice: jnp.ndarray   # snow-ice formation (m)
     evapn: jnp.ndarray    # evaporative water flux (kg/m^2/s)
+    evapsn: jnp.ndarray   # snow portion of evapn (kg/m^2/s) — the
+                          # reference's `evaps` / sisndmasssubl source
     fhocn: jnp.ndarray    # heat flux to ocean (W/m^2)
     freshn: jnp.ndarray   # fresh water flux to ocean (kg/m^2/s)
     fsaltn: jnp.ndarray   # salt flux to ocean (kg/m^2/s)
@@ -416,6 +432,7 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
                           jnp.maximum(evap_pot, 0.0) * dt / cst.rhos, 0.0)
     dzs[0] = dzs[0] + dhs_frost
     evapn = (cst.rhos * (dhs_frost - dhs_subl) - cst.rhoi * dhi_subl) / dt
+    evapsn = cst.rhos * (dhs_frost - dhs_subl) / dt
 
     # --- bottom growth / melt ---------------------------------------------
     # freezing energy at the bottom interface (J/m^2, positive = freezing):
@@ -510,8 +527,8 @@ def thickness_changes(dt, nilyr, nslyr, *, hin, hsn, qice, qsno, Tm, salin,
 
     return ThicknessOut(hin=hi_new, hsn=hs_new, qice=qi, qsno=qs,
                         meltt=meltt, meltb=meltb, melts=melts, congel=congel,
-                        snoice=snoice, evapn=evapn, fhocn=fhocn,
-                        freshn=freshn, fsaltn=fsaltn), dzi, dzs
+                        snoice=snoice, evapn=evapn, evapsn=evapsn,
+                        fhocn=fhocn, freshn=freshn, fsaltn=fsaltn), dzi, dzs
 
 
 def sum_list(xs):

@@ -113,6 +113,11 @@ class BgcNetOut(NamedTuple):
     trc: dict                   # updated bgc tracers (same keys as input)
     flux_bgc_ocn: dict          # name -> net flux to ocean (mmol/m^2/s)
     grow_net: jnp.ndarray       # diagnostic net specific growth (1/s)
+    # uptake/production history diagnostics (reference upNO/upNH/PP_net,
+    # ice_history_bgc.F90:2286-2296): per-category planes
+    upNO: jnp.ndarray           # algal NO3 uptake (mmol N/m^2/s)
+    upNH: jnp.ndarray           # algal NH4 uptake (mmol N/m^2/s)
+    PP_net: jnp.ndarray         # net primary production (mg C/m^2/d)
 
 
 def step_bgc_skl_net(cfg_bgc, dt, *, aicen, trc, fswthru, Tbot, meltb,
@@ -285,6 +290,10 @@ def step_bgc_skl_net(cfg_bgc, dt, *, aicen, trc, fswthru, Tbot, meltb,
     # icepack_max_fe=2, zbgc_nml n_fed/n_fep; round 3 carried 1+1).
     # Each dissolved class scavenges onto its particulate partner;
     # particulates release to the ocean with bottom melt.
+    # humic matter: passive dissolved pool, ocean exchange only
+    if "bgc_hum" in trc:
+        _dissolved("bgc_hum", 0.0, 0.0)
+
     for suf in ("", "2"):
         fd, fp = "bgc_Fed" + suf, "bgc_Fep" + suf
         if fd in trc:
@@ -299,4 +308,9 @@ def step_bgc_skl_net(cfg_bgc, dt, *, aicen, trc, fswthru, Tbot, meltb,
             fluxes[fp] = jnp.sum(jnp.where(mask, aicen * rel, 0.0),
                                  axis=0) / dt
 
-    return BgcNetOut(trc=out, flux_bgc_ocn=fluxes, grow_net=grow_net)
+    z = jnp.zeros_like(aicen)
+    upNO = (tot_upNit / dt) if isinstance(tot_upNit, jnp.ndarray) else z
+    upNH = (tot_upAm / dt) if isinstance(tot_upAm, jnp.ndarray) else z
+    PP_net = (upNO + upNH) * R_C2N * 12.0 * secday
+    return BgcNetOut(trc=out, flux_bgc_ocn=fluxes, grow_net=grow_net,
+                     upNO=upNO, upNH=upNH, PP_net=PP_net)

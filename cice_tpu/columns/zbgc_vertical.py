@@ -76,7 +76,7 @@ KAPPA_ICE = 1.4
 _DISSOLVED_OCEAN_ATTRS = {
     "bgc_Nit": "nit_data", "bgc_Am": "amm_data", "bgc_Sil": "sil_data",
     "bgc_DMSPd": "dms_data", "bgc_DMS": "dms_data", "bgc_DON": "don_data",
-    "bgc_Fed": "fed_data", "bgc_hum": "hum_data",
+    "bgc_Fed": "fed_data", "bgc_Fed2": "fed_data", "bgc_hum": "hum_data",
 }
 
 ALGAE = ("bgc_N", "bgc_N2", "bgc_N3")   # diatoms, small plankton, Phaeocystis
@@ -103,7 +103,13 @@ def z_tracer_names(zcfg) -> list[str]:
         names += [f"bgc_DOC{i+1}" for i in range(zcfg.n_doc)]
         names += [f"bgc_DIC{i+1}" for i in range(zcfg.n_dic)]
     if zcfg.tr_bgc_Fe:
-        names += ["bgc_Fed", "bgc_Fep"]
+        # up to icepack_max_fe=2 dissolved + 2 particulate classes
+        # (ug_case_settings.rst:802-960 n_fed/n_fep); class 1 keeps the
+        # bare name for restart compatibility, class 2 appends "2"
+        names += ["bgc_Fed"] + [f"bgc_Fed{i+1}"
+                                for i in range(1, min(zcfg.n_fed, 2))]
+        names += ["bgc_Fep"] + [f"bgc_Fep{i+1}"
+                                for i in range(1, min(zcfg.n_fep, 2))]
     if zcfg.tr_bgc_hum:
         names.append("bgc_hum")
     if zcfg.tr_zaero:
@@ -123,6 +129,7 @@ def mobility_type(zcfg, name: str) -> float:
         "bgc_DMSPd": zcfg.dmspdtype, "bgc_DMS": zcfg.dmspdtype,
         "bgc_DON": zcfg.dontype_protein, "bgc_PON": zcfg.nitratetype,
         "bgc_Fed": zcfg.fedtype_1, "bgc_Fep": zcfg.feptype_1,
+        "bgc_Fed2": zcfg.fedtype_1, "bgc_Fep2": zcfg.feptype_1,
         "bgc_hum": zcfg.humtype,
     }
     if name.startswith("zaero"):
@@ -383,22 +390,25 @@ def algal_network(zcfg, dt, trc: Dict[str, jnp.ndarray], PAR, T_layer):
             out["bgc_DMS"] = jnp.maximum(
                 trc["bgc_DMS"] + zcfg.y_sk_DMS * conv - ox, 0.0)
 
-    if "bgc_Fed" in trc:
-        # scavenging onto particles limited by DOC carrying capacity;
-        # slow desorption back (t_iron_conv)
-        Fed = jnp.maximum(trc["bgc_Fed"], 0.0)
+    # iron classes pair dissolved_i <-> particulate_i (icepack_max_fe=2):
+    # scavenging onto particles + slow desorption back (t_iron_conv)
+    for dkey, pkey in (("bgc_Fed", "bgc_Fep"), ("bgc_Fed2", "bgc_Fep2")):
+        if dkey not in trc:
+            continue
+        Fed = jnp.maximum(trc[dkey], 0.0)
         scav = zcfg.k_fe_scav / secday * Fed * dt
-        out["bgc_Fed"] = Fed - scav
-        if "bgc_Fep" in trc:
-            Fep = jnp.maximum(trc["bgc_Fep"], 0.0)
+        out[dkey] = Fed - scav
+        if pkey in trc:
+            Fep = jnp.maximum(trc[pkey], 0.0)
             desorb = dt / (zcfg.t_iron_conv * secday) * Fep
-            out["bgc_Fep"] = jnp.maximum(Fep + scav - desorb, 0.0)
-            out["bgc_Fed"] = out["bgc_Fed"] + desorb
+            out[pkey] = jnp.maximum(Fep + scav - desorb, 0.0)
+            out[dkey] = out[dkey] + desorb
 
     # humics & zaero are passive (transport only)
     if grow_net is None:
         grow_net = jnp.zeros_like(PAR)
-    return out, grow_net
+    diags = {"upNO": tot_upNit / dt, "upNH": tot_upAm / dt}
+    return out, grow_net, diags
 
 
 # ---------------------------------------------------------------------------
@@ -411,6 +421,10 @@ class ZbgcOut(NamedTuple):
     flux_ocn: Dict[str, jnp.ndarray]  # name -> net flux to ocean (mmol/m^2/s)
     grow_net: jnp.ndarray            # cell-mean net specific growth (1/s)
     chl_int: jnp.ndarray             # integrated chlorophyll (mg/m^2) diag
+    # interior-state history diagnostics (reference ice_history_bgc.F90
+    # bTizn/bphizn/zfswin/iDin/ikin 3Db profiles — area-weighted category
+    # sums on the bio grid — and upNO/upNH/PP_net 2D totals)
+    diags: Dict[str, jnp.ndarray]
 
 
 def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
@@ -472,12 +486,28 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
             chl_abs = chl_abs + ka * chl_c
     PAR = par_profile(fswthru, chl_abs, hbr, nb, zcfg)
     if zcfg.solve_zbgc:
-        trc, grow_net_l = algal_network(zcfg, dt, trc, PAR, T_layer)
+        trc, grow_net_l, net_diags = algal_network(zcfg, dt, trc, PAR,
+                                                   T_layer)
         grow_net = jnp.sum(
             jnp.where(mask[:, None], aicen[:, None] * grow_net_l, 0.0),
             axis=(0, 1)) / nb
+        # column-integrated uptake rates (mmol N/m^2/s): layer rate is per
+        # brine volume, integrate x dz over the column, area-weight
+        def _colint(rate):
+            r = jnp.asarray(rate)
+            if r.ndim == 0:
+                return jnp.zeros(aicen.shape[1:], aicen.dtype)
+            return jnp.sum(jnp.where(mask[:, None], r * dzb, 0.0)
+                           * aicen[:, None], axis=(0, 1))
+        upNO = _colint(net_diags["upNO"])
+        upNH = _colint(net_diags["upNH"])
+        # net primary production (mg C/m^2/d): realized N uptake x C:N
+        # (Jin 2006 community ratio, diatom-weighted) x 12 g C/mol
+        PP_net = (upNO + upNH) * float(zcfg.ratio_C2N_diatoms) * 12.0 \
+            * cst.secday
     else:
         grow_net = jnp.zeros(aicen.shape[1:], aicen.dtype)
+        upNO = upNH = PP_net = jnp.zeros(aicen.shape[1:], aicen.dtype)
 
     # --- mobile<->stationary exchange ------------------------------------
     growing = ((congel + frazil[None]) > 0.0) | (darcy_V > 0.0)
@@ -587,5 +617,19 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
                       * aicen[:, None], axis=(0, 1)) if isinstance(
         chl_tot, jnp.ndarray) else jnp.zeros(aicen.shape[1:], dtype)
 
+    # interior-state profiles for history (area-weighted category sums on
+    # the bio grid, the reference's workz accumulation pattern,
+    # ice_history_bgc.F90:2610-2712): brine temperature, porosity, in-ice
+    # PAR, effective diffusivity, permeability (Freitag 1999 phi^3 form)
+    wcat = jnp.where(mask[:, None], aicen[:, None], 0.0)
+    perm = 3.0e-8 * phi ** 3
+    diags = {
+        "bTizn": jnp.sum(wcat * T_layer, axis=0),
+        "bphizn": jnp.sum(wcat * phi, axis=0),
+        "zfswin": jnp.sum(wcat * PAR, axis=0),
+        "iDin": jnp.sum(wcat * D, axis=0),
+        "ikin": jnp.sum(wcat * perm, axis=0),
+        "upNO": upNO, "upNH": upNH, "PP_net": PP_net,
+    }
     return ZbgcOut(trc=trc, frac=frac, flux_ocn=flux_ocn,
-                   grow_net=grow_net, chl_int=chl_int)
+                   grow_net=grow_net, chl_int=chl_int, diags=diags)

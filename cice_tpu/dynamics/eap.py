@@ -313,6 +313,29 @@ def eap_solve(grid: Grid, p: EvpParams, prep: DynPrep, strength,
         *[final.stressm[c] for c in range(4)],
         *[final.stress12[c] for c in range(4)])
     Cb = prep.TbU / (jnp.sqrt(final.uvel ** 2 + final.vvel ** 2) + cst.u0)
+
+    # yield-surface stress diagnostic: one extra stress_rdg evaluation at
+    # the converged state; the reference's yieldstress11/12/22 are the
+    # corner-averaged anisotropic target stresses before EVP relaxation
+    # (ice_dyn_eap.F90:1436-1446)
+    sr = strain_rates_B(grid, final.uvel, final.vvel, p)
+    corners = [(sr.divune, sr.tensionne, sr.shearne),
+               (sr.divunw, sr.tensionnw, sr.shearnw),
+               (sr.divusw, sr.tensionsw, sr.shearsw),
+               (sr.divuse, sr.tensionse, sr.shearse)]
+    tp_sum = tm_sum = t12_sum = 0.0
+    for c, (dv, tn, sh) in enumerate(corners):
+        tp, tm, t12 = stress_rdg(dv, tn, sh, final.a11[c], final.a12[c],
+                                 strength, tabs)
+        tp_sum = tp_sum + tp
+        tm_sum = tm_sum + tm
+        t12_sum = t12_sum + t12
+    msk = prep.iceTmask
+    yieldstress = {
+        "yieldstress11": jnp.where(msk, 0.125 * (tp_sum + tm_sum), 0.0),
+        "yieldstress22": jnp.where(msk, 0.125 * (tp_sum - tm_sum), 0.0),
+        "yieldstress12": jnp.where(msk, 0.25 * t12_sum, 0.0),
+    }
     return (final.uvel, final.vvel, final.stressp, final.stressm,
             final.stress12, strintx, strinty, -final.uvel * Cb,
-            -final.vvel * Cb, final.a11, final.a12)
+            -final.vvel * Cb, final.a11, final.a12, yieldstress)

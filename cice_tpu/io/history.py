@@ -18,6 +18,7 @@ contract, SURVEY §5.4) via get_restart_payload/set_restart_payload.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -203,12 +204,26 @@ def mechred_fields() -> List[HistoryField]:
     ]
 
 
+# reference chl:N / C:N ratios per algal class for derived chl/C fields
+_R_CHL2N = ("ratio_chl2N_diatoms", "ratio_chl2N_sp", "ratio_chl2N_phaeo")
+_R_C2N = ("ratio_C2N_diatoms", "ratio_C2N_sp", "ratio_C2N_phaeo")
+
+
+def _nf2d(key):
+    """2-D plane from flux.ncat_fluxes (zeros when absent)."""
+    def fn(s, fl, g):
+        v = fl.ncat_fluxes.get(key)
+        return jnp.zeros_like(s.aice) if v is None else v
+    return fn
+
+
 def bgc_fields(cfg=None) -> List[HistoryField]:
-    """BGC group for the skl model (ice_history_bgc.F90:935-1100 naming):
-    "X" = vertically-integrated skl content (mmol/m^2, cell mean),
-    "ml_X" = mixed-layer concentration the ice exchanges with,
-    "fX"/"fX_ai" = ice->ocean flux, "grow_net" = net specific growth.
-    Optional pools appear iff their tracer is registered."""
+    """BGC group for the skl model, with the reference's exact names
+    (ice_history_bgc.F90 skl section): species-looped families carry the
+    reference's 3-digit class suffix ("algal_N001", "dFe001", ...);
+    "X"/"algal_X" = bulk skl content (mmol/m^2, cell mean), "X_net" =
+    ice_bio_net column content, "ml_X" = mixed-layer concentration,
+    "fX"/"fX_ai" = ice->ocean flux, plus grow_net/PP_net/upNO/upNH."""
     from ..columns.zbgc import SK_L
     fields = [
         _f("algalN", "mmol N/m^2", "skeletal-layer algal nitrogen",
@@ -224,10 +239,12 @@ def bgc_fields(cfg=None) -> List[HistoryField]:
     per_area = {"bgc_N", "bgc_N2", "bgc_N3", "bgc_PON", "bgc_DMSPp",
                 "bgc_Fep", "bgc_Fep2"}
 
-    def content(key):
+    def content(key, scale=1.0):
         def fn(s, fl, g):
-            t = s.trcrn[key]
-            sc = 1.0 if key in per_area else SK_L
+            t = s.trcrn.get(key)
+            if t is None:
+                return jnp.zeros_like(s.aice)
+            sc = scale * (1.0 if key in per_area else SK_L)
             return jnp.sum(t * sc * s.aicen, axis=0)
         return fn
 
@@ -240,6 +257,7 @@ def bgc_fields(cfg=None) -> List[HistoryField]:
             return jnp.zeros_like(s.aice) if v is None else v
         return fn
 
+    # (tracer key, reference display name, units base, enabled, ml value)
     groups = [("bgc_Nit", "Nit", "mmol N", z.tr_bgc_Nit, z.nit_data),
               ("bgc_Am", "Am", "mmol N", z.tr_bgc_Am, z.amm_data),
               ("bgc_Sil", "Sil", "mmol Si", z.tr_bgc_Sil, z.sil_data),
@@ -247,73 +265,267 @@ def bgc_fields(cfg=None) -> List[HistoryField]:
               ("bgc_DMSPd", "DMSPd", "mmol S", z.tr_bgc_DMS, z.dms_data),
               ("bgc_DMSPp", "DMSPp", "mmol S", z.tr_bgc_DMS, None),
               ("bgc_PON", "PON", "mmol N", z.tr_bgc_PON, None),
-              ("bgc_DON", "DON", "mmol N", z.tr_bgc_DON, 0.0),
-              ("bgc_Fed", "Fed", "umol Fe", z.tr_bgc_Fe, z.fed_data),
-              ("bgc_Fep", "Fep", "umol Fe", z.tr_bgc_Fe, None)]
+              ("bgc_DON", "DON001", "mmol N", z.tr_bgc_DON, 0.0),
+              ("bgc_hum", "hum", "mmol C", z.tr_bgc_hum, z.hum_data)]
+    # iron classes use the reference's dFe/pFe naming (ice_history_bgc.F90
+    # :916-931), DOC/DIC the 3-digit class suffix
+    if z.tr_bgc_Fe:
+        groups += [("bgc_Fed", "dFe001", "umol Fe", True, z.fed_data),
+                   ("bgc_Fep", "pFe001", "umol Fe", True, 0.0)]
+        if z.n_fed >= 2:
+            groups += [("bgc_Fed2", "dFe002", "umol Fe", True, z.fed_data)]
+        if z.n_fep >= 2:
+            groups += [("bgc_Fep2", "pFe002", "umol Fe", True, 0.0)]
+    if z.tr_bgc_C:
+        groups += [(f"bgc_DOC{i+1}", f"DOC{i+1:03d}", "mmol C", True,
+                    z.doc_data) for i in range(z.n_doc)]
+        groups += [(f"bgc_DIC{i+1}", f"DIC{i+1:03d}", "mmol C", True,
+                    z.dic_data) for i in range(z.n_dic)]
     for key, name, u, on, ml in groups:
         if not on:
             continue
         fields.append(_f(name, f"{u}/m^2", f"skl-layer {name} content",
                          content(key)))
+        # ice_bio_net: total column content (== skl content in this model)
+        base = name.rstrip("0123456789")
+        suf = name[len(base):]
+        fields.append(_f(f"{base}_net{suf}", f"{u}/m^2",
+                         f"net {base} column content", content(key)))
         if ml is not None:
-            fields.append(_f(f"ml_{name}", f"{u}/m^3",
-                             f"mixed-layer {name}", mlval(ml)))
-        fields.append(_f(f"f{name}", f"{u}/m^2/s",
-                         f"{name} flux, ice to ocean", focn(key)))
-        fields.append(_f(f"f{name}_ai", f"{u}/m^2/s",
-                         f"{name} flux, ice to ocean (x ice area)",
+            fields.append(_f(f"ml_{base}{suf}", f"{u}/m^3",
+                             f"mixed-layer {base}", mlval(ml)))
+        fields.append(_f(f"f{base}{suf}", f"{u}/m^2/s",
+                         f"{base} flux, ice to ocean", focn(key)))
+        fields.append(_f(f"f{base}_ai{suf}", f"{u}/m^2/s",
+                         f"{base} flux, ice to ocean (x ice area)",
                          (lambda k: lambda s, fl, g:
                           focn(k)(s, fl, g) * s.aice)(key)))
-    def grownet(s, fl, g):
-        v = fl.ncat_fluxes.get("grow_net")
-        return jnp.zeros_like(s.aice) if v is None else v
-    fields.append(_f("grow_net", "1/s", "net specific growth", grownet))
+
+    # algal classes: bulk content + derived carbon/chlorophyll + net +
+    # flux families with per-class reference names (algal_N001, fN001, ...)
+    if z.tr_bgc_N:
+        for i in range(min(z.n_algae, 3)):
+            key = ("bgc_N", "bgc_N2", "bgc_N3")[i]
+            sfx = f"{i+1:03d}"
+            rc2n = float(getattr(z, _R_C2N[i]))
+            rchl = float(getattr(z, _R_CHL2N[i]))
+            fields += [
+                _f(f"algal_N{sfx}", "mmol N/m^2",
+                   f"skl algal N, class {i+1}", content(key)),
+                _f(f"algal_C{sfx}", "mmol C/m^2",
+                   f"skl algal C, class {i+1}", content(key, rc2n)),
+                _f(f"algal_chl{sfx}", "mg chl/m^2",
+                   f"skl algal chlorophyll, class {i+1}", content(key, rchl)),
+                _f(f"algalN_net{sfx}", "mmol/m^2",
+                   f"net algal N, class {i+1}", content(key)),
+                _f(f"algalC_net{sfx}", "mmol/m^2",
+                   f"net algal C, class {i+1}", content(key, rc2n)),
+                _f(f"chl_net{sfx}", "mg chl/m^2",
+                   f"net chlorophyll, class {i+1}", content(key, rchl)),
+                _f(f"ml_N{sfx}", "mmol N/m^3",
+                   f"mixed-layer algal N, class {i+1}", mlval(0.0)),
+                _f(f"fN{sfx}", "mmol/m^2/s",
+                   f"algal N flux to ocean, class {i+1}", focn(key)),
+                _f(f"fN_ai{sfx}", "mmol/m^2/s",
+                   f"algal N flux x ice area, class {i+1}",
+                   (lambda k: lambda s, fl, g:
+                    focn(k)(s, fl, g) * s.aice)(key)),
+            ]
+        if z.tr_bgc_DMS:
+            fields.append(_f("ml_DMSP", "mmol S/m^3", "mixed-layer DMSP",
+                             mlval(z.dms_data)))
+
+    fields += [
+        _f("grow_net", "1/s", "net specific growth", _nf2d("grow_net")),
+        _f("PP_net", "mg C/m^2/d", "net primary production",
+           _nf2d("PP_net")),
+        _f("upNO", "mmol N/m^2/s", "algal nitrate uptake", _nf2d("upNO")),
+        _f("upNH", "mmol N/m^2/s", "algal ammonium uptake", _nf2d("upNH")),
+    ]
     return fields
 
 
+def _z_display(nm: str):
+    """Internal z-tracer key -> reference display names.
+
+    Returns (profile_name, net_name, frac_name) following the reference's
+    species-loop naming (3-digit class suffixes for multi-class families;
+    ice_history_bgc.F90 vname_in constructions)."""
+    fam_cls = {
+        "bgc_N": ("bgc_N", "algalN", 1), "bgc_N2": ("bgc_N", "algalN", 2),
+        "bgc_N3": ("bgc_N", "algalN", 3),
+        "bgc_Fed": ("bgc_Fed", "dFe", 1), "bgc_Fed2": ("bgc_Fed", "dFe", 2),
+        "bgc_Fep": ("bgc_Fep", "pFe", 1), "bgc_Fep2": ("bgc_Fep", "pFe", 2),
+    }
+    if nm in fam_cls:
+        pbase, nbase, i = fam_cls[nm]
+        return (f"{pbase}{i:03d}", f"{nbase}_net{i:03d}",
+                f"{nbase}_frac{i:03d}")
+    if nm.startswith("bgc_DOC") or nm.startswith("bgc_DIC"):
+        i = int(nm[7:])
+        fam = nm[4:7]
+        return (f"bgc_{fam}{i:03d}", f"{fam}_net{i:03d}",
+                f"{fam}_frac{i:03d}")
+    if nm.startswith("zaero"):
+        i = int(nm[5:])
+        return (f"zaero{i:03d}", f"zaero_net{i:03d}", f"zaero_frac{i:03d}")
+    base = nm[4:]            # bgc_Nit -> Nit, bgc_hum -> hum, ...
+    return (nm, f"{base}_net", f"{base}_frac")
+
+
 def zbgc_fields(cfg) -> List[HistoryField]:
-    """z-tracer group (ice_history_bgc.F90 vertically-resolved fields):
-    brine-column-integrated burdens of the (ncat, nblyr, ny, nx) tracers."""
+    """z-tracer group with the reference's names (ice_history_bgc.F90
+    vertically-resolved section): 3Da bulk profiles ("bgc_X[NNN]" +
+    "_cat1"), column-integrated "X_net" (ice_bio_net), column-mean mobile
+    fraction "X_frac" (zbgc_frac), derived carbon/chlorophyll profiles
+    ("bgc_C"/"bgc_chl"), chlorophyll peak ("peak_loc"/"peak_val"), the
+    interior-state 3Db profiles (bTizn/bphizn/zfswin/iDin/ikin) and
+    upNO/upNH/PP_net uptake totals."""
     from ..columns.zbgc_vertical import z_tracer_names
 
-    def _integ(key):
+    z = cfg.zbgc
+
+    def _integ(key, scale=1.0):
         # integral over the brine column: mean over layers x hbr, x aicen
         def fn(s, fl, g):
             am = jnp.maximum(s.aicen, 1e-11)
             hbr = s.trcrn["fbri"] * jnp.where(s.aicen > 1e-11,
                                               s.vicen / am, 0.0)
-            return jnp.sum(jnp.mean(s.trcrn[key], axis=1) * hbr * s.aicen,
-                           axis=0)
+            return jnp.sum(jnp.mean(s.trcrn[key], axis=1) * scale
+                           * hbr * s.aicen, axis=0)
         return fn
 
-    units = {"bgc_Fed": "umol Fe/m^2", "bgc_Fep": "umol Fe/m^2"}
+    units = {"bgc_Fed": "umol Fe/m^2", "bgc_Fep": "umol Fe/m^2",
+             "bgc_Fed2": "umol Fe/m^2", "bgc_Fep2": "umol Fe/m^2"}
     nb = max(cfg.domain.nblyr, 1)
     db = (("nkbio", nb),)
 
-    def prof(key):
+    def prof(key, scale=1.0):
         # category-aggregated bulk concentration profile on the bio grid
         def fn(s, fl, g):
-            return jnp.sum(s.trcrn[key] * s.aicen[:, None], axis=0) / \
-                jnp.maximum(s.aice, cst.puny)[None]
+            return jnp.sum(s.trcrn[key] * scale * s.aicen[:, None],
+                           axis=0) / jnp.maximum(s.aice, cst.puny)[None]
         return fn
 
     def prof1(key):
         return lambda s, fl, g: s.trcrn[key][0]
 
+    def mfrac(key):
+        # brine-volume-weighted column-mean mobile fraction (zbgc_frac)
+        def fn(s, fl, g):
+            mf = s.trcrn.get(key + "_mf")
+            if mf is None:
+                return jnp.zeros_like(s.aice)
+            return jnp.sum(jnp.mean(mf, axis=1) * s.aicen, axis=0) / \
+                jnp.maximum(s.aice, cst.puny)
+        return fn
+
     fields = []
-    for nm in z_tracer_names(cfg.zbgc):
+    for nm in z_tracer_names(z):
         u = units.get(nm, "mmol/m^2")
         if nm.startswith("zaero"):
             u = "kg/m^2"
-        fields.append(_f(nm + "_int", u,
-                         f"brine-column integrated {nm}", _integ(nm)))
+        pname, nname, fname = _z_display(nm)
+        fields.append(_f(nname, u, f"brine-column integrated {nm}",
+                         _integ(nm)))
+        fields.append(_f(fname, "1", f"column-mean mobile fraction, {nm}",
+                         mfrac(nm)))
+        # net ice->ocean flux (reference flux_bio history families; the
+        # zaero family only exists in the z network)
+        uflux = u.replace("/m^2", "/m^2/s")
+        fxbase = ("fzaero" if nm.startswith("zaero")
+                  else "fN" if nm in ("bgc_N", "bgc_N2", "bgc_N3")
+                  else "f" + nname.split("_net")[0])
+        fxsuf = nname[len(nname.rstrip("0123456789")):]
+        fields.append(_f(f"{fxbase}{fxsuf}", uflux,
+                         f"{nm} flux, ice to ocean", _nf2d(f"fzbgc_{nm}")))
+        fields.append(_f(
+            f"{fxbase}_ai{fxsuf}", uflux,
+            f"{nm} flux x ice area",
+            (lambda k: lambda s, fl, g:
+             _nf2d(k)(s, fl, g) * s.aice)(f"fzbgc_{nm}")))
         # true 3Da bio-grid profiles (reference "bgc_X"/"bgc_X_cat1",
         # ice_history_bgc.F90:3177,3294)
         u3 = u.replace("/m^2", "/m^3")
-        fields.append(_f(nm, u3, f"bulk {nm}, bio grid", prof(nm),
+        fields.append(_f(pname, u3, f"bulk {nm}, bio grid", prof(nm),
                          dims=db))
-        fields.append(_f(nm + "_cat1", u3, f"bulk {nm}, category 1",
-                         prof1(nm), dims=db))
+        # per-class category-1 profile: reference loops 'bgc_X_cat1'+nchar
+        m = re.match(r"^(.*?)(\d{3})$", pname)
+        cat1 = (f"{m.group(1)}_cat1{m.group(2)}" if m else pname + "_cat1")
+        fields.append(_f(cat1, u3, f"bulk {nm}, category 1", prof1(nm),
+                         dims=db))
+
+    # derived per-class carbon & chlorophyll profiles + chl peak
+    if z.tr_bgc_N:
+        for i, key in enumerate(("bgc_N", "bgc_N2", "bgc_N3")[: z.n_algae]):
+            sfx = f"{i+1:03d}"
+            rc2n = float(getattr(z, _R_C2N[i]))
+            rchl = float(getattr(z, _R_CHL2N[i]))
+            fields += [
+                _f(f"bgc_C{sfx}", "mmol C/m^3",
+                   f"bulk algal carbon, class {i+1}", prof(key, rc2n),
+                   dims=db),
+                _f(f"bgc_chl{sfx}", "mg chl/m^3",
+                   f"bulk chlorophyll, class {i+1}", prof(key, rchl),
+                   dims=db),
+                _f(f"algal_C{sfx}", "mmol C/m^2",
+                   f"column algal carbon, class {i+1}", _integ(key, rc2n)),
+                _f(f"algal_chl{sfx}", "mg chl/m^2",
+                   f"column chlorophyll, class {i+1}", _integ(key, rchl)),
+                _f(f"chl_frac{sfx}", "1",
+                   f"chl column-mean mobile fraction, class {i+1}",
+                   mfrac(key)),
+            ]
+
+            def _peak(k, which):
+                def fn(s, fl, g):
+                    p = jnp.sum(s.trcrn[k] * s.aicen[:, None], axis=0)
+                    if which == "val":
+                        return jnp.max(p, axis=0)
+                    # fractional depth of the chl maximum (0=top, 1=bottom)
+                    idx = jnp.argmax(p, axis=0).astype(p.dtype)
+                    return (idx + 0.5) / p.shape[0]
+                return fn
+            fields += [
+                _f(f"peak_loc{sfx}", "1",
+                   f"fractional depth of chl peak, class {i+1}",
+                   _peak(key, "loc")),
+                _f(f"peak_val{sfx}", "mg chl/m^3",
+                   f"chl concentration at peak, class {i+1}",
+                   _peak(key, "val")),
+            ]
+
+    # interior-state 3Db profiles + uptake totals (step_zbgc diagnostics)
+    def _nf3d(key):
+        def fn(s, fl, g):
+            v = fl.ncat_fluxes.get(key)
+            if v is None:
+                return jnp.zeros((nb,) + s.aice.shape, s.aice.dtype)
+            return v
+        return fn
+
+    fields += [
+        _f("bTizn", "C", "brine-layer temperature profile (x aice)",
+           _nf3d("bTizn"), dims=db),
+        _f("bphizn", "1", "brine porosity profile (x aice)",
+           _nf3d("bphizn"), dims=db),
+        _f("zfswin", "W/m^2", "PAR in the ice interior (x aice)",
+           _nf3d("zfswin"), dims=db),
+        _f("iDin", "m^2/s", "interior eddy diffusivity (x aice)",
+           _nf3d("iDin"), dims=db),
+        _f("ikin", "m^2", "interior permeability (x aice)",
+           _nf3d("ikin"), dims=db),
+    ]
+    if not z.skl_bgc:      # skl group registers these when both are on
+        fields += [
+            _f("upNO", "mmol N/m^2/s", "algal nitrate uptake",
+               _nf2d("upNO")),
+            _f("upNH", "mmol N/m^2/s", "algal ammonium uptake",
+               _nf2d("upNH")),
+            _f("PP_net", "mg C/m^2/d", "net primary production",
+               _nf2d("PP_net")),
+            _f("grow_net", "1/s", "net specific growth", _nf2d("grow_net")),
+        ]
     return fields
 
 
@@ -996,7 +1208,28 @@ def aero_iso_fields(cfg) -> List[HistoryField]:
                     lambda s, fl, g, sp=sp, li=li: jnp.sum(
                         s.trcrn["aeroice"][:, 2 * sp + li] * s.vicen,
                         axis=0)))
+    if cfg.tracers.tr_aero and cfg.domain.n_aero:
+        from ..columns.aero_iso import FAERO_DEFAULT
+        for sp in range(cfg.domain.n_aero):
+            # deposition & ocean-flux families (reference faero_atm/
+            # faero_ocn species loops, ice_history_bgc.F90)
+            F.append(_ff(
+                f"faero_atm{sp+1:03d}", "kg/m^2/s",
+                f"aerosol deposition rate, species {sp+1}",
+                lambda s, fl, g, fc, sp=sp: (
+                    fc.faero_atm[sp] if fc.faero_atm.shape[0] > sp
+                    else jnp.full_like(
+                        s.aice,
+                        FAERO_DEFAULT[min(sp, len(FAERO_DEFAULT) - 1)]))))
+            F.append(_f(
+                f"faero_ocn{sp+1:03d}", "kg/m^2/s",
+                f"aerosol flux to the ocean, species {sp+1}",
+                lambda s, fl, g, sp=sp:
+                fl.ncat_fluxes["faero_ocn"][sp]
+                if "faero_ocn" in fl.ncat_fluxes
+                else jnp.zeros_like(s.aice)))
     if cfg.tracers.tr_iso and cfg.domain.n_iso:
+        from ..columns.aero_iso import ALPHA_DEP
         for sp in range(cfg.domain.n_iso):
             F.append(_f(f"isosno{sp+1:03d}", "kg/m^2",
                         f"snow isotope burden, species {sp+1}",
@@ -1006,6 +1239,19 @@ def aero_iso_fields(cfg) -> List[HistoryField]:
                         f"ice isotope burden, species {sp+1}",
                         lambda s, fl, g, sp=sp: jnp.sum(
                             s.trcrn["isoice"][:, sp] * s.vicen, axis=0)))
+            # deposition (fractionated snowfall) + ocean release
+            F.append(_ff(
+                f"fiso_atm{sp+1:03d}", "kg/m^2/s",
+                f"isotope deposition rate, species {sp+1}",
+                lambda s, fl, g, fc, sp=sp:
+                ALPHA_DEP[min(sp, len(ALPHA_DEP) - 1)] * fc.fsnow))
+            F.append(_f(
+                f"fiso_ocn{sp+1:03d}", "kg/m^2/s",
+                f"isotope flux to the ocean, species {sp+1}",
+                lambda s, fl, g, sp=sp:
+                fl.ncat_fluxes["fiso_ocn"][sp]
+                if "fiso_ocn" in fl.ncat_fluxes
+                else jnp.zeros_like(s.aice)))
     return F
 
 
@@ -1038,6 +1284,42 @@ def fsd_extra_fields(cfg) -> List[HistoryField]:
     F.append(_f("fsdperim", "1/m", "floe perimeter per unit area", fsdperim))
     F.append(_ff("wave_sig_ht", "m", "significant wave height",
                  lambda s, fl, g, fc: fc.wave_hs))
+
+    # fields passed to the wave model (reference aice_ww/diam_ww/hice_ww,
+    # ice_history_fsd.F90:352-415): FSD-weighted concentration, number-
+    # mean floe diameter (HT2017 eq. 5) and FSD-weighted thickness
+    floeshape = 0.66
+    rad = jnp.asarray(mid)
+
+    def _ww(which):
+        def fn(s, fl, g):
+            fsd = s.trcrn["fsd"]                       # (ncat, nf, ny, nx)
+            afsd = jnp.sum(fsd * s.aicen[:, None], axis=0)   # (nf, ny, nx)
+            a_ww = jnp.sum(afsd, axis=0)
+            if which == "aice":
+                return a_ww
+            if which == "hice":
+                vfsd = jnp.sum(fsd * s.vicen[:, None], axis=0)
+                h = jnp.sum(vfsd, axis=0) / jnp.maximum(a_ww, cst.puny)
+                return jnp.where(a_ww > cst.puny, h, 1.0)
+            # number-mean diameter: weight by floe count afsd/(4*shape*r^2)
+            cnt = afsd / (4.0 * floeshape
+                          * rad[:, None, None] ** 2)
+            num = jnp.sum(cnt * rad[:, None, None], axis=0)
+            den = jnp.sum(cnt, axis=0)
+            diam = 2.0 * num / jnp.maximum(den, cst.puny)
+            return jnp.maximum(2.0 * float(mid[0]),
+                               jnp.where(den > 0.0, diam, 0.0))
+        return fn
+
+    F += [
+        _f("aice_ww", "1", "ice area in waves advection domain",
+           _ww("aice")),
+        _f("diam_ww", "m", "number-mean floe diameter seen by waves",
+           _ww("diam")),
+        _f("hice_ww", "m", "FSD-weighted ice thickness seen by waves",
+           _ww("hice")),
+    ]
 
     # per-process FSD tendencies (reference f_dafsd_newi/latg/latm/wave/weld
     # in ice_history_fsd.F90; 1/s per bin)
@@ -1115,6 +1397,21 @@ def pond_extra_fields(cfg) -> List[HistoryField]:
                 "dpnd_freebdn", "dpnd_dlidn"):
         F.append(_f(key, "m/step", f"{key[:-1]} (cell mean), categories",
                     _cat3(key, cfg.domain.ncat), dims=c))
+    F += [
+        # pond water lost with melting / ridging ice (reference dpnd_melt/
+        # dpnd_ridge, ice_history_pond.F90:572-574)
+        _f("dpnd_melt", "m/step", "pond water lost with melted ice",
+           _nf2d("dpnd_melt")),
+        _f("dpnd_ridge", "m/step", "pond water lost in ridging",
+           _nf2d("dpnd_ridge")),
+        # radiatively-effective pond fraction (reference apeffn 3Dc +
+        # apeff_ai 2D, ice_history_pond.F90:294,410; fl.apeff is the cell
+        # mean, the 3Dc plane is the raw per-category fraction)
+        _f("apeffn", "1", "effective pond fraction, categories",
+           _cat3("apeffn", cfg.domain.ncat), dims=c),
+        _f("apeff_ai", "1", "effective pond fraction (cell mean)",
+           lambda s, fl, g: fl.apeff),
+    ]
     return F
 
 
@@ -1152,7 +1449,11 @@ def mechred_extra_fields(cfg) -> List[HistoryField]:
             ("aparticn", "1", "ridging participation function"),
             ("krdgn", "1", "ridge thickness multiplier"),
             ("aredistn", "1", "new ridge area redistribution"),
-            ("vredistn", "m", "new ridge volume redistribution")):
+            ("vredistn", "m", "new ridge volume redistribution"),
+            # rafting split of the redistribution (thin donors double up;
+            # reference araftn/vraftn, ice_history_mechred.F90:338-344)
+            ("araftn", "1", "rafted ice area"),
+            ("vraftn", "m", "rafted ice volume")):
         F.append(_f(key, units, f"{long}, categories",
                     _cat3(key, cfg.domain.ncat), dims=c))
     return F
@@ -1184,6 +1485,13 @@ def snow_extra_fields(cfg) -> List[HistoryField]:
         _f("snowfracn", "1", "snow-covered fraction, categories",
            lambda s, fl, g: (s.vsnon > cst.puny).astype(s.aicen.dtype) *
            s.aicen, dims=c),
+        # wind-blown snow mass lost to leads (reference fsloss +
+        # sisndmasswind CMIP alias, ice_history_snow.F90:217-229)
+        _f("fsloss", "kg/m^2/s", "snow mass loss to leads (wind)",
+           _nf2d("fsloss")),
+        _f("sisndmasswind", "kg/m^2/s",
+           "snow mass loss by wind drift into leads (CMIP)",
+           _nf2d("fsloss")),
     ]
 
 
@@ -1221,15 +1529,35 @@ def flux_diag_fields(cfg) -> List[HistoryField]:
            lambda s, fl, g: fl.apeff / jnp.maximum(s.aice, cst.puny)),
         _f("sisndmassdyn", "kg/m^2/s", "snow mass tendency, dynamics (SIMIP)",
            lambda s, fl, g: cst.rhos * fl.dvsdtd),
+        # snow sublimation mass flux (reference evaps -> sisndmasssubl
+        # CMIP field, ice_history.F90:1807,2999)
+        _f("sisndmasssubl", "kg m-2 s-1",
+           "snow mass change by sublimation/frost (CMIP)", _nf2d("evaps")),
+        # net surface heat flux causing melt (reference fmeltt_ai,
+        # ice_history.F90:1384)
+        _f("fmeltt_ai", "W/m^2", "net surface heat flux causing melt",
+           lambda s, fl, g: jnp.sum(fl.ncat_fluxes["fmelttn"], axis=0)
+           if "fmelttn" in fl.ncat_fluxes else jnp.zeros_like(s.aice)),
+        # shortwave scaling factor (reference scale_factor <- fswfac,
+        # ice_history.F90:861; ==1 when radiation runs in-step)
+        _f("scale_factor", "1", "shortwave scaling factor",
+           _nf2d("scale_factor")),
     ]
     c = (("nc", cfg.domain.ncat),)
     for key, units, long in (("fsurfn", "W/m^2", "net surface flux"),
                              ("fcondtopn", "W/m^2", "top conductive flux"),
                              ("flatn", "W/m^2", "latent heat flux"),
                              ("fsensn", "W/m^2", "sensible heat flux"),
-                             ("melttn", "m/step", "top ice melt")):
+                             ("melttn", "m/step", "top ice melt"),
+                             ("fmelttn", "W/m^2",
+                              "net surface heat flux causing melt")):
         F.append(_f(f"{key}_ai", units, f"{long} (cell mean), categories",
                     _cat3(key, cfg.domain.ncat), dims=c))
+    # surface-to-top-layer conductance per category (reference keffn_top
+    # 3Dc, ice_history.F90:1922; raw plane, not area-weighted)
+    F.append(_f("keffn_top", "W/m^2/K",
+                "effective thermal conductivity of the top ice/snow layer,"
+                " categories", _cat3("keffn_top", cfg.domain.ncat), dims=c))
     return F
 
 
@@ -1334,7 +1662,22 @@ def parity_extra_fields(cfg) -> List[HistoryField]:
                           ("strocnxE", "ocean stress x at E point"),
                           ("strocnyE", "ocean stress y at E point"),
                           ("strocnxN", "ocean stress x at N point"),
-                          ("strocnyN", "ocean stress y at N point")):
+                          ("strocnyN", "ocean stress y at N point"),
+                          # momentum-balance splits at the faces
+                          # (_en_stress_splits; reference strair*/strcor*/
+                          # strtlt* E/N, ice_history.F90 CD section)
+                          ("strairxE", "air stress x at E point"),
+                          ("strairyE", "air stress y at E point"),
+                          ("strairxN", "air stress x at N point"),
+                          ("strairyN", "air stress y at N point"),
+                          ("strcorxE", "Coriolis stress x at E point"),
+                          ("strcoryE", "Coriolis stress y at E point"),
+                          ("strcorxN", "Coriolis stress x at N point"),
+                          ("strcoryN", "Coriolis stress y at N point"),
+                          ("strtltxE", "sea sfc tilt stress x at E point"),
+                          ("strtltyE", "sea sfc tilt stress y at E point"),
+                          ("strtltxN", "sea sfc tilt stress x at N point"),
+                          ("strtltyN", "sea sfc tilt stress y at N point")):
             F.append(_f(key, "N/m^2", long, _aux(key)))
         F += [
             _f("uvelN", "m/s", "ice velocity u at N point",
@@ -1350,6 +1693,13 @@ def parity_extra_fields(cfg) -> List[HistoryField]:
             _f("icedirN", "deg", "ice direction at N point (from north)",
                drn("uvelN", "vvelN")),
         ]
+    if cfg.dynamics.kdyn == 2:
+        # EAP yield-surface stress tensor (reference yieldstress11/12/22,
+        # ice_dyn_eap.F90:1436-1446 / ice_history registrations)
+        for key, long in (("yieldstress11", "yield stress sigma_11"),
+                          ("yieldstress12", "yield stress sigma_12"),
+                          ("yieldstress22", "yield stress sigma_22")):
+            F.append(_f(key, "N/m", long, _nf2d(key)))
     return F
 
 
@@ -1384,7 +1734,15 @@ def build_fields(cfg) -> List[HistoryField]:
         fields += hbrine_fields(cfg.domain.ncat)
     if getattr(cfg.setup, "hist_cmip", False):
         fields += cmip_fields() + cmip_si_fields(cfg)
-    return fields
+    # dedupe by name, first registration wins (skl_bgc and z_tracers can
+    # both be enabled and share family names like algal_C001/PP_net)
+    seen = set()
+    out = []
+    for f in fields:
+        if f.name not in seen:
+            seen.add(f.name)
+            out.append(f)
+    return out
 
 
 @dataclass

@@ -111,6 +111,8 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
                 specs.append(TracerSpec("bgc_Fed2", DEP_AICE))
             if getattr(z, "n_fep", 1) >= 2:
                 specs.append(TracerSpec("bgc_Fep2", DEP_AICE))
+        if z.tr_bgc_hum:
+            specs.append(TracerSpec("bgc_hum", DEP_AICE))  # mmol C/m^3
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.z_tracers:
         # vertically-resolved z tracers (zbgc_nml z_tracers): bulk
         # concentrations on the nblyr bio grid, conserved per unit brine

@@ -279,15 +279,17 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             melts=th.melts, meltt=th.meltt, snoice=th.snoice,
             fsnow=fc.fsnow, faero_atm=fa)
         trcrn["aerosno"], trcrn["aeroice"] = sn_a, ic_a
+    fiso_ocn = None
     if cfg.tracers.tr_iso and "isosno" in trcrn:
         from ..columns.aero_iso import step_isotopes
-        sn_i, ic_i, _fiso = step_isotopes(
+        sn_i, ic_i, fiso_ocn = step_isotopes(
             cfg, dt, aicen=an, vsnon=vsnon_out, isosno=trcrn["isosno"],
             isoice=trcrn["isoice"], fsnow=fc.fsnow, melts=th.melts,
             snoice=th.snoice)
         trcrn["isosno"], trcrn["isoice"] = sn_i, ic_i
 
     # brine height tracer (icepack update_hbrine; SURVEY §2.9 hbrine group)
+    zbgc_diags: dict = {}
     if cfg.tracers.tr_brine and "fbri" in trcrn:
         from ..columns.hbrine import update_hbrine
         hb = update_hbrine(
@@ -327,15 +329,23 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                 for n in znames:
                     trcrn[n] = zout.trc[n]
                     trcrn[n + "_mf"] = zout.frac[n]
+                # interior-state + uptake diagnostics for history
+                # (bTizn/bphizn/zfswin/iDin/ikin 3Db, upNO/upNH/PP_net 2D)
+                zbgc_diags.update(zout.diags)
+                # net ice->ocean fluxes per z tracer (reference flux_bio;
+                # history fzaero/fN/fNit... families)
+                zbgc_diags.update({f"fzbgc_{n}": v
+                                   for n, v in zout.flux_ocn.items()})
 
     # advanced snow physics (icepack_step_snow; reference calls it as its
     # own phase after dynamics — here it rides with therm1 where the
     # per-category melt and snow temperature are in hand)
+    fsloss_n = None
     if cfg.tracers.tr_snow:
         from ..columns.snow import step_snow
         Tsno_top = jnp.stack([temp_from_enthalpy_snow(q)
                               for q in [trcrn["qsno"][:, 0]]], axis=0)[0]
-        trcrn, meltsliq, vsnon_out = step_snow(
+        trcrn, meltsliq, vsnon_out, fsloss_n = step_snow(
             cfg, dt, vsnon=vsnon_out, aicen=an, trcrn=trcrn,
             Tsno=Tsno_top, melts=th.melts, frain=fc.frain, fsnow=fc.fsnow,
             wind=fc.wind)
@@ -391,12 +401,43 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     agg["ncat_fluxes"] = dict(
         fsurfn=w * ts.fsurf, fcondtopn=w * ts.fcondtop, flatn=w * ts.flat,
         fsensn=w * ts.fsens, melttn=w * th.meltt,
+        # net surface heat flux causing melt (>=0, only when the surface
+        # sits at the melting point — reference fmeltt/fmelttn_ai,
+        # ice_history.F90:1384)
+        fmelttn=w * jnp.where(ts.Tsf > -cst.puny,
+                              jnp.maximum(ts.fsurf - ts.fcondtop, 0.0), 0.0),
+        # surface-to-top-layer conductance per category (raw 3Dc plane;
+        # reference keffn_top, ice_history.F90:1922)
+        keffn_top=jnp.where(mask, ts.keff_top, 0.0),
+        # snow-sublimation mass flux (reference evaps -> sisndmasssubl)
+        evaps=ws(th.evapsn),
+        # radiatively-effective pond fraction per category (raw 3Dc plane;
+        # reference apeffn, ice_history_pond.F90:410)
+        apeffn=apeff,
         # per-category pond water budget planes (f_dpnd_*n)
         **{k + "n": w * v for k, v in pond_diag.items()})
+    # shortwave scaling factor (reference icepack_prep_radiation
+    # scale_factor: net SW at current forcing/albedos over the absorbed SW
+    # of the radiation pass; ==1 when radiation runs in-step, as here)
+    nsw = ((fc.swvdr + fc.swvdf + fc.swidr + fc.swidf) * jnp.sum(w, axis=0)
+           - (fc.swvdr * ws(sw.alvdr) + fc.swvdf * ws(sw.alvdf)
+              + fc.swidr * ws(sw.alidr) + fc.swidf * ws(sw.alidf)))
+    agg["ncat_fluxes"]["scale_factor"] = jnp.where(
+        agg["fswabs"] > cst.puny, nsw / jnp.maximum(agg["fswabs"], cst.puny),
+        1.0)
+    # wind-blown snow mass lost to leads (reference fsloss/sisndmasswind)
+    agg["ncat_fluxes"]["fsloss"] = (
+        jnp.sum(fsloss_n, axis=0) if fsloss_n is not None
+        else jnp.zeros(grid.shape, an.dtype))
+    # z-network interior diagnostics (empty dict when z_tracers off)
+    agg["ncat_fluxes"].update(zbgc_diags)
     if cfg.tracers.tr_aero and "aerosno" in trcrn:
         # per-species aerosol flux to ocean (kg/m^2/s) for the coupler
         # exports Fioi_bcpho/bcphi/flxdst (ice_import_export.F90)
         agg["ncat_fluxes"]["faero_ocn"] = faero_ocn
+    if fiso_ocn is not None:
+        # per-species isotope flux to ocean (reference fiso_ocn history)
+        agg["ncat_fluxes"]["fiso_ocn"] = fiso_ocn
     # cell-mean pond water budget terms (f_dpnd_*)
     for k, v in pond_diag.items():
         agg[k] = ws(v)
@@ -426,6 +467,35 @@ FBOT_MAX = 1000.0
 # ---------------------------------------------------------------------------
 # dynamics phase (step_dyn_horiz:969)
 # ---------------------------------------------------------------------------
+
+def _en_stress_splits(prepc, extra, uvelE, vvelE, uvelN, vvelN):
+    """E/N-point momentum-balance splits for history (reference
+    strair*/strcor*/strtlt* E/N registrations, ice_history.F90 CD-grid
+    section).  The prep stage folds air stress + geostrophic tilt into
+    forcexE/forceyN; unfold them here and evaluate Coriolis at the final
+    velocities.  `extra` (CD only) provides the cross-component forcings."""
+    fmE, fmN = prepc.fmE, prepc.fmN
+    out = {
+        "strairxE": prepc.forcexE + fmE * prepc.vocnE,
+        "strtltxE": -fmE * prepc.vocnE,
+        "strairyN": prepc.forceyN - fmN * prepc.uocnN,
+        "strtltyN": fmN * prepc.uocnN,
+    }
+    if vvelE is not None:
+        out["strcorxE"] = fmE * vvelE
+    if uvelN is not None:
+        out["strcoryN"] = -fmN * uvelN
+    if extra is not None:
+        out.update({
+            "strairyE": extra.forceyE - fmE * prepc.uocnE,
+            "strtltyE": fmE * prepc.uocnE,
+            "strcoryE": -fmE * uvelE,
+            "strairxN": extra.forcexN + fmN * prepc.vocnN,
+            "strtltxN": -fmN * prepc.vocnN,
+            "strcorxN": fmN * vvelN,
+        })
+    return out
+
 
 def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                    strairx_T, strairy_T, dt: float):
@@ -473,7 +543,10 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                            taubx=fin["taubx"], tauby=fin["tauby"],
                            strocnx=fin["strocnx"], strocny=fin["strocny"],
                            divu=divu, shear=shear, Delta=Delta,
-                           strength=strength)
+                           strength=strength,
+                           **_en_stress_splits(prepc, extra, final.uvelE,
+                                               final.vvelE, final.uvelN,
+                                               final.vvelN))
 
     if cfg.grid.grid_ice == "C" and d.kdyn == 1:
         from ..dynamics.evp_c import dyn_prep_c, evp_c_solve
@@ -506,7 +579,14 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                            taubx=fin["taubx"], tauby=fin["tauby"],
                            strocnx=fin["strocnx"], strocny=fin["strocny"],
                            divu=divu, shear=shear, Delta=Delta,
-                           strength=strength)
+                           strength=strength,
+                           **_en_stress_splits(
+                               prepc, None, final.uvelE,
+                               grid_average_X2Y("S", final.vvelN, "N", "E",
+                                                grid),
+                               grid_average_X2Y("S", final.uvelE, "E", "N",
+                                                grid),
+                               final.vvelN))
 
     CwU = None
     if cfg.forcing.formdrag:
@@ -532,7 +612,7 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     elif d.kdyn == 2:
         from ..dynamics.eap import eap_solve
         (u, v, sp, sm, s12, strintx, strinty, taubx, tauby,
-         a11, a12) = eap_solve(
+         a11, a12, yieldstress) = eap_solve(
             grid, p, prep, strength, state.stressp, state.stressm,
             state.stress12, uocn=uocnU, vocn=vocnU,
             a11=state.a11, a12=state.a12)
@@ -561,6 +641,8 @@ def step_dyn_horiz(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     dyn_diags = dict(strintx=strintx, strinty=strinty, taubx=taubx,
                      tauby=tauby, strocnx=strocnx, strocny=strocny,
                      divu=divu, shear=shear, Delta=Delta, strength=strength)
+    if d.kdyn == 2:
+        dyn_diags.update(yieldstress)
     return state, dyn_diags
 
 
@@ -654,6 +736,7 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         ocean = {"bgc_Nit": z.nit_data, "bgc_Am": z.amm_data,
                  "bgc_Sil": z.sil_data, "bgc_DMSPd": z.dms_data,
                  "bgc_DMS": z.dms_data, "bgc_DON": 0.0,
+                 "bgc_hum": z.hum_data,
                  "bgc_Fed": z.fed_data, "bgc_Fed2": z.fed_data,
                  **{f"bgc_DOC{i+1}": z.doc_data for i in range(z.n_doc)},
                  **{f"bgc_DIC{i+1}": z.dic_data for i in range(z.n_dic)}}
@@ -671,6 +754,10 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
             {f"fbgc_{k[4:]}": v for k, v in bout.flux_bgc_ocn.items()})
         agg["ncat_fluxes"]["grow_net"] = jnp.sum(
             bout.grow_net * state.aicen, axis=0) / aice_safe
+        # uptake/production diagnostics (reference upNO/upNH/PP_net)
+        for nm, v in (("upNO", bout.upNO), ("upNH", bout.upNH),
+                      ("PP_net", bout.PP_net)):
+            agg["ncat_fluxes"][nm] = jnp.sum(v * state.aicen, axis=0)
 
     # pond reservoir change over the thermo phases (therm1 pond update +
     # therm2 lateral melt/ITD changes of the pond-bearing area): positive
@@ -831,8 +918,18 @@ def model_step(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                          # ice_history grid-variant registrations)
                          "strintxE", "strintyN", "strintyE", "strintxN",
                          "taubxE", "taubyN", "taubyE", "taubxN",
-                         "strocnxE", "strocnyE", "strocnxN", "strocnyN")
+                         "strocnxE", "strocnyE", "strocnxN", "strocnyN",
+                         # momentum-balance splits at E/N (air/Coriolis/
+                         # tilt; _en_stress_splits)
+                         "strairxE", "strairyE", "strairxN", "strairyN",
+                         "strcorxE", "strcoryE", "strcorxN", "strcoryN",
+                         "strtltxE", "strtltyE", "strtltxN", "strtltyN",
+                         # rafting split + pond-water ridging loss
+                         "araftn", "vraftn", "dpnd_ridge",
+                         # EAP yield-surface stress diagnostic
+                         "yieldstress11", "yieldstress12", "yieldstress22")
                         if k in dyn},
+                     "dpnd_melt": t2.dpnd_melt,
                      "aice_init": aice_init},
         divu=dyn["divu"], shear=dyn["shear"], Delta=dyn["Delta"],
         strintx=dyn["strintx"], strinty=dyn["strinty"],
