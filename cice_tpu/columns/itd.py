@@ -349,14 +349,22 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
 
     def move(frm, to, moving):
         """Move the masked parcels (whole category content) frm->to
-        (packed NT-vectorized weighted mean)."""
-        wsrc = _dep_weight(didx, a[frm], v[frm], s[frm])
-        wdst = _dep_weight(didx, a[to], v[to], s[to])
-        wsm = jnp.where(moving[None], wsrc, 0.0)
-        den = wdst + wsm
-        tr[to] = jnp.where(den > cst.puny,
-                           (tr[to] * wdst + tr[frm] * wsm) /
-                           jnp.maximum(den, cst.puny), tr[to])
+        (packed NT-vectorized weighted mean).  The NT-stack merge — the
+        expensive part — runs under a device-side lax.cond: after the
+        linear ITD remap, out-of-bounds parcels are RARE, so the common
+        case skips the two stack reads + one write entirely."""
+        def _merge(args):
+            t_to, t_frm = args
+            wsrc = _dep_weight(didx, a[frm], v[frm], s[frm])
+            wdst = _dep_weight(didx, a[to], v[to], s[to])
+            wsm = jnp.where(moving[None], wsrc, 0.0)
+            den = wdst + wsm
+            return jnp.where(den > cst.puny,
+                             (t_to * wdst + t_frm * wsm) /
+                             jnp.maximum(den, cst.puny), t_to)
+
+        tr[to] = jax.lax.cond(jnp.any(moving), _merge,
+                              lambda args: args[0], (tr[to], tr[frm]))
         for pool in (a, v, s):
             dm = jnp.where(moving, pool[frm], 0.0)
             pool[to] = pool[to] + dm

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,41 +150,57 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
     vraftn = jnp.zeros_like(aicen)     # (reference araftn/vraftn snapshots,
     #                                    ice_history_mechred.F90:338-344)
     dpnd_ridge = jnp.zeros_like(divu)  # pond water on ridging donor area
-    aparticn = None
-    krdgn = None
+    # --- packed tracer stack + static dependency machinery ---------------
+    # round 5: the pass loop runs under lax.while_loop with an early exit
+    # (one pass closes the requirement almost everywhere; the unrolled
+    # 3-pass version was the single biggest block of the coupled step at
+    # 4.1 ms, BENCH_r05 phase_ms_loop.ridge) and the per-registry-spec
+    # Python merge became ONE packed contraction per receiver-distribution
+    # group (fa-based for area/snow-dependent rows, fv-based for
+    # volume-dependent rows).
+    from .itd import _dep_onehot, flat_dep_table, pack_tracers, unpack_tracers
+    from ..model.state import DEP_VICE
 
-    # fixed-point iterations: each pass ridges min(required, available)
-    closing_rem = closing_net * dt         # total fractional area to close
-    for _ in range(NITER_RDG):
+    didx, layout = flat_dep_table(registry)
+    oh = jnp.asarray(_dep_onehot(didx), aicen.dtype)      # (NT, 3)
+    maskv = jnp.asarray((np.asarray(didx) == DEP_VICE)
+                        .astype(np.float32), aicen.dtype)[None, :, None,
+                                                          None]
+    off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+    trp = pack_tracers(trcrn, registry)       # (ncat, NT, ny, nx)
+
+    bounds = np.array([float(b) for b in hin_max])
+    bounds[-1] = 1e9
+    lo = jnp.asarray(bounds[:-1], aicen.dtype)[None, :, None, None]
+    hi_b = jnp.asarray(bounds[1:], aicen.dtype)[None, :, None, None]
+    have_pond = "apnd" in off and "hpnd" in off
+
+    def pass_body(c):
+        (aicen, vicen, vsnon, trp, closing_rem, dardg1, dardg2, dvirdg,
+         dardg1n, dardg2n, dvirdgn, araftn, vraftn, dpnd_ridge,
+         aparticn, krdgn, it) = c
         aice = jnp.sum(aicen, axis=0)
         aice0 = jnp.clip(1.0 - aice, 0.0, 1.0)
         rp = ridge_prep(aicen, vicen, aice0, d.mu_rdg)
-        if aparticn is None:        # snapshot of the first pass
-            aparticn = rp.apartic[1:]
-            krdgn = rp.krdg
+        first = it == 0                 # diagnostics snapshot first pass
+        aparticn = jnp.where(first, rp.apartic[1:], aparticn)
+        krdgn = jnp.where(first, rp.krdg, krdgn)
         # area closed this pass (cannot exceed what participation provides)
         clos = jnp.minimum(closing_rem, 0.9)
-        # per-donor area participating in closing `clos`:
-        #   open water: rp.apartic[0]*clos/aksum ; category n similar
         scale = clos / rp.aksum
         # limit: do not remove more area than each donor has
-        lim = jnp.ones_like(clos)
         ow_take = rp.apartic[0] * scale
-        lim = jnp.minimum(lim, jnp.where(ow_take > cst.puny,
-                                         aice0 / jnp.maximum(ow_take, cst.puny),
-                                         1.0))
-        takes = []
-        for n in range(ncat):
-            take = rp.apartic[1 + n] * scale
-            takes.append(take)
-            lim = jnp.minimum(lim, jnp.where(take > cst.puny,
-                                             aicen[n] / jnp.maximum(take, cst.puny),
-                                             1.0))
+        lim = jnp.where(ow_take > cst.puny,
+                        aice0 / jnp.maximum(ow_take, cst.puny), 1.0)
+        take = rp.apartic[1:] * scale[None]
+        lim = jnp.minimum(lim, jnp.min(
+            jnp.where(take > cst.puny,
+                      aicen / jnp.maximum(take, cst.puny), 1.0), axis=0))
         lim = jnp.clip(lim, 0.0, 1.0)
         scale = scale * lim
 
         # vectorized donor -> receiver transfer matrices (n donor, m recv):
-        # all removals use the loop-start state (like the reference's
+        # all removals use the pass-start state (like the reference's
         # ridge_shift), and receivers merge tracers by total weighted mean
         # — associative, so equal to sequential pairwise merging
         ardg = rp.apartic[1:] * scale[None]           # (ncat, ny, nx)
@@ -194,47 +211,42 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         srdg = vsnon * frac                   # snow rides with the ridge
         area_r = ardg / rp.krdg               # new ridge area per donor
 
-        bounds = np.array([float(b) for b in hin_max])
-        bounds[-1] = 1e9
-        lo = jnp.asarray(bounds[:-1], aicen.dtype)[None, :, None, None]
-        hi_b = jnp.asarray(bounds[1:], aicen.dtype)[None, :, None, None]
         # overlap of donor n's exponential ridge pdf with receiver m's bin
-        fa, fv = _exp_overlap(rp.hrmin[:, None], rp.hrexp[:, None], lo, hi_b)
-        fa_tot = jnp.maximum(jnp.sum(fa, axis=1, keepdims=True), cst.puny)
-        fv_tot = jnp.maximum(jnp.sum(fv, axis=1, keepdims=True), cst.puny)
-        da = area_r[:, None] * fa / fa_tot            # (n, m, ny, nx)
-        dv = vrdg[:, None] * fv / fv_tot
-        ds = srdg[:, None] * fa / fa_tot
+        fa, fv = _exp_overlap(rp.hrmin[:, None], rp.hrexp[:, None], lo,
+                              hi_b)
+        fa_n = fa / jnp.maximum(jnp.sum(fa, axis=1, keepdims=True),
+                                cst.puny)     # (n, m, ny, nx)
+        fv_n = fv / jnp.maximum(jnp.sum(fv, axis=1, keepdims=True),
+                                cst.puny)
+        da = area_r[:, None] * fa_n
+        dv = vrdg[:, None] * fv_n
+        ds = srdg[:, None] * fa_n
 
         a_rm = aicen - ardg                   # post-removal donor state
         v_rm = vicen - vrdg
         s_rm = vsnon - srdg
-        da_r = jnp.sum(da, axis=0)            # per-receiver gains (m, ny, nx)
+        da_r = jnp.sum(da, axis=0)            # per-receiver gains (m,ny,nx)
         dv_r = jnp.sum(dv, axis=0)
         ds_r = jnp.sum(ds, axis=0)
 
-        # donor-state pond tracers (pre-merge) for the dpnd_ridge diagnostic
-        apnd_d = trcrn.get("apnd")
-        hpnd_d = trcrn.get("hpnd")
-
-        from ..model.state import DEP_AICE, DEP_VICE, DEP_VSNO
-        wts = {DEP_AICE: (a_rm, da, da_r), DEP_VICE: (v_rm, dv, dv_r),
-               DEP_VSNO: (s_rm, ds, ds_r)}
-        tr_new = {}
-        for spec in registry:
-            wr, wd, wd_r = wts[spec.depend]
-            t = trcrn[spec.name]
-            if t.ndim == 4:                   # (ncat, L, ny, nx)
-                contrib = jnp.sum(t[:, None] * wd[:, :, None], axis=0)
-                wr_b, wd_rb = wr[:, None], wd_r[:, None]
-            else:
-                contrib = jnp.sum(t[:, None] * wd, axis=0)
-                wr_b, wd_rb = wr, wd_r
-            den = wr_b + wd_rb
-            tr_new[spec.name] = jnp.where(
-                den > cst.puny,
-                (t * wr_b + contrib) / jnp.maximum(den, cst.puny), t)
-        trcrn = tr_new
+        # packed merge: u[n,T] = t[n,T] * (dep-selected donor pool amount),
+        # receiver contribution = u contracted with the dep group's
+        # receiver distribution (fa for area/snow rows, fv for volume rows)
+        pool3 = jnp.stack([area_r, vrdg, srdg])            # (3, n, ny, nx)
+        wsel = jnp.einsum("tk,kn...->nt...", oh, pool3)    # (n, NT, ny, nx)
+        u = trp * wsel
+        u_v = u * maskv
+        u_a = u - u_v
+        contrib = (jnp.einsum("nt...,nm...->mt...", u_a, fa_n)
+                   + jnp.einsum("nt...,nm...->mt...", u_v, fv_n))
+        wr = jnp.einsum("tk,kn...->nt...", oh,
+                        jnp.stack([a_rm, v_rm, s_rm]))
+        wd_r = jnp.einsum("tk,km...->mt...", oh,
+                          jnp.stack([da_r, dv_r, ds_r]))
+        den = wr + wd_r
+        trp_new = jnp.where(den > cst.puny,
+                            (trp * wr + contrib) /
+                            jnp.maximum(den, cst.puny), trp)
 
         dardg1 = dardg1 + jnp.sum(ardg, axis=0)
         dvirdg = dvirdg + jnp.sum(vrdg, axis=0)
@@ -250,10 +262,10 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         araftn = araftn + jnp.sum(jnp.where(raft_d, da, 0.0), axis=0)
         vraftn = vraftn + jnp.sum(jnp.where(raft_d, dv, 0.0), axis=0)
         # pond water riding on ridged donor area drains to the ocean
-        # (reference dpnd_ridge, ice_history_pond.F90:574); apnd/hpnd are
-        # per-category pond fraction & depth, so the donor loses
-        # ardg * apnd * hpnd (m of water per cell area)
-        if apnd_d is not None and hpnd_d is not None:
+        # (reference dpnd_ridge, ice_history_pond.F90:574)
+        if have_pond:
+            apnd_d = trp[:, off["apnd"][0]]
+            hpnd_d = trp[:, off["hpnd"][0]]
             dpnd_ridge = dpnd_ridge + jnp.sum(
                 ardg * jnp.clip(apnd_d, 0.0, 1.0)
                 * jnp.maximum(hpnd_d, 0.0), axis=0)
@@ -262,12 +274,33 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         vicen = v_rm + dv_r
         vsnon = s_rm + ds_r
         closing_rem = jnp.maximum(closing_rem - clos * lim, 0.0)
+        return (aicen, vicen, vsnon, trp_new, closing_rem, dardg1, dardg2,
+                dvirdg, dardg1n, dardg2n, dvirdgn, araftn, vraftn,
+                dpnd_ridge, aparticn, krdgn, it + 1)
 
-    # renormalize if total area still exceeds 1 (e.g. strong convergence)
-    aicen, vicen, vsnon, trcrn = rebin(aicen, vicen, vsnon, trcrn, hin_max,
-                                       registry)
-    aicen, vicen, vsnon, trcrn, fclean = cleanup_itd(aicen, vicen, vsnon,
-                                                     trcrn, registry, dt=dt)
+    def pass_cond(c):
+        closing_rem, it = c[4], c[-1]
+        # early exit: one pass satisfies the closing requirement almost
+        # everywhere (lim only binds under extreme convergence); the
+        # NITER_RDG cap preserves the fixed-point semantics
+        return (it < NITER_RDG) & (jnp.max(closing_rem) > 1e-9)
+
+    closing_rem = closing_net * dt         # total fractional area to close
+    init = (aicen, vicen, vsnon, trp, closing_rem, dardg1, dardg2, dvirdg,
+            dardg1n, dardg2n, dvirdgn, araftn, vraftn, dpnd_ridge,
+            jnp.zeros_like(aicen), jnp.zeros_like(aicen),
+            jnp.asarray(0, jnp.int32))
+    (aicen, vicen, vsnon, trp, closing_rem, dardg1, dardg2, dvirdg,
+     dardg1n, dardg2n, dvirdgn, araftn, vraftn, dpnd_ridge,
+     aparticn, krdgn, _it) = jax.lax.while_loop(pass_cond, pass_body, init)
+
+    # renormalize if total area still exceeds 1 (e.g. strong convergence);
+    # the rebin/cleanup tail stays on the packed stack (one unpack total)
+    aicen, vicen, vsnon, trp = rebin(aicen, vicen, vsnon, trp, hin_max,
+                                     registry)
+    aicen, vicen, vsnon, trp, fclean = cleanup_itd(aicen, vicen, vsnon,
+                                                   trp, registry, dt=dt)
+    trcrn = unpack_tracers(trp, registry)
 
     diags = dict(dardg1dt=dardg1 / dt, dardg2dt=dardg2 / dt,
                  dvirdgdt=dvirdg / dt, opening=opning,

@@ -80,30 +80,35 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
 
     packed_in = not isinstance(trcrn, dict)
     if packed_in:
+        # work on the (NT, ny, nx) category-0 ROW, write it back once —
+        # per-name updates on the full (ncat, NT, ny, nx) stack would
+        # re-materialize the whole buffer per dynamic-update-slice
         from .itd import flat_dep_table
         _, layout = flat_dep_table(registry)
         off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        row0 = trcrn[0]
 
         def get0(name):
             o, n = off[name]
-            sl = trcrn[0, o:o + n]
+            sl = row0[o:o + n]
             return sl if n > 1 else sl[0]
         has = off.__contains__
     else:
         trcrn = dict(trcrn)
+        row0 = None
 
         def get0(name):
             return trcrn[name][0]
         has = trcrn.__contains__
 
     def set0(name, val0):
-        nonlocal trcrn
+        nonlocal trcrn, row0
         if not has(name):
             return
         if packed_in:
             o, n = off[name]
             v = val0 if getattr(val0, "ndim", 2) == 3 else val0[None]
-            trcrn = trcrn.at[0, o:o + n].set(v)
+            row0 = row0.at[o:o + n].set(v)
         else:
             trcrn[name] = trcrn[name].at[0].set(val0)
 
@@ -126,6 +131,8 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
     if has("fbri"):
         set0("fbri", get0("fbri") * wv_old + 1.0 * wv_new)  # brine-full
 
+    if packed_in:
+        trcrn = trcrn.at[0].set(row0)
     aicen = aicen.at[0].set(atot)
     vicen = vicen.at[0].set(vtot)
 

@@ -262,50 +262,47 @@ def temperature_changes(dt, nilyr, nslyr, *, Tsf, qsno, qice, salin, Tm,
             rh[r] = Tin0[k] + etai[k] * Iswabs[k] \
                 + (etai[k] * dn * Tbot if k == nilyr - 1 else 0.0)
 
-        xc = tridiag_solve(sb, dg, sp, rh)
-        Tsf_c = xc[0]
-        Tsn_c = [xc[1 + k] for k in range(nslyr)]
-        Tin_c = [xc[1 + nslyr + k] for k in range(nilyr)]
+        # --- one bottom-up elimination serves BOTH surface closures -------
+        # The layer system (rows 1..n, bottom Dirichlet folded into rh)
+        # is LINEAR in the surface temperature: eliminating upward from
+        # the bottom gives x_k = alpha_k + beta_k * x_{k-1}, chaining to
+        # x_1 = a1 + b1*Tsf.  The cold closure solves the scalar surface
+        # row for Tsf_c; the melting closure substitutes Tsf = Tsmelt.
+        # One elimination + one substitution replaces the round-4 TWO
+        # full Thomas solves per Picard iteration (temp_solve was ~86%
+        # of the therm1 phase, tools/therm_roofline.py).
+        n_lay = nslyr + nilyr
+        alpha = [None] * (n_lay + 1)      # rows 1..n_lay
+        beta = [None] * (n_lay + 1)
+        for k in range(n_lay, 0, -1):
+            denom = dg[k] if k == n_lay else dg[k] + sp[k] * beta[k + 1]
+            denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            num = rh[k] - (sp[k] * alpha[k + 1] if k < n_lay else 0.0)
+            alpha[k] = num / denom
+            beta[k] = -sb[k] / denom
+        # cold closure: dg0*Tsf + sp0*x1 = rh0 with x1 = a1 + b1*Tsf
+        den0 = dg[0] + sp[0] * beta[1]
+        den0 = jnp.where(jnp.abs(den0) < 1e-30, 1e-30, den0)
+        Tsf_c = (rh[0] - sp[0] * alpha[1]) / den0
 
-        # --- melting case: Tsf fixed at 0 ---------------------------------
-        # the second tridiagonal roughly doubles the iteration's HBM
-        # traffic; it only matters where the cold solve wants Tsf > 0, so
-        # a device-side lax.cond skips it entirely when NO cell melts
-        # (polar-winter steps; the round-5 roofline found temp_solve at
-        # ~86% of the therm1 phase)
-        melting = Tsf_c > 0.0
-
-        def _melt_solve(_):
-            sb2 = sb[1:]
-            dg2 = [d + 0.0 for d in dg[1:]]
-            sp2 = sp[1:]
-            rh2 = [r + 0.0 for r in rh[1:]]
-            # first row couples to fixed Tsf=Tsmelt: move to RHS
-            rh2[0] = rh2[0] - sb2[0] * cst.Tsmelt
-            sb2[0] = jnp.zeros_like(Tsf)
-            xm = tridiag_solve(sb2, dg2, sp2, rh2)
-            return jnp.stack(xm)
-
-        def _no_melt(_):
-            return jnp.stack([jnp.zeros_like(Tsf)] * (nslyr + nilyr))
-
-        xm = jax.lax.cond(jnp.any(melting), _melt_solve, _no_melt, 0)
-        Tsn_m = [xm[k] for k in range(nslyr)]
-        Tin_m = [xm[nslyr + k] for k in range(nilyr)]
-
-        # --- select case ----------------------------------------------------
+        # melting where the cold closure wants Tsf > 0.
         # physical bounds: the reference ABORTS at Tsf < Tmin (-100 C,
         # icepack_therm_vertical 'Tsf < Tmin' check); we clamp instead —
         # degenerate knife-edge columns (aicen ~ 1e-10) can random-walk
         # the unclamped solve to -300 C, where the saturation-humidity
         # exp() at negative absolute temperature goes inf (round-4 tx1
         # NaN hunt)
-        Tsf = jnp.clip(jnp.where(melting, 0.0, Tsf_c), -100.0, 0.0)
-        Tsn = [jnp.where(melting, m, c) for m, c in zip(Tsn_m, Tsn_c)]
-        Tin = [jnp.where(melting, m, c) for m, c in zip(Tin_m, Tin_c)]
-        # physical bounds
-        Tsn = [jnp.clip(t, -100.0, 0.0) for t in Tsn]
-        Tin = [jnp.clip(Tin[k], -100.0, Tm[k]) for k in range(nilyr)]
+        melting = Tsf_c > 0.0
+        Tsf = jnp.clip(jnp.where(melting, cst.Tsmelt, Tsf_c),
+                       -100.0, 0.0)
+        x_prev = Tsf
+        Tlay = []
+        for k in range(1, n_lay + 1):
+            x_prev = alpha[k] + beta[k] * x_prev
+            Tlay.append(x_prev)
+        Tsn = [jnp.clip(Tlay[k], -100.0, 0.0) for k in range(nslyr)]
+        Tin = [jnp.clip(Tlay[nslyr + k], -100.0, Tm[k])
+               for k in range(nilyr)]
         return (Tsf, jnp.stack(Tsn), jnp.stack(Tin))
 
     # Picard under lax.while_loop with the reference's convergence norm

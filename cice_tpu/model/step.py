@@ -282,10 +282,12 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
     fiso_ocn = None
     if cfg.tracers.tr_iso and "isosno" in trcrn:
         from ..columns.aero_iso import step_isotopes
+        fi = (fc.fiso_atm
+              if fc.fiso_atm.shape[0] == cfg.domain.n_iso else None)
         sn_i, ic_i, fiso_ocn = step_isotopes(
             cfg, dt, aicen=an, vsnon=vsnon_out, isosno=trcrn["isosno"],
             isoice=trcrn["isoice"], fsnow=fc.fsnow, melts=th.melts,
-            snoice=th.snoice)
+            snoice=th.snoice, fiso_atm=fi)
         trcrn["isosno"], trcrn["isoice"] = sn_i, ic_i
 
     # brine height tracer (icepack update_hbrine; SURVEY §2.9 hbrine group)
@@ -414,6 +416,9 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
         # radiatively-effective pond fraction per category (raw 3Dc plane;
         # reference apeffn, ice_history_pond.F90:410)
         apeffn=apeff,
+        # per-category SW penetration to the ocean (coupler
+        # Fioi_swpen_ifrac_n export, ice_import_export.F90:262)
+        fswthrun=w * sw.fswthru,
         # per-category pond water budget planes (f_dpnd_*n)
         **{k + "n": w * v for k, v in pond_diag.items()})
     # shortwave scaling factor (reference icepack_prep_radiation
