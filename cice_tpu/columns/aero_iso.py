@@ -90,10 +90,11 @@ def step_aerosols(cfg, dt, *, aicen, vicen, vsnon, aerosno, aeroice,
 
 
 def step_isotopes(cfg, dt, *, aicen, vsnon, isosno, isoice, fsnow, melts,
-                  snoice, Qref_iso=None):
+                  snoice, Qref_iso=None, fiso_atm=None):
     """Water-isotope budget: snowfall deposition (with species
-    fractionation), melt release to the ocean, snow-ice transfer.
-    Returns (isosno, isoice, fiso_ocn)."""
+    fractionation; or coupler-imported per-species rates `fiso_atm` —
+    Faxa_snow_wiso, ice_import_export.F90:757-762), melt release to the
+    ocean, snow-ice transfer.  Returns (isosno, isoice, fiso_ocn)."""
     n_iso = cfg.domain.n_iso
     if n_iso == 0:
         return isosno, isoice, jnp.zeros((0,) + aicen.shape[1:])
@@ -104,7 +105,10 @@ def step_isotopes(cfg, dt, *, aicen, vsnon, isosno, isoice, fsnow, melts,
     fiso_ocn = []
     for k in range(n_iso):
         alpha = ALPHA_DEP[min(k, len(ALPHA_DEP) - 1)]
-        dep = jnp.where(mask, alpha * fsnow * dt, 0.0)
+        if fiso_atm is not None and fiso_atm.shape[0] > k:
+            dep = jnp.where(mask, fiso_atm[k] * dt, 0.0)
+        else:
+            dep = jnp.where(mask, alpha * fsnow * dt, 0.0)
         s = sn[:, k] + dep
         i = ic[:, k]
         fmelt_s = jnp.clip(melts / jnp.maximum(hs, 0.05), 0.0, 1.0)

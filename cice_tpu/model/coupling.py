@@ -45,6 +45,10 @@ IMPORT_MAP = {
 # dust. Keys may be the stacked vectors or the per-class planes.
 AEROSOL_IMPORTS = ("Faxa_bcph", "Faxa_dstwet", "Faxa_dstdry")
 
+# water-isotope coupling surface (ice_import_export.F90:739-770 imports,
+# :1300-1340 exports): species order HDO / H2_16O / H2_18O
+WISO_IMPORTS = ("Sa_shum_wiso", "Faxa_snow_wiso", "So_roce_wiso")
+
 
 class CoupledIce:
     """Subroutine-call coupling wrapper (the direct/hadgem3-style driver
@@ -53,6 +57,10 @@ class CoupledIce:
     def __init__(self, cfg, scale_fluxes: bool = True):
         self.model = Model(cfg)
         self.scale_fluxes = scale_fluxes
+        # water-isotope coupling state (imported, consumed at export time
+        # or by the isotope deposition pathway)
+        self.Qa_iso = None       # (3, ny, nx) Sa_shum_wiso
+        self.roce_iso = None     # (3, ny, nx) So_roce_wiso ocean ratios
 
     # -- import (coupler -> ice) -----------------------------------------
     def import_fields(self, fields: Dict[str, jnp.ndarray]):
@@ -83,6 +91,26 @@ class CoupledIce:
             upd["faero_atm"] = jnp.stack(
                 (species + [z] * n_aero)[:n_aero]) if n_aero else \
                 jnp.zeros((0,) + self.model.grid.shape, dt_np)
+        # water-isotope imports (ice_import_export.F90:739-770): snowfall
+        # isotopes feed the deposition pathway; humidity/ocean ratios are
+        # held for the export-side budgets
+        if "Faxa_snow_wiso" in fields:
+            dt_np = self.model.cfg.np_dtype
+            fiso = jnp.asarray(fields["Faxa_snow_wiso"], dt_np)
+            n_iso = self.model.cfg.domain.n_iso
+            if n_iso and fiso.shape[0] >= n_iso:
+                upd["fiso_atm"] = fiso[:n_iso]
+        if "Sw_elevation_spectrum" in fields:
+            # wave-model elevation spectrum import (25 frequency bins;
+            # ice_import_export.F90 Sw_elevation_spectrum -> FSD fracture)
+            upd["wave_spectrum"] = jnp.asarray(
+                fields["Sw_elevation_spectrum"], self.model.cfg.np_dtype)
+        if "Sa_shum_wiso" in fields:
+            self.Qa_iso = jnp.asarray(fields["Sa_shum_wiso"],
+                                      self.model.cfg.np_dtype)
+        if "So_roce_wiso" in fields:
+            self.roce_iso = jnp.asarray(fields["So_roce_wiso"],
+                                        self.model.cfg.np_dtype)
         self.model.forcing = fc.replace(**upd)
         if "Fioo_q" in fields:
             self.model.state = self.model.state.replace(
@@ -156,4 +184,41 @@ class CoupledIce:
                 # species routing mirrors the import side
                 out.update({"Fioi_bcpho": faero[0], "Fioi_bcphi": faero[1],
                             "Fioi_flxdst": faero[2]})
+
+            # per-band + per-category SW penetration exports
+            # (ice_import_export.F90:1218-1245, :262).  CCSM3 semantics:
+            # only the VISIBLE bands penetrate the ice interior (i0_vis),
+            # so the band split follows the incident visible partition;
+            # the near-IR exports are structurally zero.
+            fc = self.model.forcing
+            vis = fc.swvdr + fc.swvdf
+            wdr = jnp.where(vis > cst.puny,
+                            fc.swvdr / jnp.maximum(vis, cst.puny), 0.5)
+            out["Fioi_swpen_vdr"] = fl.fswthru * wdr
+            out["Fioi_swpen_vdf"] = fl.fswthru * (1.0 - wdr)
+            out["Fioi_swpen_idr"] = jnp.zeros_like(fl.fswthru)
+            out["Fioi_swpen_idf"] = jnp.zeros_like(fl.fswthru)
+            swn = fl.ncat_fluxes.get("fswthrun")
+            if swn is not None:
+                out["Fioi_swpen_ifrac_n"] = swn
+
+            # water-isotope exports (ice_import_export.F90:1300-1340):
+            # meltwater carries the per-species ocean release; sublimation
+            # is fractionation-free (solid->vapor), so evaporation carries
+            # the snow-reservoir isotope ratio
+            fiso = fl.ncat_fluxes.get("fiso_ocn")
+            if fiso is not None and fiso.shape[0] > 0:
+                out["Fioi_meltw_wiso"] = fiso
+                trc = st.trcrn
+                if "isosno" in trc:
+                    snow_mass = cst.rhos * jnp.maximum(st.vsno, cst.puny)
+                    R = jnp.stack([
+                        jnp.sum(trc["isosno"][:, k] * st.vsnon, axis=0)
+                        / snow_mass
+                        for k in range(fiso.shape[0])])
+                    out["Faii_evap_wiso"] = fl.evap[None] * R
+                if self.Qa_iso is not None:
+                    # reference Si_qref_wiso: reference-height humidity
+                    # isotopes relax to the imported atmospheric ratio
+                    out["Si_qref_wiso"] = self.Qa_iso
         return out

@@ -59,6 +59,10 @@ class Forcing:
     # (0, ny, nx) means "use the standalone faero_default constants"
     # (coupler Faxa_bcph/Faxa_dst* routing, ice_import_export.F90)
     faero_atm: jnp.ndarray
+    # per-species water-isotope deposition (n_iso, ny, nx), kg/m^2/s;
+    # empty means "fractionate snowfall with the ALPHA_DEP defaults"
+    # (coupler Faxa_snow_wiso routing, ice_import_export.F90:757-762)
+    fiso_atm: jnp.ndarray
 
     def replace(self, **kw) -> "Forcing":
         return dataclasses.replace(self, **kw)
@@ -78,6 +82,7 @@ def zeros_forcing(shape, dtype=jnp.float32) -> Forcing:
         yday=jnp.zeros((), dtype),
         pbot=z(101325.0),
         faero_atm=jnp.zeros((0,) + tuple(shape), dtype),
+        fiso_atm=jnp.zeros((0,) + tuple(shape), dtype),
     )
 
 

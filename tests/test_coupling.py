@@ -62,3 +62,44 @@ def test_widened_field_surface():
         assert np.isfinite(np.asarray(out[key])).all(), key
     assert out["Si_ifrac_n"].shape == (cfg.domain.ncat,) + shp
     assert float(np.asarray(out["Si_floediam"]).min()) > 0.0
+
+
+def test_wiso_and_swpen_surface():
+    """Round-5 coupler tail (VERDICT r4 Next #7): water-isotope
+    import/export variants + per-band/per-category swpen exports
+    (ice_import_export.F90:739-770, :1218-1245, :1300-1340, :262)."""
+    from cice_tpu.config import Config
+    cfg = box2001_config(16, 16).with_overrides(**{
+        "tracers.tr_iso": True, "domain.n_iso": 3})
+    ice = CoupledIce(cfg)
+    shp = ice.model.grid.shape
+    ice.import_fields({
+        "Sa_u": jnp.full(shp, 5.0), "Sa_v": jnp.zeros(shp),
+        "Faxa_snow": jnp.full(shp, 1e-4),
+        "Faxa_swvdr": jnp.full(shp, 100.0),
+        "Faxa_swvdf": jnp.full(shp, 50.0),
+        "Sa_shum_wiso": jnp.full((3,) + shp, 1e-4),
+        "Faxa_snow_wiso": jnp.full((3,) + shp, 2e-5),
+        "So_roce_wiso": jnp.ones((3,) + shp)})
+    # snow-isotope deposition routed into the forcing
+    assert ice.model.forcing.fiso_atm.shape == (3,) + shp
+    np.testing.assert_allclose(np.asarray(ice.model.forcing.fiso_atm),
+                               2e-5)
+    ice.step()
+    out = ice.export_fields()
+    for key in ("Fioi_swpen", "Fioi_swpen_vdr", "Fioi_swpen_vdf",
+                "Fioi_swpen_idr", "Fioi_swpen_idf", "Fioi_swpen_ifrac_n",
+                "Fioi_meltw_wiso", "Faii_evap_wiso", "Si_qref_wiso"):
+        assert key in out, key
+        assert np.isfinite(np.asarray(out[key])).all(), key
+    # band splits sum back to the total penetration; near-IR is zero
+    # under the CCSM3 visible-only-penetration semantics
+    tot = np.asarray(out["Fioi_swpen_vdr"]) + \
+        np.asarray(out["Fioi_swpen_vdf"])
+    np.testing.assert_allclose(tot, np.asarray(out["Fioi_swpen"]),
+                               rtol=1e-5, atol=1e-7)
+    assert float(np.abs(np.asarray(out["Fioi_swpen_idr"])).max()) == 0.0
+    # per-category planes carry the category axis
+    assert out["Fioi_swpen_ifrac_n"].shape == (cfg.domain.ncat,) + shp
+    assert out["Fioi_meltw_wiso"].shape == (3,) + shp
+    assert out["Faii_evap_wiso"].shape == (3,) + shp
