@@ -16,11 +16,17 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as cst
+
+# rebin parcel-move merge under lax.cond vs unconditional (env knob for
+# A/B on real hardware; the cond wins standalone, see ridging.RIDGE_WHILE)
+REBIN_COND = os.environ.get("CICE_TPU_REBIN_COND", "1") == "1"
 
 
 def category_bounds(ncat: int, kcatbound: int = 1, nilyr: int = 7,
@@ -363,8 +369,11 @@ def rebin(aicen, vicen, vsnon, trcrn, hin_max, registry):
                              (t_to * wdst + t_frm * wsm) /
                              jnp.maximum(den, cst.puny), t_to)
 
-        tr[to] = jax.lax.cond(jnp.any(moving), _merge,
-                              lambda args: args[0], (tr[to], tr[frm]))
+        if REBIN_COND:
+            tr[to] = jax.lax.cond(jnp.any(moving), _merge,
+                                  lambda args: args[0], (tr[to], tr[frm]))
+        else:
+            tr[to] = _merge((tr[to], tr[frm]))
         for pool in (a, v, s):
             dm = jnp.where(moving, pool[frm], 0.0)
             pool[to] = pool[to] + dm

@@ -16,6 +16,7 @@ clipping (`niter_rdg`), jit-stable.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -29,6 +30,9 @@ ASTAR = 0.05          # e-folding of the exponential participation function
 MAXRAFT = 1.0         # max thickness of rafting ice (m)
 CS = 0.25             # fraction of shear energy contributing to ridging
 NITER_RDG = 3
+# pass-loop strategy: lax.while_loop with early exit vs statically
+# unrolled (see ridge_ice; env knob for A/B on real hardware)
+RIDGE_WHILE = os.environ.get("CICE_TPU_RIDGE_WHILE", "1") == "1"
 CP = 0.5 * cst.gravit * (cst.rhow - cst.rhoi) * cst.rhoi / cst.rhow
 
 
@@ -232,13 +236,17 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         # packed merge: u[n,T] = t[n,T] * (dep-selected donor pool amount),
         # receiver contribution = u contracted with the dep group's
         # receiver distribution (fa for area/snow rows, fv for volume rows)
+        # broadcast-multiply-reduce, NOT einsum/dot_general: the n-
+        # contraction batched per pixel lowers to 5x5 matmuls the MXU
+        # can't tile (measured 2x the whole coupled step); the reduce-of-
+        # broadcast form fuses into one pass
         pool3 = jnp.stack([area_r, vrdg, srdg])            # (3, n, ny, nx)
         wsel = jnp.einsum("tk,kn...->nt...", oh, pool3)    # (n, NT, ny, nx)
         u = trp * wsel
         u_v = u * maskv
         u_a = u - u_v
-        contrib = (jnp.einsum("nt...,nm...->mt...", u_a, fa_n)
-                   + jnp.einsum("nt...,nm...->mt...", u_v, fv_n))
+        contrib = (jnp.sum(u_a[:, None] * fa_n[:, :, None], axis=0)
+                   + jnp.sum(u_v[:, None] * fv_n[:, :, None], axis=0))
         wr = jnp.einsum("tk,kn...->nt...", oh,
                         jnp.stack([a_rm, v_rm, s_rm]))
         wd_r = jnp.einsum("tk,km...->mt...", oh,
@@ -290,9 +298,18 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
             dardg1n, dardg2n, dvirdgn, araftn, vraftn, dpnd_ridge,
             jnp.zeros_like(aicen), jnp.zeros_like(aicen),
             jnp.asarray(0, jnp.int32))
+    if RIDGE_WHILE:
+        final = jax.lax.while_loop(pass_cond, pass_body, init)
+    else:
+        # unrolled variant: same body, no control-flow region — measured
+        # faster INSIDE the fused coupled step (while_loop/cond boundaries
+        # serialize XLA regions); the while_loop wins standalone
+        final = init
+        for _ in range(NITER_RDG):
+            final = pass_body(final)
     (aicen, vicen, vsnon, trp, closing_rem, dardg1, dardg2, dvirdg,
      dardg1n, dardg2n, dvirdgn, araftn, vraftn, dpnd_ridge,
-     aparticn, krdgn, _it) = jax.lax.while_loop(pass_cond, pass_body, init)
+     aparticn, krdgn, _it) = final
 
     # renormalize if total area still exceeds 1 (e.g. strong convergence);
     # the rebin/cleanup tail stays on the packed stack (one unpack total)

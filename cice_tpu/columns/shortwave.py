@@ -77,19 +77,24 @@ def shortwave_ccsm3(Tsf, hi, hs, swvdr, swvdf, swidr, swidf, cfg_sw,
     # penetrating visible radiation through the bare-ice (snow-free) fraction
     fswpen = swabv * (1.0 - asnow) * cst.i0vis
     fswpen = jnp.where(hi > cst.puny, fswpen, 0.0)
-    trantop = jnp.exp(-cst.kappav * jnp.maximum(hi, 0.0))
+
+    # per-layer internal absorption: Beer's law between layer interfaces.
+    # exp(-kappa*z_k) is a geometric sequence in the layer index, so ONE
+    # exp of the per-layer decrement replaces 2*nilyr transcendentals
+    # (the ccsm3 shortwave was ~40% of the therm1 phase at gx1; exp is
+    # the VPU's most expensive elementwise op)
+    r = jnp.exp(-cst.kappav * jnp.maximum(hi, 0.0) / nilyr)
+    e = jnp.ones_like(hi)
+    layers = []
+    for _ in range(nilyr):
+        e_next = e * r
+        layers.append(fswpen * (e - e_next))
+        e = e_next
+    Iswabs = jnp.stack(layers, axis=-3)
+    trantop = e                          # == exp(-kappav * hi)
     fswthru = fswpen * trantop
     fswint = fswpen - fswthru
     fswsfc = swabs - fswpen
-
-    # per-layer internal absorption: Beer's law between layer interfaces
-    layers = []
-    for k in range(nilyr):
-        z0 = hi * (k / nilyr)
-        z1 = hi * ((k + 1) / nilyr)
-        absk = fswpen * (jnp.exp(-cst.kappav * z0) - jnp.exp(-cst.kappav * z1))
-        layers.append(absk)
-    Iswabs = jnp.stack(layers, axis=-3)
 
     return ShortwaveOut(alvdr=alvdr, alvdf=alvdf, alidr=alidr, alidf=alidf,
                         fswsfc=fswsfc, fswint=fswint, fswthru=fswthru,

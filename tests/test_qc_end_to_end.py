@@ -67,7 +67,10 @@ def test_qc_gx3_file_forcing(tmp_path):
     def run(name, **over):
         opts = dict(OPTION_SETS["gx3pop"])
         opts.update({
-            "setup.dt": 7200.0, "setup.npt": 60, "setup.npt_unit": "d",
+            # dt=3h keeps the slow-tier cost ~30 min for the 2x60-day
+            # pair on the 2-vCPU CI host; QC sees 60 daily samples
+            # either way
+            "setup.dt": 10800.0, "setup.npt": 60, "setup.npt_unit": "d",
             "setup.histfreq": ("d",), "setup.histfreq_n": (1,),
             "setup.hist_avg": True, "setup.history_format": "nc",
             "setup.history_dir": str(tmp_path / name),
