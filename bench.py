@@ -447,6 +447,20 @@ def main():
         tr_sol_ms = sol_bytes / (bw_gbps * 1e9) * 1e3
         extras["transport_sol_fraction"] = round(tr_sol_ms / tr_loop_ms, 3)
 
+        # thermo speed-of-light fractions (VERDICT r4 Next #1; plane
+        # model from tools/therm_roofline.py: stream state+forcing once,
+        # write state+fluxes once / ITD chain 3 sweeps over the stack)
+        ncat, nilyr, nslyr = 5, 7, 1
+        ntr = 3 + 2 * nilyr + nslyr + 10      # qice+sice+qsno+Tsfc+opts
+        t1_planes = 2 * (3 * ncat + ncat * ntr) + 44
+        t2_planes = 2 * 3 * (3 * ncat + ncat * ntr)
+        extras["therm1_sol_fraction"] = round(
+            t1_planes * plane / (bw_gbps * 1e9) * 1e3 /
+            loop_ms["therm1"], 3)
+        extras["therm2_sol_fraction"] = round(
+            t2_planes * plane / (bw_gbps * 1e9) * 1e3 /
+            loop_ms["therm2"], 3)
+
         # on-device fused-vs-XLA transport equivalence (VERDICT r4 Next #3)
         if jax.default_backend() == "tpu":
             from cice_tpu.model.driver import Model as _M

@@ -70,6 +70,8 @@ D_DRAINAGE = 5.0e-6
 FRAC_PAR = 0.45
 # ice attenuation for PAR (1/m)
 KAPPA_ICE = 1.4
+# minimum snow depth holding a bio snow reservoir (m)
+HS_BIO_MIN = 0.01
 
 # z tracer inventory: name -> (flag attr, mobility attr). Algal classes and
 # aerosols are expanded dynamically.
@@ -425,20 +427,29 @@ class ZbgcOut(NamedTuple):
     # bTizn/bphizn/zfswin/iDin/ikin 3Db profiles — area-weighted category
     # sums on the bio grid — and upNO/upNH/PP_net 2D totals)
     diags: Dict[str, jnp.ndarray]
+    # updated snow reservoirs (name -> (ncat, ny, nx) per-snow-volume
+    # concentration; the reference's snow levels of the bio grid)
+    snow: Dict[str, jnp.ndarray]
 
 
 def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
               trc: Dict[str, jnp.ndarray], frac: Dict[str, jnp.ndarray],
               darcy_V, fswthru, Tbot, meltt, meltb, congel, frazil,
               zaero_dep: Dict[str, jnp.ndarray] | None = None,
-              ocean: Dict[str, jnp.ndarray] | None = None):
+              ocean: Dict[str, jnp.ndarray] | None = None,
+              snow: Dict[str, jnp.ndarray] | None = None,
+              melts=None):
     """Advance all z tracers one coupled transport+exchange+reaction step.
 
     aicen/vicen/vsnon/fbri/darcy_V/Tbot/meltt/meltb/congel: (ncat, ny, nx);
     qice/sice: (ncat, nilyr, ny, nx); fswthru: (ncat, ny, nx) SW through the
     surface into the interior; frazil: (ny, nx) new frazil volume this step;
     zaero_dep: name -> (ny, nx) deposition rate (kg/m^2/s or mmol/m^2/s);
-    ocean: overrides for mixed-layer concentrations.
+    ocean: overrides for mixed-layer concentrations; snow: per-tracer snow
+    reservoirs (per-snow-volume concentration, the reference bio grid's
+    snow levels — round 5; atmospheric deposition lands here when snow is
+    present and snow melt `melts` (m per category) flushes it into the
+    top bio layer).
     """
     names = list(trc.keys())
     nb = next(iter(trc.values())).shape[1]
@@ -451,6 +462,39 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
     hbr = jnp.clip(fbri, 0.0, 1.2) * hin
     dz = jnp.maximum(hbr, cst.puny) / nb                    # (ncat, ny, nx)
     dzb = dz[:, None]                                       # broadcast layer
+
+    # --- snow reservoirs (reference bio-grid snow levels) ----------------
+    # per-snow-volume concentrations r: deposition lands here while snow
+    # is present; snow melt flushes r*melts into the top bio layer; a
+    # vanishing snowpack flushes the remainder.  Exactly conservative:
+    # every amount leaving the reservoir enters layer 0.
+    hs = jnp.where(mask, vsnon / am, 0.0)
+    snow_present = hs > HS_BIO_MIN
+    melts_c = (jnp.broadcast_to(melts, aicen.shape)
+               if melts is not None else jnp.zeros_like(aicen))
+    snow_new: Dict[str, jnp.ndarray] = {}
+    top_amount: Dict[str, jnp.ndarray] = {}   # per-category-area, per step
+    for name in names:
+        r = None if snow is None else snow.get(name)
+        dep = None if zaero_dep is None else zaero_dep.get(name)
+        if r is None:
+            if dep is not None:
+                top_amount[name] = jnp.where(mask, dep[None] * dt, 0.0)
+            continue
+        # melted snow carries its concentration into the top bio layer;
+        # a vanished snowpack flushes the remainder
+        melt_flush = jnp.where(mask, r * jnp.maximum(melts_c, 0.0), 0.0)
+        resid_flush = jnp.where(mask & ~snow_present, r * hs, 0.0)
+        r = jnp.where(snow_present, r, 0.0)
+        flush = melt_flush + resid_flush
+        if dep is not None:
+            r = r + jnp.where(mask & snow_present,
+                              dep[None] * dt / jnp.maximum(hs, cst.puny),
+                              0.0)
+            flush = flush + jnp.where(mask & ~snow_present,
+                                      dep[None] * dt, 0.0)
+        snow_new[name] = jnp.where(mask, r, 0.0)
+        top_amount[name] = flush
 
     phi = porosity_profile(qice, sice, nb)
     phi = jnp.maximum(phi, 0.02)
@@ -583,11 +627,10 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
         rhs = rhs.at[:, -1].add(lam[:, -1] * (jnp.maximum(-wbot, 0.0)
                                               + vex) * Cbc)
 
-        # top boundary sources: aerosol/snow deposition into layer 0
-        if zaero_dep is not None and name in zaero_dep:
-            dep = zaero_dep[name][None] * dt / dz_s[:, 0] * \
-                jnp.where(mask, 1.0, 0.0)
-            rhs = rhs.at[:, 0].add(dep)
+        # top boundary sources: snow-reservoir flush + bare-ice deposition
+        # (per-category-area amounts -> layer-0 concentration)
+        if name in top_amount:
+            rhs = rhs.at[:, 0].add(top_amount[name] / dz_s[:, 0])
 
         Cm_new = tridiag_solve(lower, diag, upper, rhs)
         Cm_new = jnp.maximum(Cm_new, 0.0)
@@ -632,4 +675,5 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
         "upNO": upNO, "upNH": upNH, "PP_net": PP_net,
     }
     return ZbgcOut(trc=trc, frac=frac, flux_ocn=flux_ocn,
-                   grow_net=grow_net, chl_int=chl_int, diags=diags)
+                   grow_net=grow_net, chl_int=chl_int, diags=diags,
+                   snow=snow_new)

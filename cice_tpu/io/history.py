@@ -360,17 +360,18 @@ def _z_display(nm: str):
     if nm in fam_cls:
         pbase, nbase, i = fam_cls[nm]
         return (f"{pbase}{i:03d}", f"{nbase}_net{i:03d}",
-                f"{nbase}_frac{i:03d}")
+                f"{nbase}_frac{i:03d}", f"{nbase}_snow{i:03d}")
     if nm.startswith("bgc_DOC") or nm.startswith("bgc_DIC"):
         i = int(nm[7:])
         fam = nm[4:7]
         return (f"bgc_{fam}{i:03d}", f"{fam}_net{i:03d}",
-                f"{fam}_frac{i:03d}")
+                f"{fam}_frac{i:03d}", f"{fam}_snow{i:03d}")
     if nm.startswith("zaero"):
         i = int(nm[5:])
-        return (f"zaero{i:03d}", f"zaero_net{i:03d}", f"zaero_frac{i:03d}")
+        return (f"zaero{i:03d}", f"zaero_net{i:03d}", f"zaero_frac{i:03d}",
+                f"zaero_snow{i:03d}")
     base = nm[4:]            # bgc_Nit -> Nit, bgc_hum -> hum, ...
-    return (nm, f"{base}_net", f"{base}_frac")
+    return (nm, f"{base}_net", f"{base}_frac", f"{base}_snow")
 
 
 def zbgc_fields(cfg) -> List[HistoryField]:
@@ -425,11 +426,18 @@ def zbgc_fields(cfg) -> List[HistoryField]:
         u = units.get(nm, "mmol/m^2")
         if nm.startswith("zaero"):
             u = "kg/m^2"
-        pname, nname, fname = _z_display(nm)
+        pname, nname, fname, sname = _z_display(nm)
         fields.append(_f(nname, u, f"brine-column integrated {nm}",
                          _integ(nm)))
         fields.append(_f(fname, "1", f"column-mean mobile fraction, {nm}",
                          mfrac(nm)))
+        # snow-reservoir content (reference snow_bio_net; per-snow-volume
+        # concentration tracer x vsnon summed over categories)
+        fields.append(_f(
+            sname, u, f"snow content, {nm}",
+            (lambda k: lambda s, fl, g:
+             jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+             if k in s.trcrn else jnp.zeros_like(s.aice))(nm + "_sn")))
         # net ice->ocean flux (reference flux_bio history families; the
         # zaero family only exists in the z network)
         uflux = u.replace("/m^2", "/m^2/s")
@@ -475,6 +483,18 @@ def zbgc_fields(cfg) -> List[HistoryField]:
                 _f(f"chl_frac{sfx}", "1",
                    f"chl column-mean mobile fraction, class {i+1}",
                    mfrac(key)),
+                _f(f"algalC_snow{sfx}", "mmol C/m^2",
+                   f"snow algal carbon, class {i+1}",
+                   (lambda k, r: lambda s, fl, g:
+                    r * jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+                    if k in s.trcrn else jnp.zeros_like(s.aice))(
+                        key + "_sn", rc2n)),
+                _f(f"chl_snow{sfx}", "mg chl/m^2",
+                   f"snow chlorophyll, class {i+1}",
+                   (lambda k, r: lambda s, fl, g:
+                    r * jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+                    if k in s.trcrn else jnp.zeros_like(s.aice))(
+                        key + "_sn", rchl)),
             ]
 
             def _peak(k, which):

@@ -124,6 +124,9 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         for nm in z_tracer_names(cfg.zbgc):
             specs.append(TracerSpec(nm, DEP_VICE, nb, parent="fbri"))
             specs.append(TracerSpec(nm + "_mf", DEP_VICE, nb, parent="fbri"))
+            # snow reservoir (per-snow-volume concentration; the
+            # reference bio grid's snow levels — round 5)
+            specs.append(TracerSpec(nm + "_sn", DEP_VSNO))
     return tuple(specs)
 
 

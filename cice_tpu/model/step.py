@@ -327,10 +327,15 @@ def step_therm1(ms: ModelStatic, grid: Grid, state: State, fc: Forcing,
                     darcy_V=hb.darcy_V,
                     fswthru=sw.fswint + sw.fswthru, Tbot=Tbot,
                     meltt=th.meltt, meltb=th.meltb, congel=th.congel,
-                    frazil=jnp.zeros_like(aice), zaero_dep=zdep)
+                    frazil=jnp.zeros_like(aice), zaero_dep=zdep,
+                    snow={n: trcrn[n + "_sn"] for n in znames
+                          if n + "_sn" in trcrn},
+                    melts=th.melts)
                 for n in znames:
                     trcrn[n] = zout.trc[n]
                     trcrn[n + "_mf"] = zout.frac[n]
+                    if n in zout.snow:
+                        trcrn[n + "_sn"] = zout.snow[n]
                 # interior-state + uptake diagnostics for history
                 # (bTizn/bphizn/zfswin/iDin/ikin 3Db, upNO/upNH/PP_net 2D)
                 zbgc_diags.update(zout.diags)

@@ -281,3 +281,59 @@ def test_iron_2plus2_conservation_and_diags():
     # algae grew in light on nitrate -> nonzero NO3 uptake and production
     assert float(out.diags["upNO"].max()) > 0.0
     assert float(out.diags["PP_net"].max()) > 0.0
+
+
+def test_snow_reservoir_deposition_and_melt_flush():
+    """z-network snow reservoirs (round 5, closes the reference's
+    snow_bio_net / X_snow family): deposition lands in the snow
+    reservoir while snow is present; snow melt flushes r*melts into the
+    top bio layer; the total (snow + brine column + ocean flux) is
+    exactly conserved."""
+    cfg, kw = _setup(solve=False, **{"zbgc.tr_zaero": True,
+                                     "zbgc.n_zaero": 1})
+    dt = 3600.0
+    shape = (2, 7, 4, 5)
+    aicen = kw["aicen"]
+    kw["vsnon"] = aicen * 0.2                 # 0.2 m snow everywhere
+    C0 = jnp.zeros(shape)
+    f0 = jnp.ones(shape)
+    r0 = jnp.zeros(aicen.shape)
+    dep = {"zaero1": jnp.full(aicen.shape[1:], 2e-7)}
+
+    # step 1: deposit onto snow — everything lands in the reservoir
+    out = step_zbgc(cfg.zbgc, dt, trc={"zaero1": C0},
+                    frac={"zaero1": f0}, zaero_dep=dep,
+                    snow={"zaero1": r0}, melts=jnp.zeros_like(aicen[:1])[0],
+                    **{k: v for k, v in kw.items()})
+    hs = float((kw["vsnon"] / aicen)[0, 0, 0])
+    r1 = out.snow["zaero1"]
+    assert float(r1.max()) > 0.0
+    # per-category content r*hs equals the deposited amount dep*dt
+    np.testing.assert_allclose(np.asarray(r1[0] * hs),
+                               2e-7 * dt, rtol=1e-5)
+    # nothing reached the ice column yet
+    assert float(jnp.abs(out.trc["zaero1"]).max()) < 1e-12
+
+    # step 2: melt half the snow — r*melts flushes into the bio column.
+    # vsnon must shrink consistently with the melt (as the real step's
+    # thermo does before calling step_zbgc)
+    melts = jnp.full_like(aicen, hs * 0.5)
+    kw2 = dict(kw)
+    kw2["vsnon"] = kw["vsnon"] - melts * aicen
+    hs2 = hs * 0.5
+    out2 = step_zbgc(cfg.zbgc, dt, trc=out.trc,
+                     frac={"zaero1": f0}, zaero_dep=None,
+                     snow={"zaero1": r1}, melts=melts,
+                     **{k: v for k, v in kw2.items()})
+    vicen, fbri = kw["vicen"], kw["fbri"]
+    hbr = fbri * vicen / aicen
+    col = jnp.sum(aicen * hbr * jnp.mean(out2.trc["zaero1"], axis=1),
+                  axis=0)
+    sno = jnp.sum(aicen * hs2 * out2.snow["zaero1"], axis=0)
+    ocn = dt * out2.flux_ocn["zaero1"]
+    total0 = jnp.sum(aicen * hs * r1, axis=0)     # content before step 2
+    np.testing.assert_allclose(np.asarray(col + sno + ocn),
+                               np.asarray(total0), rtol=1e-4)
+    # the flushed amount is the melted-volume share
+    np.testing.assert_allclose(float((col + ocn).mean() /
+                                     total0.mean()), 0.5, rtol=1e-3)

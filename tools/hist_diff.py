@@ -32,17 +32,10 @@ VENDORED = REPO / "tools" / "reference_hist_names.txt"
 
 # Names we classify as "physics structurally absent" — every entry must carry
 # a justification.  Everything else in the residual is reachable work.
-_NO_SNOW_BIO = ("z-tracer snow reservoir: the reference bio grid spans "
-                "snow+ice (nblyr+2 layers); the TPU design carries z "
-                "tracers on an ice-only brine column (deposition enters "
-                "layer 0 directly), so snow_bio_net is structurally zero "
-                "and the field is not registered")
-ABSENT_JUSTIFIED = {
-    name + "_snow": _NO_SNOW_BIO
-    for name in ("Am", "DIC", "DMSPd", "DMSPp", "DMS", "DOC", "DON", "Nit",
-                 "PON", "Sil", "algalC", "algalN", "chl", "dFe", "hum",
-                 "pFe", "zaero")
-}
+# Round 5 closed the last class (the X_snow family) by adding per-tracer
+# snow reservoirs to the z network (zbgc_vertical.step_zbgc `snow`), so the
+# residual is empty; the dict stays as the mechanism for future rounds.
+ABSENT_JUSTIFIED: dict[str, str] = {}
 
 
 def extract_reference_names() -> set[str]:
