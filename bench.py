@@ -441,7 +441,13 @@ def main():
         # once; plane = ny*nx f32). Stages (planes r+w): pack 161+80,
         # reconstruct 330, departure 8, ghost/moment pack ~530 (incl.
         # 1.23x alignment inflation), flux kernel DMA ~1220 (window
-        # overlap 1.5x + moment re-reads), update 272, unpack 161.
+        # overlap + moment re-reads), update 272, unpack 161.
+        # Round-5 measured constraint: the kernel's 2x window overlap
+        # (W=TY+8 at TY=8) is VMEM-BOUND — tile_y=16/24/32 fail Mosaic
+        # compilation at gx1 NT (scoped-VMEM stack), so the overlap
+        # cannot be amortized without restructuring the moment planes
+        # out of VMEM; the sol gap is a hardware-budget statement, not
+        # unexamined slack.
         plane = ny * nx * 4.0
         sol_bytes = (161 + 80 + 330 + 8 + 530 + 1220 + 272 + 161) * plane
         tr_sol_ms = sol_bytes / (bw_gbps * 1e9) * 1e3

@@ -1036,7 +1036,7 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
                            grid_ice: str = "B", l_dp_midpt: bool = False,
                            conserv_check: bool = False,
                            monotonicity_check: bool = False,
-                           flux_kernel: str = "xla"):
+                           flux_kernel: str = "xla", tile_y: int = 8):
     """Exact incremental remapping of the full ice state.
 
     Returns (new_state, diag) where diag carries jnp scalars:
@@ -1098,7 +1098,7 @@ def horizontal_remap_exact(grid: Grid, state: State, registry, Tf, dt,
         mom_n, mom_e = edge_moments(grid, dxs, dys, edgearea_e,
                                     edgearea_n)
         am_pre, trm_new = transport_fused(
-            grid, mom_n, mom_e, am, trm, table,
+            grid, mom_n, mom_e, am, trm, table, tile_y=tile_y,
             interpret=flux_kernel_interpret())
         tmask = grid.tmask
         neg = jnp.any((am_pre < -cst.puny) & tmask[None])
