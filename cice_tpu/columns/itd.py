@@ -123,6 +123,13 @@ def flat_dep_table(registry):
     return np.asarray(dep_idx), tuple(layout)
 
 
+def name_offsets(registry):
+    """name -> (row offset, row count) into the packed (ncat, NT, ny, nx)
+    stack (single source of the max(nl, 1) flattening convention)."""
+    _, layout = flat_dep_table(registry)
+    return {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+
+
 def pack_tracers(trcrn, registry):
     """Stack registry tracers into (ncat, NT, ny, nx), layers flattened."""
     planes = []
@@ -407,8 +414,7 @@ def cleanup_itd(aicen, vicen, vsnon, trcrn, registry, *, puny=cst.puny,
     if packed_in:
         # packed (ncat, NT, ny, nx) stack: qice/qsno live at their layout
         # offsets (therm2 packed chain)
-        _, layout = flat_dep_table(registry)
-        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        off = name_offsets(registry)
         qice_m = qsno_m = None
         if "qice" in off:
             o, n = off["qice"]

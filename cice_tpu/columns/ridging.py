@@ -162,15 +162,16 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
     # Python merge became ONE packed contraction per receiver-distribution
     # group (fa-based for area/snow-dependent rows, fv-based for
     # volume-dependent rows).
-    from .itd import _dep_onehot, flat_dep_table, pack_tracers, unpack_tracers
+    from .itd import (_dep_onehot, flat_dep_table, name_offsets,
+                      pack_tracers, unpack_tracers)
     from ..model.state import DEP_VICE
 
-    didx, layout = flat_dep_table(registry)
+    didx, _layout = flat_dep_table(registry)
     oh = jnp.asarray(_dep_onehot(didx), aicen.dtype)      # (NT, 3)
     maskv = jnp.asarray((np.asarray(didx) == DEP_VICE)
                         .astype(np.float32), aicen.dtype)[None, :, None,
                                                           None]
-    off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+    off = name_offsets(registry)
     trp = pack_tracers(trcrn, registry)       # (ncat, NT, ny, nx)
 
     bounds = np.array([float(b) for b in hin_max])
@@ -290,8 +291,12 @@ def ridge_ice(cfg, aicen, vicen, vsnon, trcrn, *, divu, Delta, dt, hin_max,
         closing_rem, it = c[4], c[-1]
         # early exit: one pass satisfies the closing requirement almost
         # everywhere (lim only binds under extreme convergence); the
-        # NITER_RDG cap preserves the fixed-point semantics
-        return (it < NITER_RDG) & (jnp.max(closing_rem) > 1e-9)
+        # NITER_RDG cap preserves the fixed-point semantics.  At least
+        # ONE pass always runs so the aparticn/krdgn diagnostic
+        # snapshots exist even on quiescent steps (matching the
+        # unrolled variant's output)
+        return (it < 1) | ((it < NITER_RDG) & (jnp.max(closing_rem)
+                                               > 1e-9))
 
     closing_rem = closing_net * dt         # total fractional area to close
     init = (aicen, vicen, vsnon, trp, closing_rem, dardg1, dardg2, dvirdg,

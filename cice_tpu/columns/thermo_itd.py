@@ -83,9 +83,8 @@ def add_new_ice(aicen, vicen, vsnon, trcrn, *, frzmlt, Tf, dt, hin_max,
         # work on the (NT, ny, nx) category-0 ROW, write it back once —
         # per-name updates on the full (ncat, NT, ny, nx) stack would
         # re-materialize the whole buffer per dynamic-update-slice
-        from .itd import flat_dep_table
-        _, layout = flat_dep_table(registry)
-        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        from .itd import name_offsets
+        off = name_offsets(registry)
         row0 = trcrn[0]
 
         def get0(name):
@@ -167,9 +166,8 @@ def lateral_melt(aicen, vicen, vsnon, trcrn, *, frzmlt, Tbot, sst, Tf, dt,
         qice = trcrn["qice"]        # (ncat, nilyr, ny, nx)
         qsno = trcrn["qsno"]
     else:                           # packed (ncat, NT, ny, nx) stack
-        from .itd import flat_dep_table
-        _, layout = flat_dep_table(registry)
-        off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+        from .itd import name_offsets
+        off = name_offsets(registry)
         o, n = off["qice"]
         qice = trcrn[:, o:o + n]
         o, n = off["qsno"]
@@ -200,11 +198,10 @@ def step_therm2(cfg, grid, aicen, vicen, vsnon, trcrn, *, hicen_old,
     The whole chain runs on ONE packed (ncat, NT, ny, nx) tracer stack —
     round 5: the per-stage pack/unpack cycles were ~40% of the phase's
     HBM traffic (tools/therm_roofline.py)."""
-    from .itd import flat_dep_table, pack_tracers, unpack_tracers
+    from .itd import name_offsets, pack_tracers, unpack_tracers
     nilyr = cfg.domain.nilyr
 
-    _, layout = flat_dep_table(registry)
-    off = {nm: (o, max(nl, 1)) for nm, o, nl in layout}
+    off = name_offsets(registry)
     trp = pack_tracers(trcrn, registry)
 
     # ITD linear remap restoring category bounds after vertical growth/melt

@@ -427,8 +427,8 @@ class ZbgcOut(NamedTuple):
     # bTizn/bphizn/zfswin/iDin/ikin 3Db profiles — area-weighted category
     # sums on the bio grid — and upNO/upNH/PP_net 2D totals)
     diags: Dict[str, jnp.ndarray]
-    # updated snow reservoirs (name -> (ncat, ny, nx) per-snow-volume
-    # concentration; the reference's snow levels of the bio grid)
+    # updated snow reservoirs (name -> (ncat, ny, nx) per-category-area
+    # CONTENT; the reference's snow levels of the bio grid)
     snow: Dict[str, jnp.ndarray]
 
 
@@ -446,10 +446,10 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
     surface into the interior; frazil: (ny, nx) new frazil volume this step;
     zaero_dep: name -> (ny, nx) deposition rate (kg/m^2/s or mmol/m^2/s);
     ocean: overrides for mixed-layer concentrations; snow: per-tracer snow
-    reservoirs (per-snow-volume concentration, the reference bio grid's
-    snow levels — round 5; atmospheric deposition lands here when snow is
-    present and snow melt `melts` (m per category) flushes it into the
-    top bio layer).
+    reservoirs (per-category-area CONTENT, the reference bio grid's snow
+    levels — round 5; atmospheric deposition lands here when snow is
+    present and snow melt `melts` (m per category) flushes the
+    melted-volume share into the top bio layer).
     """
     names = list(trc.keys())
     nb = next(iter(trc.values())).shape[1]
@@ -464,36 +464,41 @@ def step_zbgc(zcfg, dt, *, aicen, vicen, vsnon, fbri, qice, sice,
     dzb = dz[:, None]                                       # broadcast layer
 
     # --- snow reservoirs (reference bio-grid snow levels) ----------------
-    # per-snow-volume concentrations r: deposition lands here while snow
-    # is present; snow melt flushes r*melts into the top bio layer; a
-    # vanishing snowpack flushes the remainder.  Exactly conservative:
-    # every amount leaving the reservoir enters layer 0.
+    # per-category-AREA contents R (amount/m^2, NOT per-volume
+    # concentration — a concentration would be silently diluted/created
+    # by snowfall changing vsnon between calls): deposition lands here
+    # while snow is present; snow melt flushes the melted-volume share
+    # R*melts/(hs+melts) into the top bio layer; a vanishing snowpack
+    # flushes the remainder.  Exactly conservative: every amount leaving
+    # the reservoir enters layer 0.
     hs = jnp.where(mask, vsnon / am, 0.0)
     snow_present = hs > HS_BIO_MIN
     melts_c = (jnp.broadcast_to(melts, aicen.shape)
                if melts is not None else jnp.zeros_like(aicen))
+    melt_frac = jnp.clip(jnp.maximum(melts_c, 0.0) /
+                         jnp.maximum(hs + jnp.maximum(melts_c, 0.0),
+                                     cst.puny), 0.0, 1.0)
     snow_new: Dict[str, jnp.ndarray] = {}
     top_amount: Dict[str, jnp.ndarray] = {}   # per-category-area, per step
     for name in names:
-        r = None if snow is None else snow.get(name)
+        R = None if snow is None else snow.get(name)
         dep = None if zaero_dep is None else zaero_dep.get(name)
-        if r is None:
+        if R is None:
             if dep is not None:
                 top_amount[name] = jnp.where(mask, dep[None] * dt, 0.0)
             continue
-        # melted snow carries its concentration into the top bio layer;
+        # melted snow carries its content share into the top bio layer;
         # a vanished snowpack flushes the remainder
-        melt_flush = jnp.where(mask, r * jnp.maximum(melts_c, 0.0), 0.0)
-        resid_flush = jnp.where(mask & ~snow_present, r * hs, 0.0)
-        r = jnp.where(snow_present, r, 0.0)
+        melt_flush = jnp.where(mask, R * melt_frac, 0.0)
+        R = R - melt_flush
+        resid_flush = jnp.where(mask & ~snow_present, R, 0.0)
+        R = jnp.where(snow_present, R, 0.0)
         flush = melt_flush + resid_flush
         if dep is not None:
-            r = r + jnp.where(mask & snow_present,
-                              dep[None] * dt / jnp.maximum(hs, cst.puny),
-                              0.0)
+            R = R + jnp.where(mask & snow_present, dep[None] * dt, 0.0)
             flush = flush + jnp.where(mask & ~snow_present,
                                       dep[None] * dt, 0.0)
-        snow_new[name] = jnp.where(mask, r, 0.0)
+        snow_new[name] = jnp.where(mask, R, 0.0)
         top_amount[name] = flush
 
     phi = porosity_profile(qice, sice, nb)

@@ -431,12 +431,12 @@ def zbgc_fields(cfg) -> List[HistoryField]:
                          _integ(nm)))
         fields.append(_f(fname, "1", f"column-mean mobile fraction, {nm}",
                          mfrac(nm)))
-        # snow-reservoir content (reference snow_bio_net; per-snow-volume
-        # concentration tracer x vsnon summed over categories)
+        # snow-reservoir content (reference snow_bio_net; per-category-
+        # area content tracer x aicen summed over categories)
         fields.append(_f(
             sname, u, f"snow content, {nm}",
             (lambda k: lambda s, fl, g:
-             jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+             jnp.sum(s.trcrn[k] * s.aicen, axis=0)
              if k in s.trcrn else jnp.zeros_like(s.aice))(nm + "_sn")))
         # net ice->ocean flux (reference flux_bio history families; the
         # zaero family only exists in the z network)
@@ -486,20 +486,23 @@ def zbgc_fields(cfg) -> List[HistoryField]:
                 _f(f"algalC_snow{sfx}", "mmol C/m^2",
                    f"snow algal carbon, class {i+1}",
                    (lambda k, r: lambda s, fl, g:
-                    r * jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+                    r * jnp.sum(s.trcrn[k] * s.aicen, axis=0)
                     if k in s.trcrn else jnp.zeros_like(s.aice))(
                         key + "_sn", rc2n)),
                 _f(f"chl_snow{sfx}", "mg chl/m^2",
                    f"snow chlorophyll, class {i+1}",
                    (lambda k, r: lambda s, fl, g:
-                    r * jnp.sum(s.trcrn[k] * s.vsnon, axis=0)
+                    r * jnp.sum(s.trcrn[k] * s.aicen, axis=0)
                     if k in s.trcrn else jnp.zeros_like(s.aice))(
                         key + "_sn", rchl)),
             ]
 
-            def _peak(k, which):
+            def _peak(k, which, r=rchl):
                 def fn(s, fl, g):
-                    p = jnp.sum(s.trcrn[k] * s.aicen[:, None], axis=0)
+                    # per-ice chlorophyll profile (same normalization as
+                    # the bgc_chl field): ratio_chl2N * N / aice
+                    p = (r * jnp.sum(s.trcrn[k] * s.aicen[:, None], axis=0)
+                         / jnp.maximum(s.aice, cst.puny)[None])
                     if which == "val":
                         return jnp.max(p, axis=0)
                     # fractional depth of the chl maximum (0=top, 1=bottom)
@@ -1220,13 +1223,13 @@ def aero_iso_fields(cfg) -> List[HistoryField]:
                     f"aerosno{lname}{sp+1:03d}", "kg/m^2",
                     f"snow aerosol {lname} layer, species {sp+1}",
                     lambda s, fl, g, sp=sp, li=li: jnp.sum(
-                        s.trcrn["aerosno"][:, 2 * sp + li] * s.vsnon,
+                        s.trcrn["aerosno"][:, 2 * sp + li] * s.aicen,
                         axis=0)))
                 F.append(_f(
                     f"aeroice{lname}{sp+1:03d}", "kg/m^2",
                     f"ice aerosol {lname} layer, species {sp+1}",
                     lambda s, fl, g, sp=sp, li=li: jnp.sum(
-                        s.trcrn["aeroice"][:, 2 * sp + li] * s.vicen,
+                        s.trcrn["aeroice"][:, 2 * sp + li] * s.aicen,
                         axis=0)))
     if cfg.tracers.tr_aero and cfg.domain.n_aero:
         from ..columns.aero_iso import FAERO_DEFAULT
@@ -1254,17 +1257,18 @@ def aero_iso_fields(cfg) -> List[HistoryField]:
             F.append(_f(f"isosno{sp+1:03d}", "kg/m^2",
                         f"snow isotope burden, species {sp+1}",
                         lambda s, fl, g, sp=sp: jnp.sum(
-                            s.trcrn["isosno"][:, sp] * s.vsnon, axis=0)))
+                            s.trcrn["isosno"][:, sp] * s.aicen, axis=0)))
             F.append(_f(f"isoice{sp+1:03d}", "kg/m^2",
                         f"ice isotope burden, species {sp+1}",
                         lambda s, fl, g, sp=sp: jnp.sum(
-                            s.trcrn["isoice"][:, sp] * s.vicen, axis=0)))
+                            s.trcrn["isoice"][:, sp] * s.aicen, axis=0)))
             # deposition (fractionated snowfall) + ocean release
             F.append(_ff(
                 f"fiso_atm{sp+1:03d}", "kg/m^2/s",
                 f"isotope deposition rate, species {sp+1}",
                 lambda s, fl, g, fc, sp=sp:
-                ALPHA_DEP[min(sp, len(ALPHA_DEP) - 1)] * fc.fsnow))
+                (fc.fiso_atm[sp] if fc.fiso_atm.shape[0] > sp
+                 else ALPHA_DEP[min(sp, len(ALPHA_DEP) - 1)] * fc.fsnow)))
             F.append(_f(
                 f"fiso_ocn{sp+1:03d}", "kg/m^2/s",
                 f"isotope flux to the ocean, species {sp+1}",

@@ -211,9 +211,12 @@ class CoupledIce:
                 out["Fioi_meltw_wiso"] = fiso
                 trc = st.trcrn
                 if "isosno" in trc:
+                    # isosno is a per-CATEGORY-AREA burden (aero_iso.py),
+                    # so the snow isotope mass ratio is
+                    # sum(aicen*burden) / (rhos * vsno)
                     snow_mass = cst.rhos * jnp.maximum(st.vsno, cst.puny)
                     R = jnp.stack([
-                        jnp.sum(trc["isosno"][:, k] * st.vsnon, axis=0)
+                        jnp.sum(trc["isosno"][:, k] * st.aicen, axis=0)
                         / snow_mass
                         for k in range(fiso.shape[0])])
                     out["Faii_evap_wiso"] = fl.evap[None] * R

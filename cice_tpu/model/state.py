@@ -69,11 +69,14 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
     if t.tr_fsd:
         specs.append(TracerSpec("fsd", DEP_AICE, d.nfsd))
     if t.tr_iso and d.n_iso:
-        specs.append(TracerSpec("isosno", DEP_VSNO, d.n_iso))
-        specs.append(TracerSpec("isoice", DEP_VICE, d.n_iso))
+        # per-CATEGORY-AREA burdens (the column code deposits/releases
+        # amounts directly, aero_iso.py) — area-weighted through
+        # transport/ITD so cell content aicen*burden is conserved
+        specs.append(TracerSpec("isosno", DEP_AICE, d.n_iso))
+        specs.append(TracerSpec("isoice", DEP_AICE, d.n_iso))
     if t.tr_aero and d.n_aero:
-        specs.append(TracerSpec("aerosno", DEP_VSNO, 2 * d.n_aero))
-        specs.append(TracerSpec("aeroice", DEP_VICE, 2 * d.n_aero))
+        specs.append(TracerSpec("aerosno", DEP_AICE, 2 * d.n_aero))
+        specs.append(TracerSpec("aeroice", DEP_AICE, 2 * d.n_aero))
     if t.tr_brine:
         specs.append(TracerSpec("fbri", DEP_VICE))     # brine height fraction
     if getattr(cfg, "zbgc", None) is not None and cfg.zbgc.skl_bgc:
@@ -124,9 +127,9 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         for nm in z_tracer_names(cfg.zbgc):
             specs.append(TracerSpec(nm, DEP_VICE, nb, parent="fbri"))
             specs.append(TracerSpec(nm + "_mf", DEP_VICE, nb, parent="fbri"))
-            # snow reservoir (per-snow-volume concentration; the
-            # reference bio grid's snow levels — round 5)
-            specs.append(TracerSpec(nm + "_sn", DEP_VSNO))
+            # snow reservoir (per-category-area content; the reference
+            # bio grid's snow levels — round 5)
+            specs.append(TracerSpec(nm + "_sn", DEP_AICE))
     return tuple(specs)
 
 

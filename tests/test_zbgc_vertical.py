@@ -306,11 +306,11 @@ def test_snow_reservoir_deposition_and_melt_flush():
                     snow={"zaero1": r0}, melts=jnp.zeros_like(aicen[:1])[0],
                     **{k: v for k, v in kw.items()})
     hs = float((kw["vsnon"] / aicen)[0, 0, 0])
-    r1 = out.snow["zaero1"]
-    assert float(r1.max()) > 0.0
-    # per-category content r*hs equals the deposited amount dep*dt
-    np.testing.assert_allclose(np.asarray(r1[0] * hs),
-                               2e-7 * dt, rtol=1e-5)
+    R1 = out.snow["zaero1"]
+    assert float(R1.max()) > 0.0
+    # per-category CONTENT equals the deposited amount dep*dt (content
+    # semantics are snowfall-dilution-proof, round-5 review fix)
+    np.testing.assert_allclose(np.asarray(R1[0]), 2e-7 * dt, rtol=1e-5)
     # nothing reached the ice column yet
     assert float(jnp.abs(out.trc["zaero1"]).max()) < 1e-12
 
@@ -320,18 +320,17 @@ def test_snow_reservoir_deposition_and_melt_flush():
     melts = jnp.full_like(aicen, hs * 0.5)
     kw2 = dict(kw)
     kw2["vsnon"] = kw["vsnon"] - melts * aicen
-    hs2 = hs * 0.5
     out2 = step_zbgc(cfg.zbgc, dt, trc=out.trc,
                      frac={"zaero1": f0}, zaero_dep=None,
-                     snow={"zaero1": r1}, melts=melts,
+                     snow={"zaero1": R1}, melts=melts,
                      **{k: v for k, v in kw2.items()})
     vicen, fbri = kw["vicen"], kw["fbri"]
     hbr = fbri * vicen / aicen
     col = jnp.sum(aicen * hbr * jnp.mean(out2.trc["zaero1"], axis=1),
                   axis=0)
-    sno = jnp.sum(aicen * hs2 * out2.snow["zaero1"], axis=0)
+    sno = jnp.sum(aicen * out2.snow["zaero1"], axis=0)
     ocn = dt * out2.flux_ocn["zaero1"]
-    total0 = jnp.sum(aicen * hs * r1, axis=0)     # content before step 2
+    total0 = jnp.sum(aicen * R1, axis=0)          # content before step 2
     np.testing.assert_allclose(np.asarray(col + sno + ocn),
                                np.asarray(total0), rtol=1e-4)
     # the flushed amount is the melted-volume share
