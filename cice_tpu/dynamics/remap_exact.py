@@ -114,6 +114,13 @@ class FlatTracer:
     ttype: int           # 1, 2 or 3 (reference tracer_type)
     parent: int          # flat index of parent tracer (-1 for type 1)
     has_dependents: bool
+    # physical value range from the TracerSpec (registry), enforced after
+    # the new-value chain solve: the signed-fragment flux decomposition is
+    # not convex at knife-edge denominators, so without the rail a tiny
+    # weight chain (e.g. sub-hs_min snow) amplifies its tracer value
+    # multiplicatively every step (round-5 annual-run root cause)
+    lo: float = 0.0
+    hi: float = float("inf")
 
 
 def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
@@ -130,8 +137,8 @@ def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
     tracers_to_state derive the packing order from the table itself, so
     the order is an internal contract of this module."""
     entries: List[dict] = [
-        dict(name="hi", layer=0, parent=-1),
-        dict(name="hs", layer=0, parent=-1),
+        dict(name="hi", layer=0, parent=-1, lo=0.0, hi=float("inf")),
+        dict(name="hs", layer=0, parent=-1, lo=0.0, hi=float("inf")),
     ]
     first_flat: Dict[str, int] = {"hi": 0, "hs": 1}
     for spec in registry:
@@ -146,7 +153,9 @@ def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
             parent = -1
         first_flat[spec.name] = len(entries)
         for lay in range(nlay):
-            entries.append(dict(name=spec.name, layer=lay, parent=parent))
+            entries.append(dict(name=spec.name, layer=lay, parent=parent,
+                                lo=getattr(spec, "lo", 0.0),
+                                hi=getattr(spec, "hi", float("inf"))))
 
     def depth(k: int) -> int:
         d, p = 1, entries[k]["parent"]
@@ -169,7 +178,8 @@ def build_flat_table(registry) -> Tuple[FlatTracer, ...]:
                             types[o],
                             inv[entries[o]["parent"]]
                             if entries[o]["parent"] >= 0 else -1,
-                            has_dep[o])
+                            has_dep[o],
+                            entries[o]["lo"], entries[o]["hi"])
                  for o in perm)
 
 
@@ -586,6 +596,13 @@ class _TableArrays:
         self.K3 = int(self.is3.sum())
         assert (_np.diff(self.ttype) >= 0).all(), \
             "flat tracer table must be type-grouped (build_flat_table)"
+        # physical value rails in TRANSPORT space (qsno rows ride with the
+        # +rhos*Lfresh positivity offset, state_to_tracers) — applied after
+        # the chain solve; see FlatTracer.lo docstring
+        off = _np.array([cst.rhos * cst.Lfresh if ft.name == "qsno" else 0.0
+                         for ft in table])
+        self.lo = _np.array([getattr(ft, "lo", 0.0) for ft in table]) + off
+        self.hi = _np.array([getattr(ft, "hi", _np.inf) for ft in table]) + off
 
 
 def _table_arrays(table):
@@ -932,7 +949,12 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
     am_new = jnp.where(tmask[None], jnp.maximum(am_new, 0.0), 0.0)
 
     mm = am_new[1:][:, None]
-    mm_pos = mm > 0.0
+    # weight-chain floors at puny (reference work_to_state ->
+    # icepack_compute_tracers: tracer defined only where its full weight
+    # chain exceeds puny, else zero) — `denom != 0` alone lets an f32
+    # chain of 1e-20 through, and the signed-fragment ratio at such a
+    # denominator amplifies without bound (round-5 annual-run collapse)
+    mm_pos = mm > cst.puny
     num = prods - div(mtflxe, mtflxn) * grid.tarear[None, None]
 
     def solve(numb, denom, ok):
@@ -949,16 +971,21 @@ def update_fields(grid: Grid, am, trm, mflxe, mflxn, mtflxe, mtflxn, table):
     if K2:
         tp = _sel(P2, val1)
         val2 = solve(num[:, K1:K1 + K2], mm * tp,
-                     mm_pos & (jnp.abs(tp) > 0.0))
+                     mm_pos & (jnp.abs(tp) > cst.puny))
         parts.append(val2)
     # stage 3: type-2 parent + type-1 grandparent
     if K3:
         tp2 = _sel(P3p, val2)
         gp = _sel(P3g, val1)
         val3 = solve(num[:, K1 + K2:], mm * tp2 * gp,
-                     mm_pos & (jnp.abs(tp2) > 0.0) & (jnp.abs(gp) > 0.0))
+                     mm_pos & (jnp.abs(tp2) > cst.puny) &
+                     (jnp.abs(gp) > cst.puny))
         parts.append(val3)
     trm_new = jnp.concatenate(parts, axis=1)
+    # physical range rail (registry TracerSpec.lo/hi, transport space)
+    trm_new = jnp.clip(trm_new,
+                       jnp.asarray(ta.lo, trm.dtype)[None, :, None, None],
+                       jnp.asarray(ta.hi, trm.dtype)[None, :, None, None])
     return am_new, trm_new, neg
 
 

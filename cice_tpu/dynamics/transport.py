@@ -109,16 +109,24 @@ def work_to_state(work: jnp.ndarray, state: State, registry, tmask,
         for spec in registry:
             w = _weight_chain(spec, aicen, vicen, vsnon, cat_tr, by_name)
             nl = state.trcrn[spec.name].shape[1] if state.trcrn[spec.name].ndim == 4 else 0
+            # registry physical range rail (TracerSpec.lo/hi): the ratio
+            # recovery is not convex for the signed-region remap variants
+            # at knife-edge chains (see remap_exact.update_fields)
+            lo = getattr(spec, "lo", 0.0)
+            hi = getattr(spec, "hi", float("inf"))
+            clipv = (lambda x: jnp.clip(x, lo, hi)) \
+                if (lo > -1e30 or hi < 1e30) else (lambda x: x)
             if nl:
                 layers = []
                 for l in range(nl):
-                    layers.append(jnp.where(w > cst.puny,
-                                            work[k] / jnp.maximum(w, cst.puny), 0.0))
+                    layers.append(clipv(jnp.where(
+                        w > cst.puny,
+                        work[k] / jnp.maximum(w, cst.puny), 0.0)))
                     k += 1
                 val = jnp.stack(layers)
             else:
-                val = jnp.where(w > cst.puny,
-                                work[k] / jnp.maximum(w, cst.puny), 0.0)
+                val = clipv(jnp.where(w > cst.puny,
+                                      work[k] / jnp.maximum(w, cst.puny), 0.0))
                 k += 1
                 if spec.name == "Tsfcn":
                     val = jnp.where(w > cst.puny, val, Tf)

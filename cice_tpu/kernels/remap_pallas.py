@@ -489,7 +489,11 @@ def _update_win(am_old, trm, mtflxe, mtflxn, mflxe, mflxn, tarear, tmask,
     am_pre = am_old - div(mflxe, mflxn) * tarear
     am_new = jnp.where(tmask, jnp.maximum(am_pre, 0.0), 0.0)
     mm = am_new
-    mm_pos = mm > 0.0
+    # weight-chain floors at puny + physical range rails: identical
+    # semantics to remap_exact.update_fields (see its comments; the two
+    # engines must stay numerically paired for the on-device equivalence
+    # check in bench.py)
+    mm_pos = mm > puny
 
     # old chain products (remap_exact._chain_product, per plane)
     prods = [None] * NT
@@ -508,15 +512,21 @@ def _update_win(am_old, trm, mtflxe, mtflxn, mflxe, mflxn, tarear, tmask,
     for n in range(K1, K1 + K2):
         tp = out[int(ta.par[n])]
         num = prods[n] - div(mtflxe[n], mtflxn[n]) * tarear
-        out[n] = jnp.where(mm_pos & (jnp.abs(tp) > 0.0),
+        out[n] = jnp.where(mm_pos & (jnp.abs(tp) > puny),
                            num / dsafe(mm * tp), 0.0)
     for n in range(K1 + K2, NT):
         tp2 = out[int(ta.par[n])]
         gp = out[int(ta.gpar[n])]
         num = prods[n] - div(mtflxe[n], mtflxn[n]) * tarear
-        out[n] = jnp.where(mm_pos & (jnp.abs(tp2) > 0.0) &
-                           (jnp.abs(gp) > 0.0),
+        out[n] = jnp.where(mm_pos & (jnp.abs(tp2) > puny) &
+                           (jnp.abs(gp) > puny),
                            num / dsafe(mm * tp2 * gp), 0.0)
+    for n in range(NT):
+        lo, hi = float(ta.lo[n]), float(ta.hi[n])
+        if lo > -1e30:
+            out[n] = jnp.maximum(out[n], lo)
+        if hi < 1e30:
+            out[n] = jnp.minimum(out[n], hi)
     return am_pre, out
 
 

@@ -36,6 +36,23 @@ class TracerSpec:
     depend: int               # DEP_AICE / DEP_VICE / DEP_VSNO
     nlayers: int = 0          # 0 => (ncat, ny, nx); >0 => (ncat, nlayers, ny, nx)
     parent: str | None = None  # e.g. hpnd/ipnd ride on apnd
+    # physical value range, enforced after transport's ratio recovery
+    # (reference work_to_state -> icepack_compute_tracers zeroes tracers
+    # whose weight chain is below puny; the explicit range is the
+    # TPU-native rail for the signed-fragment remap, whose fluxed-ratio
+    # recovery is not convex at knife-edge denominators — without it a
+    # sub-hs_min snow layer's qsno random-walks multiplicatively to
+    # ~1e24 J/m^3 over ~100 days and its zap energy flash-freezes the
+    # global ocean (round-5 annual-cycle root cause)
+    lo: float = 0.0
+    hi: float = float("inf")
+
+
+# physical enthalpy floors (J/m^3): coldest representable snow/ice at
+# T = -100 C (the Tsf clamp window) with generous margin for the mushy
+# brine terms
+_QICE_LO = -1.5e9
+_QSNO_LO = -5.0e8
 
 
 def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
@@ -43,31 +60,31 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
     (reference: count_tracers, shared/ice_init_column.F90)."""
     d, t = cfg.domain, cfg.tracers
     specs = [
-        TracerSpec("Tsfcn", DEP_AICE),                 # surface temperature (C)
-        TracerSpec("qice", DEP_VICE, d.nilyr),         # ice enthalpy (J/m^3)
-        TracerSpec("sice", DEP_VICE, d.nilyr),         # bulk salinity (psu)
-        TracerSpec("qsno", DEP_VSNO, d.nslyr),         # snow enthalpy (J/m^3)
+        TracerSpec("Tsfcn", DEP_AICE, lo=-100.0, hi=0.0),  # surface temp (C)
+        TracerSpec("qice", DEP_VICE, d.nilyr, lo=_QICE_LO, hi=0.0),
+        TracerSpec("sice", DEP_VICE, d.nilyr, hi=200.0),   # bulk salinity
+        TracerSpec("qsno", DEP_VSNO, d.nslyr, lo=_QSNO_LO, hi=0.0),
     ]
     if t.tr_iage:
         specs.append(TracerSpec("iage", DEP_VICE))     # volume-weighted age (s)
     if t.tr_FY:
-        specs.append(TracerSpec("FY", DEP_AICE))       # first-year area frac
+        specs.append(TracerSpec("FY", DEP_AICE, hi=1.0))   # first-year area frac
     if t.tr_lvl:
-        specs.append(TracerSpec("alvl", DEP_AICE))     # level-ice area frac
-        specs.append(TracerSpec("vlvl", DEP_VICE))     # level-ice volume frac
+        specs.append(TracerSpec("alvl", DEP_AICE, hi=1.0))  # level-ice area frac
+        specs.append(TracerSpec("vlvl", DEP_VICE, hi=1.0))  # level-ice volume frac
     if t.tr_pond_lvl or t.tr_pond_topo or t.tr_pond_sealvl:
         # lvl ponds live on the level-ice fraction: transport weight is
         # aicen*alvl (reference trcr_depend(nt_apnd) = 2+nt_alvl for
         # tr_pond_lvl; plain area weight for topo/sealvl ponds)
         apnd_parent = "alvl" if (t.tr_pond_lvl and t.tr_lvl) else None
-        specs.append(TracerSpec("apnd", DEP_AICE, parent=apnd_parent))
+        specs.append(TracerSpec("apnd", DEP_AICE, parent=apnd_parent, hi=1.0))
         specs.append(TracerSpec("hpnd", DEP_AICE, parent="apnd"))
         specs.append(TracerSpec("ipnd", DEP_AICE, parent="apnd"))  # lid depth
     if t.tr_snow:
         for nm in ("smice", "smliq", "rhos_cmp", "rsnw"):
             specs.append(TracerSpec(nm, DEP_VSNO, d.nslyr))
     if t.tr_fsd:
-        specs.append(TracerSpec("fsd", DEP_AICE, d.nfsd))
+        specs.append(TracerSpec("fsd", DEP_AICE, d.nfsd, hi=1.0))
     if t.tr_iso and d.n_iso:
         # per-CATEGORY-AREA burdens (the column code deposits/releases
         # amounts directly, aero_iso.py) — area-weighted through
@@ -126,7 +143,8 @@ def tracer_registry(cfg) -> tuple[TracerSpec, ...]:
         nb = max(cfg.domain.nblyr, 1)
         for nm in z_tracer_names(cfg.zbgc):
             specs.append(TracerSpec(nm, DEP_VICE, nb, parent="fbri"))
-            specs.append(TracerSpec(nm + "_mf", DEP_VICE, nb, parent="fbri"))
+            specs.append(TracerSpec(nm + "_mf", DEP_VICE, nb, parent="fbri",
+                                    hi=1.0))
             # snow reservoir (per-category-area content; the reference
             # bio grid's snow levels — round 5)
             specs.append(TracerSpec(nm + "_sn", DEP_AICE))

@@ -325,3 +325,47 @@ def test_tracer_monotone_ranges():
     assert hp[live].min() >= -1e-10
     al = np.asarray(state.trcrn["alvl"])
     assert al[live].max() <= 0.9 + 1e-6
+
+
+def test_knife_edge_chain_no_amplification():
+    """Round-5 annual-run regression: a category row whose weight chain is
+    knife-edge thin (sub-hs_min snow: hs ~ 1e-7 per area) must NOT
+    amplify its dependent tracer through repeated remap steps.  The
+    signed-fragment flux decomposition is not convex at such
+    denominators — before the registry range rails + puny chain floors,
+    |qsno| grew multiplicatively (~1.5x/step, reaching ~1e24 J/m^3 over a
+    130-day gx3 run) and the corrupted energy's ocean dump flash-froze
+    the global ocean.  Bounds here are the TracerSpec.lo/hi rails."""
+    import cice_tpu.constants as cst
+
+    cfg, grid, reg, state = _setup(seed=5)
+    trcrn = dict(state.trcrn)
+    an = np.asarray(state.aicen)
+    mask = an > 0
+    # physical cold snow enthalpy on a knife-edge snow layer
+    vs = np.asarray(state.vsnon)
+    vs = np.where(mask, an * 1e-7, 0.0)         # hs = 1e-7 m per area
+    qs = np.where(mask[:, None], -2.5e8, 0.0)
+    trcrn["qsno"] = jnp.asarray(np.broadcast_to(
+        qs, state.trcrn["qsno"].shape).copy())
+    state = state.replace(vsnon=jnp.asarray(vs), trcrn=trcrn)
+    dt = 3600.0
+    dx_m = float(grid.dxU[0, 0])
+    umax = 0.3 * dx_m / dt
+    ny, nx = grid.shape
+    jj, ii = np.mgrid[0:ny, 0:nx]
+    u = umax * np.cos(2 * np.pi * jj / ny + 0.3)
+    v = umax * np.sin(2 * np.pi * ii / nx + 0.1)
+    state = state.replace(uvel=jnp.asarray(u), vvel=jnp.asarray(v))
+    for _ in range(8):
+        state, _ = rx.horizontal_remap_exact(
+            grid, state, reg, _tf(grid), dt, l_dp_midpt=True)
+    q = np.asarray(state.trcrn["qsno"])
+    assert np.isfinite(q).all()
+    # the registry rail: physical window, no growth beyond the floor
+    from cice_tpu.model.state import _QSNO_LO
+    assert q.min() >= _QSNO_LO - 1.0
+    assert q.max() <= 1e-6
+    # Tsfcn rail holds too
+    t = np.asarray(state.trcrn["Tsfcn"])
+    assert t.min() >= -100.0 - 1e-6 and t.max() <= 1e-6
